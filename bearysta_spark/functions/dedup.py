@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup = one hash-aggregate shuffle on a 16-byte digest (not the
+  full text — shuffle bytes ∝ docs, not corpus size).
+- MinHash: per-doc signatures are computed scan-side (explode shingles →
+  partial min per hash seed is map-side combined), so the only wide op
+  is the doc_id aggregation; LSH banding then buckets signatures and
+  only bucket-mates are pair-joined — candidate pairs ≪ n².
+- Hash function choice: md5 (hex) for anything the DuckDB oracle must
+  reproduce bit-for-bit; xxhash64 for Spark-only paths (4× faster).
+- SimHash: 64-bit near-dup sketch via per-token md5-derived bits;
+  hamming distance on sketches is a cheap bucketed self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(text: str | Column) -> Column:
+    """Canonical exact-dedup key: md5 of the raw text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup: one row per distinct content hash with the
+    minimum id and the duplicate count. (Reference has only
+    drop_duplicates, aggregate.py:633; this is its scale-out shape.)"""
+    return df.groupBy(content_hash(text_col).alias("h")).agg(
+        F.min(id_col).cast("long").alias("keep_id"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+
+
+def char_shingles(text: str | Column, k: int = 5) -> Column:
+    """All k-character shingles of the text as an array<string> (empty
+    array when len(text) < k). JVM-side: transform over sequence —
+    no Python, no explode until the caller asks."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c) - F.lit(k - 1)
+    return F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Exploded distinct (id, shingle) pairs."""
+    return (
+        df.select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    oracle_safe: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of `num_hashes` seeded hash
+    functions, the min hash over the doc's distinct k-shingles.
+
+    oracle_safe=True uses md5(seed||shingle) (string min — reproducible
+    in any SQL engine); False uses xxhash64 (faster, Spark-only).
+    Output: id_col, sig array<string|long> ordered by seed.
+    """
+    sh = shingle_df(df, text_col, id_col, k)
+    if oracle_safe:
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    oracle_safe: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of the MinHash
+    signature. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Scale path: the band bucket key is md5(band-slice), the self-join is
+    an equi-join on that key — bucket sizes are the only quadratic
+    surface, and AQE's skew-join splitting handles hot buckets.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe)
+    band_key = [
+        (
+            F.lit(b),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(b.alias("band"), h.alias("bucket")) for b, h in band_key])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle
+    (optionally also on a blocking column to bound the candidate set),
+    count intersections, then |A∩B| / (|A|+|B|−|A∩B|). This is the
+    exact verifier for MinHash candidates; at 100 TB run it only on LSH
+    survivors, never standalone.
+    """
+    sh = shingle_df(df, text_col, id_col, k)
+    if block_col:
+        blocks = df.select(F.col(id_col), F.col(block_col))
+        sh = sh.join(F.broadcast(blocks), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash64(text: str | Column, token_pattern: str = "[A-Za-z0-9]+") -> Column:
+    """64-bit SimHash over regex tokens, built from each distinct token's
+    xxhash64 bits. Pure JVM expression: for each of 64 bit positions,
+    majority-vote the token hash bits via sign sums.
+
+    Implementation: tokens → xxhash64 → for bit i, sum(±1) over tokens →
+    bit i of sketch = (sum > 0). aggregate() folds are codegen'd.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.regexp_extract_all(c, F.lit(token_pattern), 0))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # sum over tokens of (bit set ? 1 : -1), then > 0 → bit set
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(63):  # skip the sign bit to stay in positive long range
+        out = out + bit_vote(i)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit sketches."""
+    return F.bit_count(a.bitwiseXOR(b))

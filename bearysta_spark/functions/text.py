@@ -1,0 +1,101 @@
+"""Text-analysis columns: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All JVM-side expressions (split / regexp / md5 / hash built-ins) — no
+Python in the hot path, so these run inside whole-stage codegen and
+scale linearly with input bytes. Patterns stick to character classes
+(`[a-z0-9]`) that mean the same thing in Java regex (Spark) and RE2/PCRE
+(DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[A-Za-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately simple + deterministic: real corpora would ship
+# fastText-style models behind a Pandas UDF.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def word_count(text: str | Column) -> Column:
+    """Whitespace token count (split on single spaces, keeping empties —
+    identical to DuckDB string_split semantics)."""
+    return F.size(F.split(_col(text), " ")).cast("long")
+
+
+def token_count(text: str | Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """BPE-ish regex token count: alphanumeric runs."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(pattern), 0)).cast("long")
+
+
+def alpha_ratio(text: str | Column) -> Column:
+    """Fraction of characters that are lowercase letters or spaces — a
+    cheap punctuation/noise quality signal."""
+    t = _col(text)
+    clean = F.length(F.regexp_replace(t, "[^a-z ]", ""))
+    return (clean / F.length(t)).cast("double")
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality score: alpha ratio damped by a
+    degenerate-length penalty (too-short docs score low).
+
+    Mirrors the shape of C4/Gopher-style quality filters (length +
+    symbol-ratio rules) with fully-deterministic arithmetic.
+    """
+    t = _col(text)
+    wc = word_count(t)
+    len_penalty = F.least(wc.cast("double") / F.lit(20.0), F.lit(1.0))
+    return (alpha_ratio(t) * len_penalty).cast("double")
+
+
+def stopword_hits(text: str | Column, lang: str) -> Column:
+    """Number of stopword types of `lang` present in the text."""
+    t = F.concat(F.lit(" "), _col(text), F.lit(" "))
+    hits = [F.when(t.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS[lang]]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def lang_id(text: str | Column) -> Column:
+    """Stopword-vote language ID: the language with the most stopword
+    types present wins; ties broken by fixed language order; no hits →
+    'unk'. Deterministic and SQL-expressible for the oracle."""
+    t = _col(text)
+    scores = {l: stopword_hits(t, l) for l in STOPWORDS}
+    best = None
+    best_score = None
+    for l in STOPWORDS:  # fixed order = deterministic tie-break
+        s = scores[l]
+        if best is None:
+            best, best_score = F.lit(l), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(l)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("unk"))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of the
+    whitespace-normalized text) — rolling-hash-style content identity for
+    exact dedup at scale (8 bytes vs 16-byte md5; collision odds at even
+    10^10 docs are ~1e-2 under birthday bound — use md5 when that
+    matters)."""
+    norm = F.regexp_replace(F.trim(_col(text)), "\\s+", " ")
+    return F.xxhash64(norm)

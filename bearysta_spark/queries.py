@@ -1,0 +1,879 @@
+"""Query inventory: Spark implementation + DuckDB oracle SQL per query.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+beyond-reference extension). Conventions for oracle hash-parity:
+- every floating aggregate is rounded (sums→2dp, avgs/ratios→4dp) in
+  BOTH engines, because double summation order differs between Spark's
+  partial aggregates and DuckDB's sequential scan;
+- counts/ids are cast to BIGINT in both (DuckDB sum(int)→HUGEINT);
+- column aliases match exactly — the driver sorts columns by name and
+  hashes values;
+- session timezone is pinned UTC before any timestamp-bearing read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions import dedup as D
+from bearysta_spark.functions import similarity as S
+from bearysta_spark.functions import text as T
+from bearysta_spark.operators import (
+    expected_fill,
+    filter_in,
+    filter_out,
+    group_agg,
+    pack,
+    pivot_table,
+    ratio_of,
+)
+from bearysta_spark.operators.ratio import percent_diff
+from bearysta_spark.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# Exact-sum parity: double summation order differs between Spark's partial
+# aggregates and DuckDB's sequential scan, so round(sum(double), n) can flip
+# on a rounding boundary (observed: 2/1236 groups at sf0.01). Casting each
+# addend to DECIMAL(25,10) makes the sum exact and order-independent in both
+# engines; the per-row double expressions themselves are IEEE-identical.
+_DEC = "decimal(25,10)"
+
+
+def dsum(c, scale: int = 2):
+    """Order-independent rounded sum of a double expression.
+
+    Round the DECIMAL (exact HALF_UP), then cast — money-like data sums
+    land exactly on .xx5 boundaries (~1/200 groups observed), where
+    rounding the double instead is engine-dependent.
+    """
+    return F.round(F.sum(c.cast(_DEC)), scale).cast("double")
+
+
+def davg(c, scale: int = 4):
+    """Order-independent rounded mean: exact decimal sum, one double
+    division (quotients are non-terminating → boundary hits are
+    measure-zero, unlike sums)."""
+    return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(c), scale)
+
+
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(25,10))), {scale}) AS DOUBLE)"
+
+
+def _davg_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,10))) AS DOUBLE)"
+        f" / count({expr}), {scale})"
+    )
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core analytical queries (scan → filter → join → group-agg; the shapes the
+# reference's recipes compile to, on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql("l_quantity")}                                        AS sum_qty,
+           {_dsum_sql("l_extendedprice")}                                   AS sum_base_price,
+           {_dsum_sql("l_extendedprice * (1 - l_discount)")}                AS sum_disc_price,
+           {_dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}  AS sum_charge,
+           {_davg_sql("l_quantity")}                                        AS avg_qty,
+           {_davg_sql("l_extendedprice")}                                   AS avg_price,
+           {_davg_sql("l_discount")}                                        AS avg_disc,
+           CAST(count(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship group-agg (SURVEY A1/A2). Filter is
+    pushed to the parquet scan; one hash-agg shuffle with map-side
+    partial aggregation; 6 output groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_dsum_sql("l_extendedprice * l_discount")} AS revenue,
+           CAST(count(*) AS BIGINT)                    AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down filter + global agg (zero
+    grouping keys — reference A3 'groupby_empty' semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           CAST(o.o_orderdate AS DATE)                           AS odate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → group-agg. The
+    filtered customer side is small → broadcast; lineitem never
+    shuffles before the final agg."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("odate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q5_region_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with all dims broadcast; lineitem is
+    the only fact in the shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (beyond-reference: the
+    reference has no ranking windows, SURVEY §2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@query(
+    "nation_acctbal_rollup",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT)      AS n_customers,
+           {_davg_sql("c.c_acctbal")}    AS avg_bal,
+           {_dsum_sql("c.c_acctbal")}    AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def nation_acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension rollup with broadcast snowflake joins."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            davg(F.col("c_acctbal")).alias("avg_bal"),
+            dsum(F.col("c_acctbal")).alias("sum_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bearysta recipe-operator queries (SURVEY §2 parity surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mean_dims",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_davg_sql("l_quantity")}      AS l_quantity,
+           {_davg_sql("l_extendedprice")} AS l_extendedprice
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_mean_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1 main aggregation: dims = series+axis, recipe agg on
+    the `values:` columns (aliased to the value column name, as the
+    reference does)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    out = group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice"],
+        "mean",
+        keep_others=False,
+        exact=True,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 4).alias("l_quantity"),
+        F.round("l_extendedprice", 4).alias("l_extendedprice"),
+    )
+
+
+@query(
+    "agg_geomean",
+    oracle="""
+    SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A2 geomean special case (aggregate.py:93-99) as
+    exp(avg(log)) — partial-aggregatable, unlike scipy's gmean."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = group_agg(li, ["l_returnflag"], ["l_extendedprice"], "geomean", keep_others=False)
+    return out.select(
+        "l_returnflag", F.round("l_extendedprice", 4).alias("geomean_price")
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_linestatus, round(median(l_quantity), 4) AS median_qty,
+           round(median(l_extendedprice), 4)          AS median_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (pandas parity — NOT percentile_approx; SURVEY §7.2).
+    At 100 TB swap to the registered `median_approx`."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+    )
+
+
+@query(
+    "filter_in_out",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT)          AS n,
+           {_dsum_sql("l_extendedprice")}    AS sum_price
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N') AND l_linestatus NOT IN ('F')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def filter_in_out_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F-in/F-out value-list filters; both predicates reach
+    the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = filter_in(li, {"l_returnflag": ["A", "N"]})
+    li = filter_out(li, {"l_linestatus": ["F"]})
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "pack_melt",
+    oracle="""
+    WITH long AS (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+    )
+    SELECT measure, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(val AS DECIMAL(25,10))) AS DOUBLE), 2) AS total
+    FROM long GROUP BY measure
+    """,
+)
+def pack_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference R1 pack (wide→long melt) then aggregate by the packed
+    name column. Melt is narrow — no shuffle until the agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    long = pack(li, ["l_quantity", "l_extendedprice"], "measure", "val")
+    return long.groupBy("measure").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("val")).alias("total"),
+    )
+
+
+@query(
+    "unpack_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
+           {_dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def unpack_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A6/R2 pivot table: axis=rows, series=columns. Explicit
+    column_values skip Spark's distinct-values job (SURVEY §7.2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = pivot_table(
+        li,
+        index=["l_returnflag"],
+        columns=["l_linestatus"],
+        values=["l_quantity"],
+        func="sum_exact",
+        column_values=["F", "O"],
+    )
+    return out.select("l_returnflag", F.round("F", 2).alias("F"), F.round("O", 2).alias("O"))
+
+
+@query(
+    "ratio_of_base",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus, avg(l_extendedprice) AS a
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), b AS (
+      SELECT l_returnflag, a AS base FROM g WHERE l_linestatus = 'O'
+    )
+    SELECT g.l_returnflag, g.l_linestatus, round(g.a / b.base, 6) AS ratio
+    FROM g LEFT JOIN b ON g.l_returnflag = b.l_returnflag
+    """,
+)
+def ratio_of_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE signature reference operator (J4, aggregate.py:354-442):
+    normalize avg(l_extendedprice) per (axis=returnflag,
+    series=linestatus) against the linestatus='O' baseline."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = ratio_of(
+        li,
+        "l_extendedprice",
+        base={"l_linestatus": "O"},
+        series=["l_linestatus"],
+        axis=["l_returnflag"],
+        agg="mean",
+        out="ratio",
+        check_base=False,
+    )
+    return (
+        out.select("l_returnflag", "l_linestatus", F.round("ratio", 6).alias("ratio"))
+        .distinct()
+    )
+
+
+@query(
+    "percent_diff_base",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus, avg(l_quantity) AS a
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), b AS (
+      SELECT l_returnflag, a AS base FROM g WHERE l_linestatus = 'O'
+    )
+    SELECT g.l_returnflag, g.l_linestatus,
+           round((g.a / b.base - 1) * 100, 6) AS pct_diff
+    FROM g LEFT JOIN b ON g.l_returnflag = b.l_returnflag
+    """,
+)
+def percent_diff_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_of derived family: percent_diff = (ratio − 1)·100
+    (reference aggregate.py:445-476)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = percent_diff(
+        li,
+        "l_quantity",
+        base={"l_linestatus": "O"},
+        series=["l_linestatus"],
+        axis=["l_returnflag"],
+        agg="mean",
+        out="pct_diff",
+        check_base=False,
+    )
+    return (
+        out.select(
+            "l_returnflag", "l_linestatus", F.round("pct_diff", 6).alias("pct_diff")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "expected_fill_combos",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), combos AS (
+      SELECT f.l_returnflag, e.l_linestatus
+      FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+      CROSS JOIN (VALUES ('F'), ('O'), ('X')) e(l_linestatus)
+    )
+    SELECT c.l_returnflag, c.l_linestatus, a.n
+    FROM combos c
+    LEFT JOIN agg a
+      ON c.l_returnflag = a.l_returnflag AND c.l_linestatus = a.l_linestatus
+    """,
+)
+def expected_fill_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7 missing-combination fill: declared expected series
+    values ('F','O','X') — the absent 'X' yields NULL-filled rows per
+    axis group."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return expected_fill(
+        agg, [("F",), ("O",), ("X",)], series=["l_linestatus"], axis=["l_returnflag"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, windowed rollups, JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n, {_dsum_sql("value", 4)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch shape of the Structured Streaming
+    pipeline in bearysta_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30 min starts a new session. Single
+    window shuffle on user_id; at scale this is the canonical
+    repartition-by-user pattern."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n, {_davg_sql("value")} AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction stays JVM-side
+    (get_json_object), no Python."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        davg(F.col("value")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis (LLM-pipeline extension surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup cardinality per source (hash-groupBy; shuffle bytes
+    ∝ digest, not text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(D.content_hash("text")).cast("long").alias("n_unique"),
+    )
+
+
+@query(
+    "dedup_exact_keepfirst",
+    oracle="""
+    SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup (functions.dedup.dedup_exact)."""
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_words
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(T.word_count("text")), 4).alias("avg_words"),
+    )
+
+
+@query(
+    "token_count_by_source",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 4) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer counts (functions.text.token_count) — the
+    char-class pattern means the same in Java regex and DuckDB RE2."""
+    d = _t(spark, sf_dir, "documents")
+    tc = T.token_count("text")
+    return d.groupBy("source").agg(
+        F.sum(tc).cast("long").alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "quality_by_source",
+    oracle=f"""
+    SELECT source,
+           {_davg_sql(
+               "(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)"
+               " / length(text))"
+               " * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0)"
+           )} AS avg_quality
+    FROM documents GROUP BY source
+    """,
+)
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (functions.text.quality_score): alpha-ratio ×
+    length penalty, C4/Gopher-filter shape."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        davg(T.quality_score("text")).alias("avg_quality")
+    )
+
+
+@query(
+    "lang_id_eval",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+        (CASE WHEN ' '||text||' ' LIKE '% the %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% a %'   THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% of %'  THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% and %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% to %'  THEN 1 ELSE 0 END) AS s_en,
+        (CASE WHEN ' '||text||' ' LIKE '% der %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% die %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% das %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% und %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+        (CASE WHEN ' '||text||' ' LIKE '% le %'  THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% la %'  THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% les %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% et %'  THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% est %' THEN 1 ELSE 0 END) AS s_fr,
+        (CASE WHEN ' '||text||' ' LIKE '% el %'  THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% la %'  THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% los %' THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% y %'   THEN 1 ELSE 0 END +
+         CASE WHEN ' '||text||' ' LIKE '% es %'  THEN 1 ELSE 0 END) AS s_es
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID vs the labeled lang column. The
+    sequential strictly-greater update in functions.text.lang_id equals
+    'first language attaining the max' — mirrored in the oracle CASE."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", T.lang_id("text").alias("predicted")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+@query(
+    "shingle_stats",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest([substr(text, CAST(i AS INT), 5)
+                     for i in range(1, greatest(length(text) - 3, 1))]) AS shingle
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM raw
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(DISTINCT sh.shingle) AS BIGINT) AS n_distinct
+    FROM sh JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-char shingle inventory per source — the scan-side prep stage of
+    MinHash dedup (functions.dedup.char_shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = D.shingle_df(d, "text", "doc_id", k=5)
+    src = d.select("doc_id", "source")
+    return (
+        sh.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.countDistinct("shingle").cast("long").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing check: treat text as a binary payload
+    column (the multimodal pattern — functions.multimodal) and
+    aggregate typed byte metadata."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.octet_length(payload)).cast("long").alias("total_bytes"),
+        F.max(F.octet_length(payload)).cast("long").alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))
+             AS sim
+      FROM q, embeddings e WHERE e.vec_id != q.qid
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (functions.similarity.brute_force_topk):
+    broadcast query side × corpus, double-accumulated JVM fold, per-query
+    ranking window."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = S.brute_force_topk(e, q, k=5)
+    return out.select("qid", "nid", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           {_davg_sql(
+               "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+               " CAST(embedding AS DOUBLE[])))"
+           )} AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "embeddings")
+    return d.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        davg(S.l2_norm(F.col("embedding"))).alias("avg_norm"),
+    )

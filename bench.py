@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the representative query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect overhead). One warmup query amortizes JVM/codegen startup
+so numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "nation_acctbal_rollup",
+    "agg_mean_dims",
+    "agg_geomean",
+    "agg_median",
+    "pack_melt",
+    "unpack_pivot",
+    "ratio_of_base",
+    "expected_fill_combos",
+    "top_orders_per_priority",
+    "events_hourly",
+    "events_sessionize",
+    "events_json_extract",
+    "dedup_exact_keepfirst",
+    "text_stats",
+    "token_count_by_source",
+    "quality_by_source",
+    "shingle_stats",
+    "knn_bruteforce",
+    "embedding_norms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from bearysta_spark import get_spark
+    from bearysta_spark.queries import QUERIES
+
+    spark = get_spark("bearysta_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        times[name] = round(run(name), 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bearysta_spark_headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

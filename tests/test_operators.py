@@ -1,0 +1,163 @@
+"""Unit tests for the core operator library (SURVEY §2.3-2.6)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bearysta_spark.operators import (
+    expected_fill,
+    filter_in,
+    filter_out,
+    group_agg,
+    pack,
+    pivot_table,
+    ratio_of,
+    unpack,
+)
+from bearysta_spark.operators.expected import ordering_check
+from bearysta_spark.operators.ratio import MissingBaseError, percent_diff
+
+
+@pytest.fixture(scope="module")
+def perf(spark):
+    rows = [
+        # Prefix, Function, Size, Time
+        ("native", "erf", 1000, 1.0),
+        ("native", "erf", 1000, 3.0),
+        ("native", "exp", 1000, 4.0),
+        ("intel", "erf", 1000, 1.0),
+        ("intel", "exp", 1000, 1.0),
+        ("numba", "erf", 1000, 8.0),
+        ("numba", "erf", 2000, 6.0),
+    ]
+    return spark.createDataFrame(rows, ["Prefix", "Function", "Size", "Time"])
+
+
+def test_filter_in_out(perf):
+    assert filter_in(perf, {"Prefix": ["native", "intel"]}).count() == 5
+    assert filter_out(perf, {"Function": ["exp"]}).count() == 5
+    # missing column is a no-op (reference iterates only present cols)
+    assert filter_in(perf, {"Nope": [1]}).count() == 7
+
+
+def test_filter_out_keeps_nulls(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",)], ["c"])
+    assert filter_out(df, {"c": ["a"]}).count() == 2
+
+
+def test_group_agg_mean_and_first(perf):
+    out = group_agg(perf, ["Prefix", "Function"], ["Time"], "mean")
+    d = {(r["Prefix"], r["Function"]): r for r in out.collect()}
+    assert d[("native", "erf")]["Time"] == 2.0
+    # non-dimension column Size aggregated with first
+    assert d[("numba", "erf")]["Size"] in (1000, 2000)
+    assert len(d) == 5
+
+
+def test_group_agg_empty_dims_global(perf):
+    # A3: zero grouping keys → one global group
+    out = group_agg(perf, [], ["Time"], "max", keep_others=False)
+    assert out.collect()[0]["Time"] == 8.0
+
+
+def test_geomean(spark):
+    df = spark.createDataFrame([(2.0,), (8.0,)], ["v"])
+    out = group_agg(df, [], ["v"], "geomean", keep_others=False)
+    assert abs(out.collect()[0]["v"] - 4.0) < 1e-12
+
+
+def test_median_exact(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (10.0,), (20.0,)], ["v"])
+    out = group_agg(df, [], ["v"], "median", keep_others=False)
+    assert out.collect()[0]["v"] == 6.0
+
+
+def test_pack_unpack_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("b", 2.0, 20.0)], ["k", "fit", "predict"]
+    )
+    long = pack(wide, ["fit", "predict"], "Function", "Time")
+    assert long.count() == 4
+    assert set(long.columns) == {"k", "Function", "Time"}
+    back = unpack(long, "Function", "Time")
+    got = {r["k"]: (r["fit"], r["predict"]) for r in back.collect()}
+    assert got == {"a": (1.0, 10.0), "b": (2.0, 20.0)}
+
+
+def test_unpack_null_keys_survive(spark):
+    # Spark groups NULL keys natively — the reference needed a 'NaN'-string
+    # hack (aggregate.py:527-534); assert the NULL-keyed rows survive.
+    df = spark.createDataFrame(
+        [(None, "x", 1.0), ("k1", "x", 2.0)], ["k", "name", "val"]
+    )
+    out = unpack(df, "name", "val")
+    assert out.count() == 2
+
+
+def test_pivot_table(perf):
+    out = pivot_table(perf, ["Function"], ["Prefix"], ["Time"], "mean")
+    d = {r["Function"]: r for r in out.collect()}
+    assert d["erf"]["native"] == 2.0
+    assert d["erf"]["intel"] == 1.0
+    assert d["exp"]["numba"] is None
+
+
+def test_ratio_of(perf):
+    out = ratio_of(
+        perf,
+        "Time",
+        base={"Prefix": "intel"},
+        series=["Prefix"],
+        axis=["Function", "Size"],
+        agg="mean",
+        out="Ratio",
+    )
+    d = {(r["Prefix"], r["Function"], r["Size"]): r["Ratio"] for r in out.collect()}
+    assert d[("native", "erf", 1000)] == 2.0  # mean(1,3)/1
+    assert d[("intel", "erf", 1000)] == 1.0
+    # no intel base at Size=2000 → NULL ratio (pandas left-join NaN parity)
+    assert d[("numba", "erf", 2000)] is None
+    assert out.count() == perf.count()
+
+
+def test_ratio_missing_base_raises(perf):
+    with pytest.raises(MissingBaseError):
+        ratio_of(perf, "Time", base={"Prefix": "nope"}, series=["Prefix"])
+
+
+def test_percent_diff(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("base", 1.0)], ["Prefix", "Time"]
+    )
+    out = percent_diff(df, "Time", base={"Prefix": "base"}, series=["Prefix"], out="Pct")
+    d = {r["Prefix"]: r["Pct"] for r in out.collect()}
+    assert d["a"] == 100.0
+    assert d["base"] == 0.0
+
+
+def test_expected_fill(spark):
+    df = spark.createDataFrame(
+        [("f1", "a", 1.0), ("f1", "b", 2.0), ("f2", "a", 3.0)],
+        ["Function", "Prefix", "Time"],
+    )
+    out = expected_fill(df, [("a",), ("b",), ("c",)], series=["Prefix"], axis=["Function"])
+    assert out.count() == 6  # 3 original + (f1,c) (f2,b) (f2,c)
+    nulls = out.filter(F.col("Time").isNull())
+    got = {(r["Function"], r["Prefix"]) for r in nulls.collect()}
+    assert got == {("f1", "c"), ("f2", "b"), ("f2", "c")}
+
+
+def test_ordering_check(perf):
+    # expect intel fastest, then native, then numba (Time: lower is better)
+    ok = ordering_check(
+        perf, ["intel", "native", "numba"], "Prefix", "Time", axis=["Function", "Size"]
+    )
+    assert ok == []
+    bad = ordering_check(
+        perf, ["numba", "intel", "native"], "Prefix", "Time", axis=["Function", "Size"]
+    )
+    assert len(bad) > 0
