@@ -860,6 +860,82 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "nid", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# Recipe-engine end-to-end (the reference's full pipeline, over parquet)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "recipe_pipeline",
+    oracle=f"""
+    SELECT l_returnflag AS flag, l_linestatus,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 4) AS disc_price
+    FROM lineitem
+    WHERE NOT (l_quantity > 25)
+    GROUP BY 1, 2
+    """,
+)
+def recipe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full recipe pipeline through the engine: parquet scan → rename →
+    precompute (compiled expressions, incl. the boolean drop-column
+    pattern) → filter-in → group aggregate with exact mean."""
+    from bearysta_spark.engine import RecipeEngine
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recipe = {
+        "input": {"path": f"{sf_dir}/lineitem.parquet", "format": "parquet"},
+        "rename": {"l_returnflag": "flag"},
+        "precomputed": {
+            "disc_price": "df['l_extendedprice'] * (1 - df['l_discount'])",
+            "drop": "row['l_quantity'] > 25",
+        },
+        "filter-in": {"drop": [False]},
+        "aggregation": "mean_exact",
+        "series": ["l_linestatus"],
+        "axis": ["flag"],
+        "values": ["disc_price"],
+    }
+    out = RecipeEngine(spark, recipe).aggregated()
+    return out.select(
+        "flag", "l_linestatus", F.round("disc_price", 4).alias("disc_price")
+    )
+
+
+@query(
+    "recipe_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus, avg(l_extendedprice) AS a
+      FROM lineitem GROUP BY 1, 2
+    ), b AS (
+      SELECT l_returnflag, a AS base FROM g WHERE l_linestatus = 'O'
+    )
+    SELECT g.l_returnflag, g.l_linestatus, round(g.a / b.base, 6) AS ratio
+    FROM g LEFT JOIN b ON g.l_returnflag = b.l_returnflag
+    """,
+)
+def recipe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe with a ratio_of precompute STRING — exercises the
+    expression compiler's ratio extraction + the baseline-normalize
+    join, end-to-end through the engine."""
+    from bearysta_spark.engine import RecipeEngine
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recipe = {
+        "input": {"path": f"{sf_dir}/lineitem.parquet", "format": "parquet"},
+        "precomputed": {"Ratio": "ratio_of('l_extendedprice', l_linestatus='O')"},
+        "aggregation": "mean",
+        "series": ["l_linestatus"],
+        "axis": ["l_returnflag"],
+        "values": ["Ratio"],
+    }
+    out = RecipeEngine(spark, recipe).aggregated()
+    return out.select(
+        "l_returnflag", "l_linestatus", F.round("Ratio", 6).alias("ratio")
+    )
+
+
 @query(
     "embedding_norms",
     oracle=f"""

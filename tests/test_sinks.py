@@ -1,0 +1,60 @@
+"""Sink + CLI tests (K1-K3, F1-F2)."""
+
+from __future__ import annotations
+
+import textwrap
+
+from bearysta_spark import sinks
+from bearysta_spark.cli import main as cli_main
+
+
+def test_to_csv_and_pivot_string(spark):
+    df = spark.createDataFrame(
+        [("erf", 1.23456, 100.0), ("exp", 2.5, 0.004)], ["Function", "Ratio", "Time"]
+    )
+    csv = sinks.to_csv(df)
+    assert "Function,Ratio,Time" in csv
+    assert "1.235" in csv  # %.3f float format
+    s = sinks.pivot_string(df, number_format=2)
+    # order-of-magnitude precision: 100.0 → '100', 0.004 → '0.0'-ish digits
+    assert "100" in s and "Function" in s
+    s2 = sinks.pivot_string(df, number_format="{:.1f}")
+    assert "1.2" in s2
+
+
+def test_color_bins():
+    out = sinks.color_bins([0.5, 1.5, None, 3.0], [1.0, 2.0], ["red", "yellow", "green"])
+    assert out == ["red", "yellow", "#ffffff", "green"]
+
+
+def test_html_sink(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    html = sinks.to_html(
+        [((), df)],
+        indicator=[{"column": "v", "ranges": [0.5], "colors": ["#f00", "#0f0"]}],
+    )
+    assert "<table" in html and "background-color" in html
+
+
+def test_cli_end_to_end(tmp_path, capsys, spark):
+    data = tmp_path / "d.csv"
+    data.write_text("Prefix,Time\na,1.0\na,3.0\nb,4.0\n")
+    cfg = tmp_path / "r.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""\
+            input:
+                path: '{data}'
+                format: csv
+            aggregation: mean
+            series: [Prefix]
+            values: [Time]
+            number-format: 2
+            """
+        )
+    )
+    rc = cli_main([str(cfg), "--csv", "-", "--pretty-print"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2.000" in out  # csv float format of mean(1,3)
+    assert "Prefix" in out
