@@ -47,14 +47,31 @@ def char_shingles(text: str | Column, k: int = 5) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance ahead of a row-exploding stage: a corpus read from few
+    parquet files otherwise explodes on few cores (measured 1 partition
+    for the whole documents table). The small pre-shuffle of doc rows
+    buys full parallelism for the ~300× row multiplication after it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Exploded (id, shingle) pairs, duplicates included — no dedup
+    shuffle."""
+    return _spread(df).select(
+        F.col(id_col), F.explode(char_shingles(text_col, k)).alias("shingle")
+    )
+
+
 def shingle_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
-    """Exploded distinct (id, shingle) pairs."""
-    return (
-        df.select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("shingle"))
-        .distinct()
-    )
+    """Exploded distinct (id, shingle) pairs (one dedup shuffle). Use
+    shingle_rows for duplicate-insensitive consumers (MinHash min)."""
+    return shingle_rows(df, text_col, id_col, k).distinct()
 
 
 def minhash_signatures(
@@ -64,15 +81,20 @@ def minhash_signatures(
     k: int = 5,
     num_hashes: int = 8,
     oracle_safe: bool = True,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for each of `num_hashes` seeded hash
     functions, the min hash over the doc's distinct k-shingles.
 
     oracle_safe=True uses md5(seed||shingle) (string min — reproducible
     in any SQL engine); False uses xxhash64 (faster, Spark-only).
-    Output: id_col, sig array<string|long> ordered by seed.
+    Pass a (cached) `sh` shingle frame to share the explode across
+    pipeline stages. Output: id_col, sig array ordered by seed.
+    min() is duplicate-insensitive, so the standalone path skips the
+    distinct shuffle entirely — map-side partial mins see raw shingles.
     """
-    sh = shingle_df(df, text_col, id_col, k)
+    if sh is None:
+        sh = shingle_rows(df, text_col, id_col, k)
     if oracle_safe:
         mins = [
             F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"h{i}")
@@ -97,6 +119,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     oracle_safe: bool = True,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash
     signature. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -106,7 +129,7 @@ def minhash_lsh_pairs(
     surface, and AQE's skew-join splitting handles hot buckets.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe, sh=sh)
     band_key = [
         (
             F.lit(b),
@@ -198,6 +221,56 @@ def ngram_jaccard_pairs(
     return out
 
 
+def minhash_dedup_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    oracle_safe: bool = True,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash+LSH candidate pairs →
+    exact n-gram Jaccard verification ≥ threshold.
+
+    This is the composition that scales: the O(n²) surface is reduced to
+    LSH bucket-mates (measured ~200 candidates for 500 docs at the shipped
+    parameters), and the exact verifier only touches candidates. Returns
+    (id_a, id_b, jaccard).
+    """
+    # one shingle explode+distinct, cached, shared by signature build,
+    # size counts, and both verify joins
+    sh = shingle_df(df, text_col, id_col, k).cache()
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = sh.withColumnsRenamed({id_col: "id_a", "shingle": "sh_a"})
+    b = sh.withColumnsRenamed({id_col: "b_id", "shingle": "sh_b"})
+    # composite-key equi-join (id AND shingle) — no per-pair cross
+    # product; the shuffle hashes on (id, shingle)
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(text: str | Column, token_pattern: str = "[A-Za-z0-9]+") -> Column:
     """64-bit SimHash over regex tokens, built from each distinct token's
     xxhash64 bits. Pure JVM expression: for each of 64 bit positions,
@@ -224,6 +297,45 @@ def simhash64(text: str | Column, token_pattern: str = "[A-Za-z0-9]+") -> Column
     for i in range(63):  # skip the sign bit to stay in positive long range
         out = out + bit_vote(i)
     return out
+
+
+def simhash_sketches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[A-Za-z0-9]+",
+) -> DataFrame:
+    """Distributed SimHash: explode distinct tokens → one aggregate with
+    63 plain ±1 bit-vote sums → reassemble the sketch.
+
+    Prefer this over the scalar `simhash64` column beyond toy sizes: the
+    63 higher-order folds build an expression tree past the codegen
+    method-size limit (interpreted fallback, measured ~16 s for 5k docs
+    vs ~1 s here), while explode + plain sums stays in codegen and
+    map-side-combines. Output: id_col + all original columns via
+    rejoin? No — (id_col, sketch); join back on id_col if needed.
+    """
+    toks = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0))
+        ).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(63)
+        ]
+    )
+    sketch = F.lit(0).cast("long")
+    for i in range(63):
+        sketch = sketch + F.when(
+            F.col(f"b{i}") > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sketch.alias("sketch"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -84,6 +84,12 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver may hand us a default-config session: 200 shuffle
+    # partitions means 200 tiny tasks per shuffle at test SFs, and
+    # cached plans don't AQE-coalesce — pin to the core count
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     return load_table(spark, sf_dir, name)
 
 
@@ -544,8 +550,12 @@ def expected_fill_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
     values ('F','O','X') — the absent 'X' yields NULL-filled rows per
     axis group."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").cast("long").alias("n")
+    # cache: expected_fill reads the aggregate three times (group keys,
+    # present combos, union) — without this the fact scan runs 3×
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("long").alias("n"))
+        .cache()
     )
     return expected_fill(
         agg, [("F",), ("O",), ("X",)], series=["l_linestatus"], axis=["l_returnflag"]
@@ -625,6 +635,52 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy((k % 10).alias("k_bucket")).agg(
         F.count("*").cast("long").alias("n"),
         davg(F.col("value")).alias("avg_value"),
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, round(r.value, 4) AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): each purchase gets the most recent
+    prior signup's value per user. Spark lacks the operator — ours is a
+    union + running-last window (one shuffle); DuckDB validates with its
+    native ASOF JOIN."""
+    from bearysta_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, signups, on="ts", by=["user_id"], right_cols=["value"])
+    return out.select(
+        "event_id", "user_id", F.round(F.col("value_right"), 4).alias("signup_value")
+    )
+
+
+@query(
+    "cube_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql("l_quantity")} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets cube — free in Spark (reference lacks it,
+    SURVEY §2.5 'not present'); NULL marks the rolled-up dimensions in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
     )
 
 
@@ -822,6 +878,127 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum(F.octet_length(payload)).cast("long").alias("total_bytes"),
         F.max(F.octet_length(payload)).cast("long").alias("max_bytes"),
+    )
+
+
+# shared SQL fragments for the MinHash oracle (k=5 shingles, 12 hashes,
+# 3 bands × 4 rows — measured ~200 candidates / 500 docs)
+_SH_CTE = """
+    raw AS (
+      SELECT doc_id,
+             unnest([substr(text, CAST(i AS INT), 5)
+                     for i in range(1, greatest(length(text) - 3, 1))]) AS shingle
+      FROM documents
+    ), sh AS (SELECT DISTINCT doc_id, shingle FROM raw)
+"""
+_SIG_MINS = ", ".join(f"min(md5('s{i}|'||shingle)) AS h{i}" for i in range(12))
+_BANDS = ",".join(
+    f"md5(h{b*4}||'|'||h{b*4+1}||'|'||h{b*4+2}||'|'||h{b*4+3})" for b in range(3)
+)
+_CAND_CTE = f"""
+    sig AS (SELECT doc_id, {_SIG_MINS} FROM sh GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, unnest(generate_series(0, 2)) AS band,
+             unnest([{_BANDS}]) AS bucket
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SH_CTE}, {_CAND_CTE}
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b FROM cand
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (functions.dedup): shingle →
+    12 seeded md5 min-hashes → 3 banded buckets → bucket-mate pairs.
+    md5-based hashing makes the signatures engine-portable, so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.minhash_lsh_pairs(d, num_hashes=12, bands=3, oracle_safe=True)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+@query(
+    "near_dup_pairs",
+    oracle=f"""
+    WITH {_SH_CTE}, {_CAND_CTE},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+           round(CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter), 4) AS jaccard
+    FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
+    """,
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scale near-dup pipeline: LSH candidates → exact n-gram
+    Jaccard verify ≥ 0.5 (the corpus plants ~25 true pairs ≥ 0.93;
+    background similarity tops out ~0.31 — clean separation)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+@query("simhash_pairs")  # rows-only: xxhash64-based sketch has no SQL twin
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit token sketch, pairs within hamming ≤ 6
+    inside each source block (blocking bounds the quadratic surface)."""
+    d = _t(spark, sf_dir, "documents")
+    sk = (
+        D.simhash_sketches(d)
+        .join(F.broadcast(d.select("doc_id", "source")), "doc_id")
+        .cache()
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", D.hamming64(F.col("a.sketch"), F.col("b.sketch")))
+        .filter(F.col("hamming") <= 6)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+@query("knn_lsh")  # rows-only: approximate by construction
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (functions.similarity.lsh_topk):
+    the scale path for similarity search — equi-join on sign-bucket
+    instead of a crossJoin, exact re-rank within bucket."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = S.make_planes(dim=64, bits=4, seed=42)
+    q = e.filter(F.col("vec_id") < 5)
+    out = S.lsh_topk(e, q, planes, k=5)
+    return out.select(
+        "qid", "nid", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank")
     )
 
 

@@ -135,6 +135,32 @@ def to_html(
     return html
 
 
+def to_excel(
+    tables: list[tuple[tuple, DataFrame]],
+    path: str,
+    data_df: DataFrame | None = None,
+) -> None:
+    """K4: Excel sink (pandas engine) — per-variant pivot tables plus a
+    `data` sheet. Gated on openpyxl (not in this container; the COM
+    variant K5 is Windows-only and intentionally unported)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel sink requires openpyxl; use to_csv/to_html instead"
+        ) from e
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as xl:
+        row = 0
+        for variant, df in tables:
+            pdf = df.toPandas()
+            pdf.to_excel(xl, sheet_name="pivots", startrow=row, index=False)
+            row += len(pdf) + 3
+        if data_df is not None:
+            data_df.toPandas().to_excel(xl, sheet_name="data", index=False)
+
+
 def _plot_base64(pdf) -> str | None:
     try:
         import matplotlib

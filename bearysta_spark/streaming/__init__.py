@@ -1,0 +1,21 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §1.1) — this is the
+beyond-reference extension: the same windowed rollups/sessionization the
+batch queries compute, expressed as incremental streaming plans with
+watermarks for late data.
+"""
+
+from bearysta_spark.streaming.events import (
+    events_stream,
+    hourly_rollup_stream,
+    session_stream,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "events_stream",
+    "hourly_rollup_stream",
+    "session_stream",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,98 @@
+"""Streaming pipelines over the events table.
+
+Design: `readStream` over the parquet directory (file source — stands in
+for Kafka; the transformations are source-agnostic), event-time
+watermarks bound state, windowed aggregations run with partial
+aggregation + state store. At scale the state store is RocksDB-backed
+and the only tuning point is watermark delay vs. late-data tolerance.
+
+Batch/stream parity: hourly_rollup_stream computes exactly the batch
+`events_hourly` query (date_trunc ≡ 1-hour tumbling window start) — the
+test suite asserts equality of the two results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see tables.load_events)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet; ts converted ns→timestamp.
+
+    The file source wants a directory — point it at the sf dir with a
+    glob filter (new event files landing there stream in incrementally,
+    the object-store ingestion pattern). maxFilesPerTrigger bounds each
+    micro-batch.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type with a
+    watermark bounding state. Output schema matches the batch
+    events_hourly query (window.start aliased to hour)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (session_window) — the streaming
+    equivalent of the batch lag-gap sessionization."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n_events")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregation to completion against the static
+    file backlog (processAllAvailable) and return the materialized
+    result — the local-smoke harness for every streaming operator."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

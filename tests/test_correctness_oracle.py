@@ -45,8 +45,14 @@ def _norm(v):
 
 def _rowset(rows, cols):
     return sorted(
-        tuple(_norm(r[c] if isinstance(r, dict) else r[i]) for i, c in enumerate(cols))
-        for r in rows
+        (
+            tuple(
+                _norm(r[c] if isinstance(r, dict) else r[i])
+                for i, c in enumerate(cols)
+            )
+            for r in rows
+        ),
+        key=repr,  # None-safe ordering (cube/rollup rows carry NULL dims)
     )
 
 

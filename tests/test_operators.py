@@ -161,3 +161,28 @@ def test_ordering_check(perf):
         perf, ["numba", "intel", "native"], "Prefix", "Time", axis=["Function", "Size"]
     )
     assert len(bad) > 0
+
+
+def test_asof_join(spark):
+    from bearysta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"), (2, "u1", "2024-01-01 12:00:00"),
+         (3, "u2", "2024-01-01 11:00:00")],
+        ["id", "user", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:30:00", 10.0), ("u1", "2024-01-01 11:30:00", 20.0),
+         ("u2", "2024-01-01 11:00:00", 30.0), ("u3", "2024-01-01 08:00:00", 40.0)],
+        ["user", "ts", "v"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = asof_join(left, right, on="ts", by=["user"], right_cols=["v"])
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}  # exact-time match for id=3
+
+    # tolerance: id=1 is 30min after its signup → excluded at 10min tol
+    tol = asof_join(left, right, on="ts", by=["user"], right_cols=["v"],
+                    tolerance_seconds=600)
+    got_tol = {r["id"]: r["v"] for r in tol.collect()}
+    assert got_tol == {1: None, 2: None, 3: 30.0}

@@ -1,0 +1,84 @@
+"""Streaming + multimodal extension tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions import multimodal as MM
+from bearysta_spark.streaming import (
+    events_stream,
+    hourly_rollup_stream,
+    run_stream_to_memory,
+    session_stream,
+)
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    agg = hourly_rollup_stream(stream)
+    got = run_stream_to_memory(spark, agg, "hourly_test")
+
+    from bearysta_spark.tables import load_events
+
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("value").alias("total_value"))
+    )
+    g = {(r["hour"], r["event_type"]): (r["n"], round(r["total_value"], 6)) for r in got.collect()}
+    b = {(r["hour"], r["event_type"]): (r["n"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_sessions(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    got = run_stream_to_memory(spark, session_stream(stream), "sessions_test")
+    assert got.count() > 0
+    r = got.first()
+    assert r["end"] > r["start"]
+    assert r["n_events"] >= 1
+
+
+@pytest.fixture(scope="module")
+def binary_docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def test_multimodal_metadata(binary_docs):
+    out = MM.with_payload_metadata(binary_docs)
+    r = out.first()
+    assert r["meta"]["media_type"] == "image/fake"
+    assert 32 <= r["meta"]["width"] < 1952
+    # deterministic: same payload → same metadata
+    again = MM.with_payload_metadata(binary_docs).first()
+    assert again["meta"] == r["meta"]
+
+
+def test_multimodal_features(binary_docs):
+    out = MM.extract_features(binary_docs, dim=16)
+    rows = out.collect()
+    assert len(rows) == binary_docs.count()
+    assert all(len(r["feat"]) == 16 for r in rows[:5])
+    assert all(0.0 <= v <= 1.0 for v in rows[0]["feat"])
+    # payload dropped from output schema (vectors-only downstream)
+    assert "payload" not in out.columns
+    # deterministic across runs
+    a = {r["doc_id"]: r["feat"] for r in rows}
+    b = {r["doc_id"]: r["feat"] for r in MM.extract_features(binary_docs, dim=16).collect()}
+    assert a == b
+
+
+def test_multimodal_resize_and_frames(binary_docs):
+    rs = MM.resize_images(binary_docs, 64, 64)
+    r = rs.first()
+    assert r["width"] == 64 and len(bytes(r["payload"])) == 64 * 64 // 64 + 8
+    fr = MM.sample_frames(binary_docs.limit(5), every_n=4)
+    assert fr.count() >= 5
+    assert set(fr.columns) == {"doc_id", "frame", "payload"}
+
+
+def test_multimodal_real_decode_raises(binary_docs):
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        MM.extract_features(binary_docs.limit(2), fake=False).collect()
