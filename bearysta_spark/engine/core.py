@@ -118,9 +118,11 @@ class RecipeEngine:
         recipe: Recipe | dict | str,
         inputs: list[str] | None = None,
         allow_python: bool = False,
+        diagnostics: bool = False,
         _seen: frozenset[str] = frozenset(),
     ):
         self.spark = spark
+        self.diagnostics = diagnostics
         if isinstance(recipe, str):
             recipe = Recipe.load(recipe)
         elif isinstance(recipe, dict):
@@ -320,6 +322,17 @@ class RecipeEngine:
         aggs = [agg_expr(agg, v, v) for v in values] + [
             F.first(c, ignorenulls=True).alias(c) for c in others
         ]
+        if self.diagnostics and others:
+            # A5 (reference aggregate.py:723-726): log distinct counts of
+            # columns being aggregated out. approx_count_distinct — at
+            # scale an exact nunique per column is its own shuffle each.
+            row = df.agg(
+                *[F.approx_count_distinct(c).alias(c) for c in others]
+            ).collect()[0]
+            for c in others:
+                logger.debug(
+                    'Aggregated out column "%s" with ~%d unique values', c, row[c]
+                )
         out = df.groupBy(*dims).agg(*aggs)
         keep = [c for c in out.columns if not c.startswith("_")]
         return out.select(*keep)

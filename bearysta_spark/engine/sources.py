@@ -221,7 +221,10 @@ def attach_sidecar_meta(
         for p, m in metas.items()
     ]
     meta_df = spark.createDataFrame(rows, schema=["Path"] + keys)
-    return df.join(F.broadcast(meta_df), "Path", "left")
+    # reference `df.assign(**meta)` OVERWRITES same-named data columns —
+    # drop the data-side column so the sidecar value wins
+    overlap = [k for k in keys if k in df.columns]
+    return df.drop(*overlap).join(F.broadcast(meta_df), "Path", "left")
 
 
 def scan_sqlite(spark: SparkSession, files: list[str], table: str | None) -> DataFrame:
