@@ -60,9 +60,22 @@ def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
     """Exploded (id, shingle) pairs, duplicates included — no dedup
-    shuffle."""
-    return _spread(df).select(
-        F.col(id_col), F.explode(char_shingles(text_col, k)).alias("shingle")
+    shuffle.
+
+    Explodes an int sequence and substrings AFTER the explode: the
+    substring then runs inside whole-stage codegen, where the
+    char_shingles higher-order-function form is interpreted and
+    allocates a per-row string array (GC-storm variance at corpus
+    scale)."""
+    spread = _spread(df).filter(F.length(text_col) >= k)
+    return spread.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1))
+        ).alias("__i"),
+    ).select(
+        F.col(id_col), F.col(text_col).substr(F.col("__i"), F.lit(k)).alias("shingle")
     )
 
 
@@ -249,11 +262,17 @@ def minhash_dedup_verified(
 
     a = sh.withColumnsRenamed({id_col: "id_a", "shingle": "sh_a"})
     b = sh.withColumnsRenamed({id_col: "b_id", "shingle": "sh_b"})
-    # composite-key equi-join (id AND shingle) — no per-pair cross
-    # product; the shuffle hashes on (id, shingle)
+    # candidate set is tiny (LSH pruned) — broadcast it, and broadcast
+    # the (candidates × a-shingles) expansion too: both are orders of
+    # magnitude smaller than the corpus shingle table they probe, but
+    # sit mid-plan where Catalyst has no size statistics. The b-side
+    # join is a composite-key equi-join (id AND shingle) — no per-pair
+    # cross product.
+    expanded = F.broadcast(F.broadcast(cand).join(a, "id_a"))
     inter = (
-        cand.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        expanded.join(
+            b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b"))
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -684,6 +684,138 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             {_dsum_sql("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT day, revenue,
+           round(CAST(sum(CAST(revenue AS DECIMAL(25,10)))
+                 OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS revenue_7d
+    FROM daily
+    """,
+)
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row analytic window over daily revenue (frame-spec
+    windows — absent from the reference, SURVEY §2.7 'not present').
+    The inner sum is exact-decimal so the rolling sum is too."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.withColumn(
+        "revenue_7d",
+        F.round(F.sum(F.col("revenue").cast(_DEC)).over(w), 2).cast("double"),
+    )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, lang,
+             (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+              / length(text))
+             * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0)
+               AS q,
+             md5(text) AS h
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE q >= 0.5 AND lang IN ('en', 'de', 'fr', 'es')
+    ), dedup AS (
+      SELECT h, min(doc_id) AS keep_id FROM kept GROUP BY h
+    )
+    SELECT k.source, CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(k.q AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(k.q), 4) AS avg_quality
+    FROM kept k JOIN dedup d ON k.doc_id = d.keep_id
+    GROUP BY k.source
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style curation pipeline: quality score → threshold +
+    language filter → exact dedup keep-first → per-source stats. The
+    shape every training-data pipeline runs; one scan, two shuffles
+    (dedup agg + final rollup)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        T.quality_score("text").alias("q"),
+        D.content_hash("text").alias("h"),
+    )
+    kept = scored.filter(
+        (F.col("q") >= 0.5) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    keep_first = kept.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        kept.join(keep_first, kept.doc_id == keep_first.keep_id)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            davg(F.col("q")).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+               AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim, 4) AS sim
+    FROM pairs WHERE sim >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family): all-pairs cosine
+    ≥ 0.3. At corpus scale this exact quadratic pass is replaced by the
+    LSH bucketing in functions.similarity — kept exact here as the
+    verifiable baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = S.cosine_near_dup_pairs(e, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+@query("knn_ivf")  # rows-only: approximate by construction
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of K fixed
+    seed centroids (deterministic, driver-generated), then search only
+    within the query's probe cells. The coarse-quantizer pattern of
+    FAISS-IVF expressed as two DataFrame joins — at 100 TB the centroid
+    assignment is a scan-side map (centroids broadcast as literals) and
+    the per-cell search replaces the full crossJoin."""
+    from bearysta_spark.functions.similarity import ivf_topk, make_planes
+
+    e = _t(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centroids = rng.standard_normal((8, 64))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    q = e.filter(F.col("vec_id") < 5)
+    out = ivf_topk(e, q, centroids.tolist(), k=5, probes=2)
+    return out.select(
+        "qid",
+        "nid",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: dedup + text analysis (LLM-pipeline extension surface)
 # ---------------------------------------------------------------------------

@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "events_json_extract",
     "events_asof_join",
     "cube_rollup",
+    "rolling_revenue",
+    "quality_filter_pipeline",
+    "embedding_near_dup",
+    "knn_ivf",
     "dedup_exact_keepfirst",
     "text_stats",
     "token_count_by_source",

@@ -1,0 +1,85 @@
+"""Dedup + similarity function tests (beyond-reference extension)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions import dedup as D
+from bearysta_spark.functions import similarity as S
+
+
+def test_char_shingles_short_text(spark):
+    df = spark.createDataFrame([("abcd",), ("abcdef",)], ["text"])
+    out = df.select(F.size(D.char_shingles("text", 5)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 2]
+
+
+def test_minhash_finds_planted_near_dups(spark, documents):
+    pairs = D.minhash_dedup_verified(documents, num_hashes=12, bands=3, threshold=0.5)
+    got = pairs.collect()
+    # sf0.001 corpus plants near-identical docs; all survivors are high-jaccard
+    assert all(r["jaccard"] >= 0.5 for r in got)
+
+
+def test_simhash_sketch_deterministic_and_close_for_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated content here")],
+        ["doc_id", "text"],
+    )
+    sk = {r["doc_id"]: r["sketch"] for r in D.simhash_sketches(df).collect()}
+    d12 = bin(sk[1] ^ sk[2]).count("1")
+    d13 = bin(sk[1] ^ sk[3]).count("1")
+    assert d12 < d13  # near-dup is closer in hamming space
+    again = {r["doc_id"]: r["sketch"] for r in D.simhash_sketches(df).collect()}
+    assert again == sk
+
+
+def test_brute_force_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [1.0, 0.05])],
+        ["vec_id", "embedding"],
+    )
+    q = df.filter(F.col("vec_id") == 1)
+    out = S.brute_force_topk(df, q, k=2)
+    got = [(r["nid"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(4, 1), (2, 2)]
+
+
+def test_ivf_recall_vs_exact(spark, embeddings):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((8, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"])
+        for r in S.brute_force_topk(embeddings, q, k=5).collect()
+    }
+    # full probe count == all cells → IVF degenerates to exact search
+    ivf_all = {
+        (r["qid"], r["nid"])
+        for r in S.ivf_topk(embeddings, q, cents.tolist(), k=5, probes=8).collect()
+    }
+    assert ivf_all == exact
+    # 2-probe recall is partial but sane
+    ivf2 = {
+        (r["qid"], r["nid"])
+        for r in S.ivf_topk(embeddings, q, cents.tolist(), k=5, probes=2).collect()
+    }
+    assert len(ivf2 & exact) / len(exact) >= 0.3
+
+
+def test_lsh_topk_subset_of_exact_order(spark, embeddings):
+    planes = S.make_planes(64, 4, seed=42)
+    q = embeddings.filter(F.col("vec_id") < 5)
+    out = S.lsh_topk(embeddings, q, planes, k=5)
+    rows = out.collect()
+    assert all(r["rank"] >= 1 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["sim"])
+    for sims in per_q.values():
+        assert sims == sorted(sims, reverse=True)

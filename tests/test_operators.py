@@ -186,3 +186,16 @@ def test_asof_join(spark):
                     tolerance_seconds=600)
     got_tol = {r["id"]: r["v"] for r in tol.collect()}
     assert got_tol == {1: None, 2: None, 3: 30.0}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from bearysta_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(100)], ["k", "payload"]
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")], ["k", "dim"])
+    plain = {(r["k"], r["payload"], r["dim"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["dim"]) for r in salted_join(left, right, ["k"], salt=8).collect()}
+    assert salted == plain
+    assert len(salted) == 67  # keys 0,1 present: ceil/floor of 100/3
