@@ -12,10 +12,13 @@ from bearysta_spark.streaming.events import (
     session_stream,
     run_stream_to_memory,
 )
+from bearysta_spark.streaming.stateful import running_user_totals, stream_dedup
 
 __all__ = [
     "events_stream",
     "hourly_rollup_stream",
     "session_stream",
     "run_stream_to_memory",
+    "running_user_totals",
+    "stream_dedup",
 ]

@@ -82,3 +82,41 @@ def test_multimodal_resize_and_frames(binary_docs):
 def test_multimodal_real_decode_raises(binary_docs):
     with pytest.raises(Exception, match="NotImplementedError|image decode"):
         MM.extract_features(binary_docs.limit(2), fake=False).collect()
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from bearysta_spark.streaming.stateful import running_user_totals
+    from bearysta_spark.tables import load_events
+
+    stream = events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        spark, running_user_totals(stream), "running_totals", output_mode="update"
+    )
+    # last update per user equals the batch lifetime totals
+    import pyspark.sql.functions as F
+
+    latest = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_map = {r["user_id"]: r["n_events"] for r in latest}
+    assert got_map == batch
+
+
+def test_stateful_stream_dedup(spark, sf_dir):
+    from bearysta_spark.streaming.stateful import stream_dedup
+    from bearysta_spark.tables import load_events
+
+    stream = events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    got = run_stream_to_memory(spark, stream_dedup(stream), "dedup_stream", output_mode="append")
+    n_events = load_events(spark, sf_dir).count()
+    assert got.count() == n_events           # source has unique ids → all pass
+    assert got.select("event_id").distinct().count() == n_events
