@@ -256,6 +256,27 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_type_stats",
+    oracle=f"""
+    SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n,
+           {_davg_sql("p_retailprice")} AS avg_price,
+           CAST(min(p_size) AS INT) AS min_size,
+           CAST(max(p_size) AS INT) AS max_size
+    FROM part GROUP BY p_type, p_brand
+    """,
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension profile rollup (min/max/avg per type × brand)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_type", "p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        davg(F.col("p_retailprice")).alias("avg_price"),
+        F.min("p_size").cast("int").alias("min_size"),
+        F.max("p_size").cast("int").alias("max_size"),
+    )
+
+
+@query(
     "top_orders_per_priority",
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn

@@ -28,6 +28,21 @@ def to_csv(df: DataFrame, path: str | None = None, float_format: str = "%.3f") -
     return None
 
 
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed columnar sink — the at-scale output path (the
+    reference only had driver-side CSV/Excel). Partition columns become
+    directory partitions that downstream recipe scans prune."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def _fmt_number(x, number_format, max_val=None):
     """F1: number formatting — str → str.format template; int →
     precision digits minus order of magnitude (aggregate.py:929-961)."""

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "unpack_pivot",
     "ratio_of_base",
     "expected_fill_combos",
+    "part_type_stats",
     "top_orders_per_priority",
     "events_hourly",
     "events_sessionize",

@@ -58,3 +58,19 @@ def test_cli_end_to_end(tmp_path, capsys, spark):
     assert rc == 0
     assert "2.000" in out  # csv float format of mean(1,3)
     assert "Prefix" in out
+
+
+def test_to_parquet_partitioned(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 1, 2.0), ("a", 2, 3.0)], ["k", "part", "v"]
+    )
+    out = str(tmp_path / "out")
+    sinks.to_parquet(df, out, partition_by=["part"])
+    assert os.path.isdir(f"{out}/part=1")
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: only one directory read
+    pruned = back.filter(back.part == 2)
+    assert pruned.count() == 1
