@@ -382,3 +382,45 @@ def test_infer_numeric(spark):
     assert t["mixed"] == "string"
     assert t["ints2"] == "bigint"
     assert t["with_nan"] == "double"  # 'NaN' parses as double NaN
+
+
+def test_variants_pivot_tables(spark, tmp_path):
+    write(
+        tmp_path / "v.csv",
+        "Arch,Prefix,Function,Time\n"
+        "icx,a,erf,1.0\nicx,b,erf,2.0\nicx,a,exp,3.0\n"
+        "spr,a,erf,4.0\nspr,b,erf,8.0\n",
+    )
+    recipe = {
+        "input": {"path": str(tmp_path / "v.csv"), "format": "csv"},
+        "aggregation": "mean",
+        "series": ["Prefix"],
+        "axis": ["Function"],
+        "variants": ["Arch"],
+        "values": ["Time"],
+    }
+    eng = RecipeEngine(spark, recipe)
+    tables = list(eng.pivot_tables())
+    assert [t[0] for t in tables] == [("icx",), ("spr",)]
+    icx = {r["Function"]: r for r in tables[0][1].collect()}
+    assert icx["erf"]["a"] == 1.0 and icx["erf"]["b"] == 2.0
+    assert icx["exp"]["b"] is None  # missing combo → empty cell
+    spr = {r["Function"]: r for r in tables[1][1].collect()}
+    assert spr["erf"]["b"] == 8.0
+
+
+def test_multiple_pack_specs(spark, tmp_path):
+    write(tmp_path / "m.csv", "k,f1,f2,g1\nA,1.0,2.0,3.0\n")
+    recipe = {
+        "input": {"path": str(tmp_path / "m.csv"), "format": "csv"},
+        "pack": [
+            {"columns": ["f1", "f2"], "name": "F", "value": "fv"},
+            {"columns": ["g1"], "name": "G", "value": "gv"},
+        ],
+        "aggregation": "sum",
+        "series": ["k"],
+        "values": ["fv", "gv"],
+    }
+    out = RecipeEngine(spark, recipe).aggregated()
+    r = out.collect()[0]
+    assert r["fv"] == 3.0 and r["gv"] == 6.0  # gv doubled by the f-melt fan-out
