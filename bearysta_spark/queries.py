@@ -811,6 +811,67 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
+@query(
+    "label_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label, CAST(t.i AS INT) AS i,
+             CAST(sum(CAST(embedding[CAST(t.i AS INT)] AS DECIMAL(25,10))) AS DOUBLE)
+               / count(*) AS c
+      FROM embeddings, generate_series(1, 64) AS t(i)
+      GROUP BY label, t.i
+    )
+    SELECT label, CAST(i AS INT) AS dim, round(c, 6) AS centroid
+    FROM pos WHERE i <= 4
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid components via posexplode
+    + exact-decimal mean (first 4 dims kept for a bounded result). The
+    k-means-update shape — one shuffle keyed (label, dim), map-side
+    combined; at 100 TB this is exactly how IVF centroids train."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("p", "v"))
+    return (
+        pos.groupBy("label", (F.col("p") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("centroid")
+        )
+        .filter(F.col("dim") <= 4)
+    )
+
+
+@query(
+    "token_doc_frequency",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM toks GROUP BY token HAVING count(*) >= 100
+    """,
+)
+def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token (the IDF denominator): explode
+    distinct tokens per doc, count docs. HAVING threshold instead of a
+    LIMIT — top-k ties are nondeterministic across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+        ).alias("token"),
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 100)
+    )
+
+
 @query("knn_ivf")  # rows-only: approximate by construction
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of K fixed

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_lsh",
     "embedding_norms",
+    "label_centroids",
+    "token_doc_frequency",
     "recipe_pipeline",
     "recipe_ratio",
 ]
