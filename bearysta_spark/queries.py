@@ -872,6 +872,49 @@ def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bigram_frequency",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS a FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) AS bigram
+      FROM arrs WHERE len(a) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bigrams GROUP BY bigram HAVING count(*) >= 15
+    """,
+)
+def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram counts (n-gram LM statistics): adjacent-pair
+    construction from the token array, exploded and counted. HAVING
+    bound instead of top-k (tie determinism)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    bigrams = (
+        d.select(arr.alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("a"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("a"), i + 1),
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 15)
+    )
+
+
 @query("knn_ivf")  # rows-only: approximate by construction
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of K fixed

@@ -9,6 +9,7 @@ joins, and shuffle-partition coalescing there — at cluster scale only
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -39,5 +40,10 @@ def get_spark(app_name: str = "bearysta_spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # warehouse for bucketed saveAsTable (static conf — set at build)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "bearysta_spark_warehouse"),
+        )
     )
     return builder.getOrCreate()

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embedding_norms",
     "label_centroids",
     "token_doc_frequency",
+    "bigram_frequency",
     "recipe_pipeline",
     "recipe_ratio",
 ]
