@@ -660,6 +660,51 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_user_reach",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_davg_sql("value")} AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count aggregation (reach): exact countDistinct — one
+    expand+two-phase agg in Spark; at 100 TB swap for
+    approx_count_distinct (HLL) unless exactness is contractual."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+        davg(F.col("value")).alias("avg_value"),
+    )
+
+
+@query(
+    "supplier_nation_balance",
+    oracle=f"""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           {_dsum_sql("s.s_acctbal")} AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-dimension rollup (completes per-table query coverage)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            dsum(F.col("s_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "events_asof_join",
     oracle="""
     SELECT l.event_id, l.user_id, round(r.value, 4) AS signup_value

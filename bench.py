@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "expected_fill_combos",
     "part_type_stats",
     "top_orders_per_priority",
+    "events_user_reach",
+    "supplier_nation_balance",
     "events_hourly",
     "events_sessionize",
     "events_json_extract",
