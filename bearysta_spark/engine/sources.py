@@ -263,6 +263,21 @@ def scan_parquet(spark: SparkSession, files: list[str]) -> DataFrame:
     )
 
 
+def scan_json(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Engine extension: JSON-lines input (runner logs increasingly land
+    as JSONL; schema inferred on first read — supply parquet for the
+    100 TB path where inference cost matters)."""
+    df = spark.read.json(files)
+    return (
+        df.withColumn("Path", F.regexp_replace(F.input_file_name(), "^file:/*", "/"))
+        .withColumn("File", F.element_at(F.split("Path", "/"), -1))
+        .withColumn(
+            "Directory",
+            F.expr("substring(Path, 1, length(Path) - length(File) - 1)"),
+        )
+    )
+
+
 def scan(spark: SparkSession, recipe: Recipe, inputs: list[str] | None = None) -> DataFrame | None:
     """S1/S2: resolve recipe input globs (or CLI overrides) and read.
     Returns None when the recipe has no path input (children-only)."""
@@ -279,4 +294,6 @@ def scan(spark: SparkSession, recipe: Recipe, inputs: list[str] | None = None) -
         return scan_sqlite(spark, files, recipe.table_name)
     if fmt == "parquet":
         return scan_parquet(spark, files)
+    if fmt == "json":
+        return scan_json(spark, files)
     raise RecipeError(f"Unsupported input format {fmt!r}")

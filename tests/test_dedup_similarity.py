@@ -83,3 +83,37 @@ def test_lsh_topk_subset_of_exact_order(spark, embeddings):
         per_q.setdefault(r["qid"], []).append(r["sim"])
     for sims in per_q.values():
         assert sims == sorted(sims, reverse=True)
+
+
+def test_kmeans_improves_ivf_recall(spark, embeddings):
+    from bearysta_spark.functions.clustering import assign_clusters, kmeans_fit
+
+    cents = kmeans_fit(embeddings, k=4, max_iters=5)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    # assignment covers all rows and is deterministic
+    a1 = assign_clusters(embeddings, cents)
+    assert a1.count() == embeddings.count()
+    counts = {r["cluster"]: r["n"] for r in a1.groupBy("cluster").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == embeddings.count()
+    a2 = {r["vec_id"]: r["cluster"] for r in assign_clusters(embeddings, cents).collect()}
+    b2 = {r["vec_id"]: r["cluster"] for r in assign_clusters(embeddings, cents).collect()}
+    assert a2 == b2
+
+    # trained centroids give IVF better 1-probe recall than random planes
+    import numpy as np
+
+    from bearysta_spark.functions import similarity as S
+
+    q = embeddings.filter(embeddings.vec_id < 10)
+    exact = {(r["qid"], r["nid"]) for r in S.brute_force_topk(embeddings, q, k=5).collect()}
+    ivf_trained = {
+        (r["qid"], r["nid"])
+        for r in S.ivf_topk(embeddings, q, cents, k=5, probes=1).collect()
+    }
+    rng = np.random.default_rng(0)
+    rand = rng.standard_normal((4, 64)); rand /= np.linalg.norm(rand, axis=1, keepdims=True)
+    ivf_rand = {
+        (r["qid"], r["nid"])
+        for r in S.ivf_topk(embeddings, q, rand.tolist(), k=5, probes=1).collect()
+    }
+    assert len(ivf_trained & exact) >= len(ivf_rand & exact)

@@ -424,3 +424,20 @@ def test_multiple_pack_specs(spark, tmp_path):
     out = RecipeEngine(spark, recipe).aggregated()
     r = out.collect()[0]
     assert r["fv"] == 3.0 and r["gv"] == 6.0  # gv doubled by the f-melt fan-out
+
+
+def test_json_input(spark, tmp_path):
+    write(
+        tmp_path / "runs.jsonl",
+        '{"Prefix": "a", "Time": 1.0}\n{"Prefix": "a", "Time": 3.0}\n{"Prefix": "b", "Time": 5.0}\n',
+    )
+    recipe = {
+        "input": {"path": str(tmp_path / "runs.jsonl"), "format": "json"},
+        "aggregation": "mean",
+        "series": ["Prefix"],
+        "values": ["Time"],
+    }
+    out = RecipeEngine(spark, recipe).aggregated()
+    rows = {r["Prefix"]: r["Time"] for r in out.collect()}
+    assert rows == {"a": 2.0, "b": 5.0}
+    assert out.select("File").first()[0] == "runs.jsonl"
