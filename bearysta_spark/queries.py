@@ -734,19 +734,27 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cube_rollup",
     oracle=f"""
-    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
            {_dsum_sql("l_quantity")} AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets cube — free in Spark (reference lacks it,
-    SURVEY §2.5 'not present'); NULL marks the rolled-up dimensions in
-    both engines."""
+    SURVEY §2.5 'not present'). Rolled-up dimensions are labelled 'ALL'
+    rather than NULL (source columns are non-null) so downstream sorts
+    and the driver's row comparator never mix str with None."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").cast("long").alias("n"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "n",
+        "sum_qty",
     )
 
 
@@ -958,6 +966,29 @@ def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .filter(F.col("n") >= 15)
     )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                         doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (functions.sampling): 5 docs
+    per source by md5-hash order — reruns, repartitions, and the DuckDB
+    oracle all pick the identical sample."""
+    from bearysta_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(d, ["source"], 5)
+    return out.select("doc_id", "source", "lang")
 
 
 @query("knn_ivf")  # rows-only: approximate by construction

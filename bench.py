@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "quality_filter_pipeline",
     "embedding_near_dup",
     "knn_ivf",
+    "stratified_sample_docs",
     "dedup_exact_keepfirst",
     "text_stats",
     "token_count_by_source",

@@ -1,0 +1,77 @@
+"""Hypothesis property tests for operator invariants (SURVEY §5.2#4):
+pack∘unpack identity, ratio_of baseline law, permutation invariance of
+exact aggregation, sampling determinism."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bearysta_spark.operators import group_agg, pack, ratio_of, unpack
+
+keys = st.sampled_from(["k1", "k2", "k3"])
+vals = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(keys, vals, vals), min_size=1, max_size=8,
+                     unique_by=lambda r: r[0]))
+def test_pack_unpack_identity(spark, rows):
+    wide = spark.createDataFrame(rows, ["k", "a", "b"])
+    back = unpack(pack(wide, ["a", "b"], "name", "val"), "name", "val")
+    got = {r["k"]: (r["a"], r["b"]) for r in back.collect()}
+    want = {k: (a, b) for k, a, b in rows}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["base", "x", "y"]), st.floats(
+        min_value=0.1, max_value=1e3, allow_nan=False)), min_size=2, max_size=10,
+))
+def test_ratio_of_base_is_one(spark, rows):
+    if not any(r[0] == "base" for r in rows):
+        rows = rows + [("base", 1.0)]
+    df = spark.createDataFrame(rows, ["Prefix", "Time"])
+    out = ratio_of(df, "Time", base={"Prefix": "base"}, series=["Prefix"],
+                   agg="mean", out="R", check_base=False)
+    base_ratios = [r["R"] for r in out.filter(F.col("Prefix") == "base").collect()]
+    assert all(abs(r - 1.0) < 1e-12 for r in base_ratios)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=12),
+       nparts=st.integers(min_value=1, max_value=5))
+def test_exact_agg_partition_invariant(spark, rows, nparts):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    a = group_agg(df.repartition(1), ["k"], ["v"], "sum", keep_others=False,
+                  exact=True)
+    b = group_agg(df.repartition(nparts), ["k"], ["v"], "sum", keep_others=False,
+                  exact=True)
+    ra = {r["k"]: r["v"] for r in a.collect()}
+    rb = {r["k"]: r["v"] for r in b.collect()}
+    assert ra == rb  # bit-identical regardless of partitioning
+
+
+def test_sampling_determinism(spark, documents):
+    from bearysta_spark.functions.sampling import proportional_sample, stratified_sample
+
+    s1 = {r["doc_id"] for r in stratified_sample(documents, ["source"], 3).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(
+        documents.repartition(7), ["source"], 3).collect()}
+    assert s1 == s2  # stable under repartitioning
+
+    p1 = {r["doc_id"] for r in proportional_sample(documents, 0.2).collect()}
+    p2 = {r["doc_id"] for r in proportional_sample(documents, 0.2).collect()}
+    assert p1 == p2
+    n = documents.count()
+    assert 0.05 * n < len(p1) < 0.4 * n  # roughly the asked fraction
+
+    # monotone: a larger fraction strictly contains the smaller sample
+    p3 = {r["doc_id"] for r in proportional_sample(documents, 0.5).collect()}
+    assert p1 <= p3
