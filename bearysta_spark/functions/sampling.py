@@ -34,6 +34,43 @@ def stratified_sample(
     )
 
 
+def hex_threshold(fraction: float) -> str:
+    """8-hex-digit acceptance threshold for md5-prefix sampling: a row is
+    kept iff `md5(key) < threshold` as a STRING comparison. md5 hex is
+    uniform, so P(keep) = fraction to within 16^-8, and lexicographic
+    compare of lowercase hex is identical in every engine (no hex→int
+    conversion needed, which DuckDB lacks)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    n = int(fraction * 16**8)
+    if n >= 16**8:
+        return "g"  # > every hex string → keep all ('100000000' would not:
+        # it string-compares BELOW md5s that start with a letter)
+    return format(n, "08x")
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture sampling: keep each stratum at its own rate (the
+    'data mixture' step of a training pipeline — e.g. wiki ×0.8, web
+    ×0.05). Deterministic md5-threshold acceptance — no shuffle, no rand;
+    a row's fate depends only on (id, salt), so reruns and appends are
+    stable and any engine reproduces the exact sample."""
+    thr = F.lit(hex_threshold(default))
+    for stratum, frac in weights.items():
+        thr = F.when(F.col(strat_col) == stratum, F.lit(hex_threshold(frac))).otherwise(
+            thr
+        )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return df.filter(key < thr)
+
+
 def proportional_sample(
     df: DataFrame,
     fraction: float,

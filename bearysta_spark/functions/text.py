@@ -91,6 +91,36 @@ def lang_id(text: str | Column) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("unk"))
 
 
+def ngrams(text: str | Column, n: int, pattern: str = "[a-z0-9]+") -> Column:
+    """Array of space-joined word n-grams from the `pattern` tokens of
+    `text` (empty array when the doc has fewer than n tokens). Pure
+    JVM-side higher-order functions — explode-safe at 100 TB because the
+    blow-up factor is bounded by tokens-per-doc, not corpus size."""
+    a = F.regexp_extract_all(_col(text), F.lit(pattern), 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(a) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(a, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(a) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_stats(text: str | Column, n: int = 2) -> tuple[Column, Column]:
+    """(total n-grams, duplicate n-grams) per document — the Gopher-style
+    repetition signal: duplicate fraction = dup/total. Integer outputs so
+    aggregation stays exact across engines.
+
+    Column-level convenience for small/interactive use: array_distinct
+    over a transform(...)-built array is an interpreted higher-order
+    function. The corpus-scale path is queries.repetition_filter, which
+    gets the same numbers from exploded grams in whole-stage codegen."""
+    g = ngrams(text, n)
+    total = F.size(g).cast("long")
+    dup = (F.size(g) - F.size(F.array_distinct(g))).cast("long")
+    return total, dup
+
+
 def fingerprint(text: str | Column) -> Column:
     """Deterministic 64-bit document fingerprint (xxhash64 of the
     whitespace-normalized text) — rolling-hash-style content identity for

@@ -991,6 +991,165 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+def _mix_weights() -> dict[str, float]:
+    return {"src0": 0.8, "src1": 0.8, "src2": 0.5, "src3": 0.5, "src4": 0.2}
+
+
+def _mix_case_sql() -> str:
+    from bearysta_spark.functions.sampling import hex_threshold
+
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN '{hex_threshold(f)}'"
+        for s, f in _mix_weights().items()
+    )
+    return f"CASE {arms} ELSE '{hex_threshold(0.05)}' END"
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR) || ':mix') < {_mix_case_sql()}
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (functions.sampling): per-source keep
+    rates via deterministic md5-threshold acceptance — a scan-side
+    filter, zero shuffle, engine-portable (string compare of hex, no
+    hex→int needed)."""
+    from bearysta_spark.functions.sampling import weighted_mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_mixture_sample(d, _mix_weights(), default=0.05)
+    return out.select("doc_id", "source")
+
+
+@query(
+    "contamination_4gram",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS a
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(a[i:i+3], ' ')
+                     for i in range(1, len(a) - 2)]) AS gram
+      FROM arrs WHERE len(a) >= 4
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 7
+    ), corpus AS (
+      SELECT DISTINCT doc_id, source, gram FROM grams WHERE doc_id % 100 <> 7
+    )
+    SELECT doc_id, source, CAST(count(*) AS BIGINT) AS shared_grams
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id, source
+    """,
+)
+def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions.decontam): corpus docs
+    sharing a word 4-gram with the pseudo-benchmark slice
+    (doc_id % 100 = 7). Benchmark grams are DISTINCT-ed then broadcast,
+    so the 100 TB corpus side never shuffles."""
+    from bearysta_spark.functions.decontam import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 7)
+    corpus = d.filter(F.col("doc_id") % 100 != 7)
+    return contaminated_docs(corpus, bench, n=4)
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tokens) / 512) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing (functions.packing): concat-then-chunk
+    docs into 512-token bins per source (deterministic doc_id order),
+    reporting per-bin fill. One window shuffle on the stream key."""
+    from bearysta_spark.functions.packing import bin_stats, pack_sequences
+    from bearysta_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", token_count("text", "[a-z0-9]+").alias("n_tokens")
+    )
+    packed = pack_sequences(toks, budget=512, token_col="n_tokens")
+    return bin_stats(packed, token_col="n_tokens")
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH arrs AS (
+      SELECT source, regexp_extract_all(text, '[a-z0-9]+') AS a FROM documents
+    ), per AS (
+      SELECT source,
+             CASE WHEN len(a) >= 2 THEN len(a) - 1 ELSE 0 END AS total,
+             CASE WHEN len(a) >= 2 THEN (len(a) - 1) - len(list_distinct(
+                    [a[i] || ' ' || a[i+1] for i in range(1, len(a))]))
+                  ELSE 0 END AS dup
+      FROM arrs
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(total) AS BIGINT) AS bigrams,
+           CAST(sum(dup) AS BIGINT) AS dup_bigrams,
+           CAST(sum(CASE WHEN total > 0 AND CAST(dup AS DOUBLE) / total >= 0.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+    FROM per GROUP BY source
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate-bigram counts per
+    source plus how many docs cross the 0.2 duplicate-fraction
+    threshold. Built on the explode path (decontam.gram_rows) — plain
+    whole-stage-codegen expressions, NOT transform(sequence(...)) /
+    array_distinct higher-order functions, which run interpreted with
+    per-row array allocation (measured 11 s vs ~1 s at sf0.1). Integer
+    aggregates — exact under any partial-agg order; the threshold
+    compare is one IEEE division, identical in both engines."""
+    from bearysta_spark.functions.decontam import gram_rows
+    from bearysta_spark.functions.dedup import _spread
+
+    d = _t(spark, sf_dir, "documents")
+    grams = gram_rows(_spread(d), 2, "text", ("doc_id", "source"))
+    per = grams.groupBy("doc_id", "source").agg(
+        F.count("*").alias("total"),
+        F.count_distinct("gram").alias("n_distinct"),
+    )
+    per = per.withColumn("dup", F.col("total") - F.col("n_distinct"))
+    stats = per.groupBy("source").agg(
+        F.sum("total").cast("long").alias("bigrams"),
+        F.sum("dup").cast("long").alias("dup_bigrams"),
+        F.sum(
+            F.when(F.col("dup").cast("double") / F.col("total") >= 0.2, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_repetitive"),
+    )
+    docs = d.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
+    return docs.join(stats, "source", "left").select(
+        "source",
+        "docs",
+        F.coalesce("bigrams", F.lit(0)).cast("long").alias("bigrams"),
+        F.coalesce("dup_bigrams", F.lit(0)).cast("long").alias("dup_bigrams"),
+        F.coalesce("n_repetitive", F.lit(0)).cast("long").alias("n_repetitive"),
+    )
+
+
 @query("knn_ivf")  # rows-only: approximate by construction
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of K fixed

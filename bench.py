@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "knn_ivf",
     "stratified_sample_docs",
+    "mixture_weighted_sample",
+    "sequence_packing",
+    "contamination_4gram",
+    "repetition_filter",
     "dedup_exact_keepfirst",
     "text_stats",
     "token_count_by_source",
@@ -89,7 +93,13 @@ def main() -> None:
     # loops is worth 3-4× and otherwise makes run-to-run timings noisy.
     run("q1_pricing_summary")
     warm_sf = "/root/testdata/sf0.01"
-    for warm_q in ("minhash_lsh_candidates", "simhash_pairs", "recipe_pipeline"):
+    for warm_q in (
+        "minhash_lsh_candidates",
+        "simhash_pairs",
+        "recipe_pipeline",
+        "contamination_4gram",
+        "repetition_filter",
+    ):
         if warm_q in QUERIES:
             QUERIES[warm_q](spark, warm_sf).write.mode("overwrite").format(
                 "noop"

@@ -1,0 +1,90 @@
+"""Training-data pipeline operators: mixture sampling, sequence
+packing, benchmark decontamination, repetition stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions.decontam import contaminated_docs
+from bearysta_spark.functions.packing import bin_stats, pack_sequences
+from bearysta_spark.functions.sampling import hex_threshold, weighted_mixture_sample
+from bearysta_spark.functions.text import dup_ngram_stats, ngrams
+
+
+def test_ngrams_basic(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a",)], ["text"])
+    got = [r[0] for r in df.select(ngrams("text", 3)).collect()]
+    assert got == [["a b c", "b c d"], [], []]
+
+
+def test_dup_ngram_stats(spark):
+    # "a b a b a" → bigrams [a b, b a, a b, b a]: total 4, distinct 2, dup 2
+    df = spark.createDataFrame([("a b a b a",), ("x",)], ["text"])
+    t, d = dup_ngram_stats("text", 2)
+    got = df.select(t.alias("t"), d.alias("d")).collect()
+    assert [(r["t"], r["d"]) for r in got] == [(4, 2), (0, 0)]
+
+
+def test_hex_threshold_bounds():
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(0.5) == "80000000"
+    assert hex_threshold(1.0) == "g"  # compares above every hex md5
+    with pytest.raises(ValueError):
+        hex_threshold(1.5)
+
+
+def test_weighted_mixture_rates_and_determinism(documents):
+    w = {"src0": 1.0, "src1": 0.0}
+    out = weighted_mixture_sample(documents, w, default=0.5)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per.get("src0") == totals["src0"]  # fraction 1.0 keeps all
+    assert "src1" not in per  # fraction 0.0 keeps none
+    other = sum(v for k, v in per.items() if k not in w)
+    other_total = sum(v for k, v in totals.items() if k not in w)
+    assert 0.25 * other_total < other < 0.75 * other_total  # ~default rate
+
+    again = weighted_mixture_sample(documents.repartition(5), w, default=0.5)
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    rows = [("s", i, t) for i, t in enumerate([4, 4, 4, 4, 4])]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+    packed = pack_sequences(df, budget=10, token_col="n_tokens")
+    bins = {r["doc_id"]: r["bin_id"] for r in packed.collect()}
+    # start offsets 0,4,8,12,16 → bins 0,0,0,1,1
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    stats = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in bin_stats(packed, token_col="n_tokens").collect()
+    }
+    assert stats == {("s", 0): (3, 12), ("s", 1): (2, 8)}
+
+
+def test_contaminated_docs_known_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 tail", "a"),  # shares the w1..w4 4-gram
+            (2, "no overlap here at all", "a"),
+            (3, "pre w5 w6 w7 w8", "b"),  # shares w5..w8
+        ],
+        ["doc_id", "text", "source"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4 w5 w6 w7 w8")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["shared_grams"]
+        for r in contaminated_docs(corpus, bench, n=4).collect()
+    }
+    assert got == {1: 1, 3: 1}
