@@ -1453,6 +1453,56 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS doc, b AS r FROM edges
+      UNION
+      SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (functions.components):
+    min-label propagation turns the verified LSH pair list into
+    per-document component ids; component id = min doc_id = the
+    canonical document a dedup pass would keep. The DuckDB oracle is the
+    same fixpoint via a recursive transitive-closure CTE — an exact
+    cross-engine check of an iterative graph algorithm."""
+    from bearysta_spark.functions.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 @query("simhash_pairs")  # rows-only: xxhash64-based sketch has no SQL twin
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit token sketch, pairs within hamming ≤ 6

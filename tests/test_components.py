@@ -1,0 +1,42 @@
+"""Connected components (functions.components): pair list → duplicate
+clusters with min-doc_id canonical labels."""
+
+from __future__ import annotations
+
+from bearysta_spark.functions.components import cluster_sizes, connected_components
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(df)
+    return {r["node"]: r["component"] for r in got.collect()}
+
+
+def test_two_components(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_iterations(spark):
+    # Diameter-5 path: the min label must propagate hop by hop.
+    got = _labels(spark, [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2)])
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    got = _labels(spark, [(9, 2), (2, 9), (9, 2), (7, 9)])
+    assert got == {2: 2, 7: 2, 9: 2}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cluster_sizes(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    got = {
+        r["component"]: r["n_docs"]
+        for r in cluster_sizes(connected_components(df)).collect()
+    }
+    assert got == {1: 3, 10: 2}
