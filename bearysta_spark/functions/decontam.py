@@ -57,11 +57,12 @@ def contaminated_docs(
     the count of distinct shared grams. Returns (id, *keep_cols,
     shared_grams)."""
     bench_grams = gram_rows(bench, n, text_col, ()).distinct()
-    doc_grams = gram_rows(
-        _spread(corpus), n, text_col, (id_col, *keep_cols)
-    ).distinct()
+    doc_grams = gram_rows(_spread(corpus), n, text_col, (id_col, *keep_cols))
+    # Join BEFORE any distinct: the broadcast join filters corpus grams
+    # map-side, so only the (rare) matching pairs ever shuffle — a
+    # pre-join .distinct() would shuffle every gram of the 100 TB side.
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(id_col, *keep_cols)
-        .agg(F.count("*").cast("long").alias("shared_grams"))
+        .agg(F.count_distinct("gram").cast("long").alias("shared_grams"))
     )

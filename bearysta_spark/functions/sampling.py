@@ -71,6 +71,79 @@ def weighted_mixture_sample(
     return df.filter(key < thr)
 
 
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split depends
+    only on md5(id, salt) against cumulative hex thresholds, so the
+    partition is stable under reruns, appends, and repartitioning, and
+    any engine reproduces it. Scan-side expression — zero shuffle.
+
+    `splits` maps name → fraction (must sum to ≤ 1; remainder falls into
+    the last split listed)."""
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    names = list(splits)
+    expr = F.lit(names[-1])  # remainder → last split
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += splits[name]
+        arms.append((name, hex_threshold(cum)))
+    for name, thr in reversed(arms):
+        expr = F.when(key < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_case_sql(
+    splits: dict[str, float], id_sql: str, salt: str = "split"
+) -> str:
+    """The ANSI-SQL twin of `hash_split` for oracle pairing."""
+    names = list(splits)
+    cum = 0.0
+    arms = []
+    for name in names[:-1]:
+        cum += splits[name]
+        arms.append(
+            f"WHEN md5({id_sql} || ':{salt}') < '{hex_threshold(cum)}' "
+            f"THEN '{name}'"
+        )
+    return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
+def per_group_sample(
+    df: DataFrame,
+    k: int,
+    group_cols: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    salt: str = "grp",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (e.g. "100 eval docs per
+    language"): rank rows inside each group by md5(id, salt) and keep
+    the first k. One window shuffle on the group key; md5 order is
+    uniform, so this is an unbiased without-replacement sample that any
+    engine reproduces. Ties are impossible while ids are unique, but
+    id_col is a secondary sort key so the output is total-ordered
+    regardless."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(*group_cols).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def proportional_sample(
     df: DataFrame,
     fraction: float,

@@ -1024,6 +1024,58 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _split_fracs() -> dict[str, float]:
+    return {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case() -> str:
+    from bearysta_spark.functions.sampling import hash_split_case_sql
+
+    return hash_split_case_sql(_split_fracs(), "CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "hash_split_docs",
+    oracle=f"""
+    SELECT source, {_split_case()} AS split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source, split
+    """,
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (functions.sampling.hash_split):
+    md5-threshold assignment — stable under reruns/appends, zero shuffle
+    beyond the counting groupBy. Reports docs per (source, split)."""
+    from bearysta_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, _split_fracs())
+    return out.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+@query(
+    "per_group_sample_docs",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':grp'), doc_id
+    ) <= 50
+    """,
+)
+def per_group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-per-source deterministic sample
+    (functions.sampling.per_group_sample): hash-ordered row_number
+    window — the "fixed eval slice per domain" op; unbiased, engine-
+    portable, one window shuffle."""
+    from bearysta_spark.functions.sampling import per_group_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = per_group_sample(d.select("doc_id", "source"), k=50)
+    return out.select("doc_id", "source")
+
+
 @query(
     "contamination_4gram",
     oracle="""

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "knn_ivf",
     "stratified_sample_docs",
     "mixture_weighted_sample",
+    "hash_split_docs",
+    "per_group_sample_docs",
     "sequence_packing",
     "contamination_4gram",
     "repetition_filter",

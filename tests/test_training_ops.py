@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 from bearysta_spark.functions.decontam import contaminated_docs
 from bearysta_spark.functions.packing import bin_stats, pack_sequences
-from bearysta_spark.functions.sampling import hex_threshold, weighted_mixture_sample
+from bearysta_spark.functions.sampling import (
+    hash_split,
+    hex_threshold,
+    per_group_sample,
+    weighted_mixture_sample,
+)
 from bearysta_spark.functions.text import dup_ngram_stats, ngrams
 
 
@@ -55,6 +60,38 @@ def test_weighted_mixture_rates_and_determinism(documents):
     assert {r["doc_id"] for r in again.collect()} == {
         r["doc_id"] for r in out.collect()
     }
+
+
+def test_hash_split_partition_and_determinism(documents):
+    out = hash_split(documents, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = documents.count()
+    per = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(per.values()) == n  # a partition: every row exactly once
+    assert 0.7 * n < per["train"] < 0.9 * n
+    again = hash_split(documents.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted(
+        (r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect()
+    ) == sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
+    with pytest.raises(ValueError):
+        hash_split(documents, {"a": 0.9, "b": 0.3})
+
+
+def test_per_group_sample_exact_k(documents):
+    out = per_group_sample(documents, k=7)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["source"]: r["n"]
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {s: min(7, t) for s, t in totals.items()}
+    again = per_group_sample(documents.repartition(11), k=7)
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in out.collect()}
 
 
 def test_pack_sequences_concat_then_chunk(spark):
