@@ -256,6 +256,253 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join; adapted to the reduced
+    schema: 'shipped after order date' replaces commit/receipt dates).
+    The semi join shuffles both sides on l_orderkey but emits orders at
+    most once regardless of lineitem fan-out — no dedup pass needed, and
+    the date filter prunes the orders side at the scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join with a join-side predicate (the
+    filter must NOT drop customers with zero matching orders — it lives
+    in the join condition, not a WHERE), then a two-level aggregation.
+    At scale: orders pre-aggregates to per-customer counts BEFORE the
+    outer join, so the join is dim-sized on both sides and the big fact
+    never leaves its first shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    co = (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").cast("long").alias("custdist"))
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: anti join (exclude flagged suppliers; NOT IN on
+    a non-null key = left_anti) + distinct-count. The supplier exclusion
+    list is tiny → broadcast anti join runs map-side; parts filter
+    prunes before the fact join; count(DISTINCT) is Spark's two-phase
+    expand — at 100 TB swap for approx_count_distinct if exactness is
+    negotiable (noted, not done: the oracle demands exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT)                        AS cq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,10))) AS DOUBLE)
+             / 7.0, 2) AS DOUBLE)   AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND 5 * CAST(l.l_quantity AS BIGINT) * pa.cq < pa.sq
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (rows below 20% of
+    their part's mean quantity). The 'qty < 0.2 * avg' predicate is
+    rewritten to integer arithmetic (5*qty*count < sum — quantities are
+    integral) so the comparison is exact in any engine — a double avg
+    differs in the last ulp between partial-agg orders and can flip the
+    filter. Plan: broadcast the brand-filtered part slice FIRST so the
+    per-part window only runs over that brand's lineitems (one narrow
+    shuffle on l_partkey), not the whole fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li2 = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    q = F.col("l_quantity").cast("long")
+    return (
+        li2.withColumn("sq", F.sum(q).over(w))
+        .withColumn("cq", F.count("*").over(w))
+        .filter(q * 5 * F.col("cq") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2
+            ).cast("double").alias("avg_yearly"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS odate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big        ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum feeding a semi-filter
+    back onto the fact. The per-order sums and the final agg share the
+    l_orderkey partitioning, so AQE plans the big↔big join without a
+    second lineitem shuffle; the surviving 'big' keyset is tiny (~0.1%
+    of orders) → broadcast semi prunes orders and lineitem map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+                li.l_orderkey == F.col("bk"), "left_semi")
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("odate"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(count(*) AS BIGINT)            AS cnt,
+             sum(CAST(c_acctbal AS DECIMAL(25,10))) AS tot
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nation, CAST(count(*) AS BIGINT) AS numcust,
+           {_dsum_sql("c.c_acctbal")} AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(25,10)) * pos.cnt > pos.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (above-average balance)
+    + NOT EXISTS anti join (customers with no urgent orders — adapted:
+    every sf0.01 customer has orders, so plain no-orders is empty). The
+    'balance > avg(balance)' test is exact via cross-multiplication
+    (bal*count > sum in DECIMAL) — dividing first would compare doubles
+    computed in different orders. The 1-row aggregate broadcasts; the
+    anti join shuffles on custkey (the scalable plan — the urgent-order
+    keyset is NOT assumed broadcastable at 100 TB)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).alias("tot"),
+        )
+    )
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(_DEC) * F.col("cnt") > F.col("tot"))
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "part_type_stats",
     oracle=f"""
     SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n,

@@ -22,6 +22,12 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q22_dormant_customers",
     "nation_acctbal_rollup",
     "agg_mean_dims",
     "agg_geomean",
