@@ -28,6 +28,13 @@ BENCH_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q22_dormant_customers",
+    "q7_nation_volume",
+    "q10_return_losses",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_join",
+    "q20_bulk_shippers",
     "nation_acctbal_rollup",
     "agg_mean_dims",
     "agg_geomean",
