@@ -11,6 +11,7 @@ from bearysta_spark.streaming.events import (
     hourly_rollup_stream,
     session_stream,
     run_stream_to_memory,
+    view_click_join_stream,
 )
 from bearysta_spark.streaming.stateful import running_user_totals, stream_dedup
 
@@ -19,6 +20,7 @@ __all__ = [
     "hourly_rollup_stream",
     "session_stream",
     "run_stream_to_memory",
+    "view_click_join_stream",
     "running_user_totals",
     "stream_dedup",
 ]

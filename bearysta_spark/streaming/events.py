@@ -79,6 +79,44 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def view_click_join_stream(
+    events: DataFrame, max_delay: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each view paired with the same
+    user's clicks landing within `max_delay` AFTER it (attribution
+    join). Both sides carry a watermark and the join condition bounds
+    click_ts to [view_ts, view_ts + max_delay], so Spark can expire
+    buffered state on both sides — an unbounded-condition stream join
+    would accumulate state forever. At scale state is partitioned by
+    user_id (the equi-key); the interval bound is what keeps per-key
+    state O(watermark window), independent of stream length."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {max_delay}"
+        ),
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
 def run_stream_to_memory(
     spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -59,3 +59,45 @@ def test_recipe_pipeline_prunes_and_pushes(spark):
     # shapes down to the scan despite the multi-stage pipeline
     p = plan_of(spark, "recipe_pipeline")
     assert "Scan parquet" in p or "BatchScan" in p
+
+
+def test_q17_single_window_exchange(spark):
+    # brand filter must reach the part scan; the per-part stats are a
+    # window over the broadcast-joined slice — exactly one hash
+    # partitioning exchange (plus the final single-partition agg)
+    p = plan_of(spark, "q17_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#23)" in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Window") >= 1
+    assert "SortMergeJoin" not in p
+
+
+def test_q19_or_predicates_extracted_to_scans(spark):
+    # Catalyst pushes the side-local projection of the OR to each scan:
+    # the OR of quantity ranges reaches the lineitem scan, the OR of
+    # brand+size conjunctions reaches the part scan
+    p = plan_of(spark, "q19_disjunctive_join")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p
+    assert "EqualTo(p_brand,Brand#12)" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q16_anti_join_broadcasts(spark):
+    p = plan_of(spark, "q16_supplier_variety")
+    assert "BroadcastHashJoin LeftAnti" in p
+    assert "In(p_size" in p  # size list pushed to the part scan
+
+
+def test_q4_semi_join_no_dedup_pass(spark):
+    # left-semi emits orders at most once — the plan must not contain a
+    # separate aggregate/distinct to dedup lineitem matches
+    p = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    p = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row scalar aggregate cross join
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p  # pushed to orders scan

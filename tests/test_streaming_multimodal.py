@@ -11,6 +11,7 @@ from bearysta_spark.streaming import (
     hourly_rollup_stream,
     run_stream_to_memory,
     session_stream,
+    view_click_join_stream,
 )
 
 
@@ -29,6 +30,36 @@ def test_streaming_hourly_matches_batch(spark, sf_dir):
     g = {(r["hour"], r["event_type"]): (r["n"], round(r["total_value"], 6)) for r in got.collect()}
     b = {(r["hour"], r["event_type"]): (r["n"], round(r["total_value"], 6)) for r in batch.collect()}
     assert g == b
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        spark, view_click_join_stream(stream), "vc_join_test", output_mode="append"
+    )
+
+    from bearysta_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + interval 10 minutes"
+        ),
+    )
+    g = {(r["view_id"], r["click_id"]) for r in got.collect()}
+    b = {(r["view_id"], r["click_id"]) for r in batch.collect()}
+    assert g == b
+    assert len(g) > 0
 
 
 def test_streaming_sessions(spark, sf_dir):
