@@ -800,6 +800,216 @@ def q20_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH up AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_raw
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, u.l_suppkey, round(CAST(u.unit_raw AS DOUBLE), 4) AS unit
+    FROM up u
+    JOIN part p ON u.l_partkey = p.p_partkey AND p.p_size = 10
+    QUALIFY rank() OVER (PARTITION BY u.l_partkey ORDER BY u.unit_raw) = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-supply-cost → cheapest observed unit price
+    per part, from lineitem in lieu of partsupp): per-group argmin with
+    ties kept, via rank() over the per-(part,supplier) aggregate. The
+    rank compares the UNROUNDED min (exact — min selects an actual
+    value, order-independent) so tie sets agree across engines; only
+    the output is rounded. Part filter broadcasts ahead of the agg so
+    the shuffle carries 1/50th of the pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    up = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_raw"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_raw")
+    return (
+        up.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("p_partkey", "l_suppkey", F.round("unit_raw", 4).alias("unit"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(25,10)) ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(25,10))) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ASIA-customer
+    revenue per year — conditional decimal sum over total decimal sum
+    (exact numerators, one double division). Six broadcast dim joins;
+    the year agg is the only shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(_DEC))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(nat).cast("double") / F.sum(rev).cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)"
+                      " - p.p_retailprice * l.l_quantity")} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%blue%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (ps_supplycost → p_retailprice as unit cost):
+    profit on 'blue' parts by supplier nation and year. The LIKE filter
+    can't prune the scan but drops ~5/6 of parts before broadcast; one
+    agg shuffle over (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_concentrated_balances",
+    oracle=f"""
+    WITH tot AS (
+      SELECT sum(CAST(s_acctbal AS DECIMAL(25,10))) AS t
+      FROM supplier WHERE s_acctbal > 0.0
+    )
+    SELECT x.s_nationkey AS nation, x.val FROM (
+      SELECT s_nationkey,
+             sum(CAST(s_acctbal AS DECIMAL(25,10))) AS v,
+             {_dsum_sql("s_acctbal")}               AS val
+      FROM supplier WHERE s_acctbal > 0.0 GROUP BY s_nationkey
+    ) x, tot
+    WHERE x.v * 20 > tot.t
+    """,
+)
+def q11_concentrated_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (inventory value → positive supplier balances):
+    keep nations holding more than 1/20th of the global total — a
+    HAVING against a scalar subquery, exact via cross-multiplication in
+    DECIMAL (v*20 > total) rather than a double fraction compare."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0.0)
+    per = s.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.sum(F.col("s_acctbal").cast(_DEC)).alias("v"),
+        dsum(F.col("s_acctbal")).alias("val"),
+    )
+    tot = s.agg(F.sum(F.col("s_acctbal").cast(_DEC)).alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 20 > F.col("t"))
+        .select("nation", "val")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. The two correlated EXISTS become one
+    per-order aggregate — distinct suppliers and distinct late
+    suppliers — joined back on o_orderkey: a late row qualifies iff
+    n_supp > 1 and n_late_supp = 1 (the row's own supplier being late
+    forces it to be THE late one). One lineitem shuffle on orderkey,
+    reused by AQE for the join-back; no correlated re-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("po_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@query(
     "part_type_stats",
     oracle=f"""
     SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n,

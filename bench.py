@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "q19_disjunctive_join",
     "q20_bulk_shippers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_concentrated_balances",
+    "q21_waiting_suppliers",
     "nation_acctbal_rollup",
     "agg_mean_dims",
     "agg_geomean",
