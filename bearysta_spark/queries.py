@@ -1010,6 +1010,146 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT)            AS days_since_prev,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                                                   AS price_quartile
+    FROM orders
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag + ntile; SURVEY §2.7 marks these
+    'not present' in the reference — Spark gives them free): per
+    customer, days since the previous order and the price quartile of
+    each order. Both windows share the o_custkey partitioning, so one
+    shuffle serves both; orderings carry o_orderkey tiebreaks for
+    engine-stable results."""
+    o = _t(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_time))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.ntile(4).over(w_price).cast("long").alias("price_quartile"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END AS rflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END AS lstatus,
+           {_dsum_sql("l_extendedprice")} AS sum_price,
+           CAST(count(*) AS BIGINT)       AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the reference's fixed-dims agg and
+    our cube/rollup queries): detail, per-flag subtotal, and grand total
+    in ONE pass — Spark's Expand operator replicates rows per set, so
+    the fact scans once instead of 3 unioned aggregations. GROUPING()
+    bits map NULL group keys to 'ALL' (NULL-free output — a real NULL
+    key would be ambiguous with a NULL data value)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                    ELSE l_returnflag END AS rflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                    ELSE l_linestatus END AS lstatus,
+               CAST(round(sum(CAST(l_extendedprice AS {_DEC})), 2) AS DOUBLE)
+                                        AS sum_price,
+               CAST(count(*) AS BIGINT) AS n
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, token
+    ), lens AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM counts GROUP BY doc_id
+    ), dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM counts GROUP BY token
+    ), total AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT doc_id, token, round(score, 8) AS tfidf
+    FROM (
+      SELECT c.doc_id, c.token,
+             (c.c * total.n) / CAST(l.len * d.df AS DOUBLE) AS score
+      FROM counts c
+      JOIN lens l USING (doc_id)
+      JOIN dfreq d USING (token)
+      CROSS JOIN total
+    )
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf-idf with LINEAR
+    inverse document frequency: score = (tf_count × N) / (doc_len ×
+    df) — every factor is an exact integer, so the single double
+    division is bit-identical across engines (a log() idf differs in
+    the last ulp between libm implementations and flips rank ties).
+    Shuffles: token explode → (doc,token) agg; df agg on token; the
+    counts⋈df join reuses the token partitioning; final per-doc window.
+    At 100 TB the df table is the skew risk (stopword tokens) — the
+    HAVING-free join keeps it exact; AQE skew-split handles the hot
+    keys."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; driver-side by design
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    w_len = Window.partitionBy("doc_id")
+    scored = (
+        counts.withColumn("len", F.sum("c").over(w_len))
+        .join(
+            counts.groupBy("token").agg(F.count("*").alias("df")),
+            "token",
+        )
+        .withColumn(
+            "score",
+            (F.col("c") * F.lit(n_docs)) / (F.col("len") * F.col("df")).cast("double"),
+        )
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") <= 3)
+        .select("doc_id", "token", F.round("score", 8).alias("tfidf"))
+    )
+
+
+@query(
     "part_type_stats",
     oracle=f"""
     SELECT p_type, p_brand, CAST(count(*) AS BIGINT) AS n,

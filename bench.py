@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q11_concentrated_balances",
     "q21_waiting_suppliers",
+    "window_analytics",
+    "grouping_sets_revenue",
+    "tfidf_top_terms",
     "nation_acctbal_rollup",
     "agg_mean_dims",
     "agg_geomean",
