@@ -249,33 +249,45 @@ def scan_sqlite(spark: SparkSession, files: list[str], table: str | None) -> Dat
     return spark.createDataFrame(out)
 
 
-def scan_parquet(spark: SparkSession, files: list[str]) -> DataFrame:
-    """Engine extension: parquet input for recipes (the 100 TB path —
-    columnar scan with pushdown; lineage via input_file_name)."""
-    df = spark.read.parquet(*files)
+def _with_lineage(df: DataFrame) -> DataFrame:
+    """Attach Path/File/Directory (S6) from the `_metadata.file_path`
+    hidden column. CRITICAL scale detail: `input_file_name()` is
+    non-deterministic, and Catalyst refuses to push predicates past a
+    Project containing a non-deterministic expression — lineage via
+    input_file_name silently disabled filter pushdown for every
+    downstream recipe filter. `_metadata` is a real scan attribute
+    (deterministic), so PushedFilters still reach the file source
+    (asserted in tests/test_plans.py)."""
     return (
-        df.withColumn("Path", F.regexp_replace(F.input_file_name(), "^file:/*", "/"))
+        df.withColumn(
+            "Path", F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+        )
         .withColumn("File", F.element_at(F.split("Path", "/"), -1))
         .withColumn(
             "Directory",
             F.expr("substring(Path, 1, length(Path) - length(File) - 1)"),
         )
     )
+
+
+def scan_parquet(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Engine extension: parquet input for recipes (the 100 TB path —
+    columnar scan with pushdown; lineage via _metadata.file_path)."""
+    return _with_lineage(spark.read.parquet(*files))
+
+
+def scan_orc(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Engine extension: ORC input — the other columnar format with
+    native JVM readers (predicate pushdown + column pruning like
+    parquet; common in Hive-era lakes). Same lineage columns."""
+    return _with_lineage(spark.read.orc(*files))
 
 
 def scan_json(spark: SparkSession, files: list[str]) -> DataFrame:
     """Engine extension: JSON-lines input (runner logs increasingly land
     as JSONL; schema inferred on first read — supply parquet for the
     100 TB path where inference cost matters)."""
-    df = spark.read.json(files)
-    return (
-        df.withColumn("Path", F.regexp_replace(F.input_file_name(), "^file:/*", "/"))
-        .withColumn("File", F.element_at(F.split("Path", "/"), -1))
-        .withColumn(
-            "Directory",
-            F.expr("substring(Path, 1, length(Path) - length(File) - 1)"),
-        )
-    )
+    return _with_lineage(spark.read.json(files))
 
 
 def scan(spark: SparkSession, recipe: Recipe, inputs: list[str] | None = None) -> DataFrame | None:
@@ -296,4 +308,6 @@ def scan(spark: SparkSession, recipe: Recipe, inputs: list[str] | None = None) -
         return scan_parquet(spark, files)
     if fmt == "json":
         return scan_json(spark, files)
+    if fmt == "orc":
+        return scan_orc(spark, files)
     raise RecipeError(f"Unsupported input format {fmt!r}")

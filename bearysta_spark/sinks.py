@@ -43,6 +43,20 @@ def to_parquet(
     w.parquet(path)
 
 
+def to_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — same distributed layout semantics as to_parquet for
+    Hive-era lake interop; partition columns prune downstream scans."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def _fmt_number(x, number_format, max_val=None):
     """F1: number formatting — str → str.format template; int →
     precision digits minus order of magnitude (aggregate.py:929-961)."""

@@ -7,6 +7,7 @@ watermarks for late data.
 """
 
 from bearysta_spark.streaming.events import (
+    enriched_stream,
     events_stream,
     hourly_rollup_stream,
     session_stream,
@@ -16,6 +17,7 @@ from bearysta_spark.streaming.events import (
 from bearysta_spark.streaming.stateful import running_user_totals, stream_dedup
 
 __all__ = [
+    "enriched_stream",
     "events_stream",
     "hourly_rollup_stream",
     "session_stream",

@@ -117,6 +117,15 @@ def view_click_join_stream(
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
 
 
+def enriched_stream(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: join each micro-batch against
+    a static dimension table (user → segment here). The static side is
+    re-planned per batch, so at scale it broadcasts once per trigger —
+    the standard dimension-lookup pattern; no state store involved
+    (unlike stream-stream joins)."""
+    return events.join(F.broadcast(dims), "user_id", "left")
+
+
 def run_stream_to_memory(
     spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

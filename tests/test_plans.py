@@ -101,3 +101,35 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row scalar aggregate cross join
     assert "EqualTo(o_orderpriority,1-URGENT)" in p  # pushed to orders scan
+
+
+def test_lineage_scan_preserves_pushdown(spark, tmp_path):
+    # input_file_name() is non-deterministic and blocks predicate
+    # pushdown through the lineage Project; _metadata.file_path must not
+    from bearysta_spark.engine.sources import scan_json, scan_orc, scan_parquet
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5), ("a", 3, 3.5)], ["k", "i", "v"]
+    )
+    paths = {}
+    for fmt in ("parquet", "orc", "json"):
+        p = str(tmp_path / fmt)
+        getattr(df.write.mode("overwrite"), fmt)(p)
+        paths[fmt] = p
+
+    import contextlib
+    import io
+
+    for fmt, scan in (
+        ("parquet", scan_parquet),
+        ("orc", scan_orc),
+        ("json", scan_json),
+    ):
+        back = scan(spark, [paths[fmt]])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            back.filter(back.i == 2).explain("formatted")
+        plan = buf.getvalue()
+        assert "EqualTo(i,2)" in plan, f"{fmt}: filter not pushed to scan"
+        r = back.filter(back.i == 2).select("i", "File").first()
+        assert r["i"] == 2 and r["File"]  # lineage still populated

@@ -74,3 +74,25 @@ def test_to_parquet_partitioned(spark, tmp_path):
     # partition pruning: only one directory read
     pruned = back.filter(back.part == 2)
     assert pruned.count() == 1
+
+
+def test_orc_roundtrip_with_recipe_scan(spark, tmp_path):
+    from bearysta_spark.engine.sources import scan_orc
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5), ("a", 3, 3.5)], ["k", "i", "v"]
+    )
+    out = str(tmp_path / "orc_out")
+    sinks.to_orc(df, out, partition_by=["k"])
+    back = scan_orc(spark, [out])
+    assert back.count() == 3
+    assert {r["k"] for r in back.select("k").collect()} == {"a", "b"}
+    # lineage columns attached like every other scan
+    assert {"Path", "File", "Directory"} <= set(back.columns)
+    # predicate pushdown reaches the ORC scan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(back.i == 2).explain("formatted")
+    assert "PushedFilters" in buf.getvalue()

@@ -151,3 +151,31 @@ def test_stateful_stream_dedup(spark, sf_dir):
     n_events = load_events(spark, sf_dir).count()
     assert got.count() == n_events           # source has unique ids → all pass
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stream_static_enrichment(spark, sf_dir):
+    from bearysta_spark.streaming import enriched_stream
+
+    dims = spark.createDataFrame(
+        [(i, "seg_%d" % (i % 3)) for i in range(2000)], ["user_id", "segment"]
+    )
+    stream = events_stream(spark, sf_dir)
+    got = run_stream_to_memory(
+        spark,
+        enriched_stream(stream, dims)
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n")),
+        "enrich_test",
+    )
+    rows = {r["segment"]: r["n"] for r in got.collect()}
+    from bearysta_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    batch = {
+        r["segment"]: r["n"]
+        for r in ev.join(F.broadcast(dims), "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    }
+    assert rows == batch
