@@ -185,9 +185,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → join → group-agg. The
-    filtered customer side is small → broadcast; lineitem never
-    shuffles before the final agg."""
+    """TPC-H Q3 shape: selective dim filter → join → group-agg. No
+    explicit broadcast hints: at bench SF the filtered orders⋈customer
+    side is under the auto-broadcast threshold (lineitem never shuffles
+    before the final agg); at 100 TB both sides are fact-sized and AQE
+    plans a shuffle join — a forced broadcast() would OOM. Hints are
+    reserved for fixed-cardinality sides (nation/region/scalars)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -197,7 +200,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -229,8 +232,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with all dims broadcast; lineitem is
-    the only fact in the shuffle."""
+    """TPC-H Q5 shape: star join. Only the fixed-cardinality dims
+    (nation, region) carry broadcast hints; orders/customer/supplier
+    scale with SF, so their strategy is AQE's call — auto-broadcast at
+    bench SF, shuffle join at 100 TB."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -241,10 +246,10 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )
@@ -342,10 +347,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: anti join (exclude flagged suppliers; NOT IN on
     a non-null key = left_anti) + distinct-count. The supplier exclusion
-    list is tiny → broadcast anti join runs map-side; parts filter
-    prunes before the fact join; count(DISTINCT) is Spark's two-phase
-    expand — at 100 TB swap for approx_count_distinct if exactness is
-    negotiable (noted, not done: the oracle demands exact)."""
+    list and the size-filtered parts both scale with SF, so join
+    strategy is AQE's call (auto-broadcast locally, shuffle at 100 TB);
+    count(DISTINCT) is Spark's two-phase expand — at 100 TB swap for
+    approx_count_distinct if exactness is negotiable (noted, not done:
+    the oracle demands exact)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45")
@@ -353,8 +359,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
@@ -386,12 +392,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten to integer arithmetic (5*qty*count < sum — quantities are
     integral) so the comparison is exact in any engine — a double avg
     differs in the last ulp between partial-agg orders and can flip the
-    filter. Plan: broadcast the brand-filtered part slice FIRST so the
+    filter. Plan: join the brand-filtered part slice FIRST so the
     per-part window only runs over that brand's lineitems (one narrow
-    shuffle on l_partkey), not the whole fact table."""
+    shuffle on l_partkey), not the whole fact table; the slice's join
+    strategy is AQE's call (1/25 of part still scales with SF)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    li2 = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    li2 = li.join(p, li.l_partkey == p.p_partkey)
     w = Window.partitionBy("l_partkey")
     q = F.col("l_quantity").cast("long")
     return (
@@ -428,8 +435,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING on a grouped sum feeding a semi-filter
     back onto the fact. The per-order sums and the final agg share the
     l_orderkey partitioning, so AQE plans the big↔big join without a
-    second lineitem shuffle; the surviving 'big' keyset is tiny (~0.1%
-    of orders) → broadcast semi prunes orders and lineitem map-side."""
+    second lineitem shuffle; the surviving 'big' keyset (~0.1% of
+    orders) still scales linearly with SF, so its semi-join strategy is
+    AQE's runtime call — broadcast locally, shuffle at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -440,10 +448,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
                 li.l_orderkey == F.col("bk"), "left_semi")
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
         .select(
@@ -524,8 +532,9 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year. The disjunctive
     nation pair filter sits AFTER both dim joins (it references both
-    sides), but all four dims broadcast, so lineitem flows through one
-    codegen stage into the final 4-group agg — the only shuffle."""
+    sides). nation broadcasts by hint (25 rows forever); orders/
+    customer/supplier strategy is AQE's call — broadcast at bench SF
+    keeps lineitem in one codegen stage into the final 4-group agg."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -540,9 +549,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -589,8 +598,8 @@ def q10_return_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     agg = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -626,7 +635,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_returnflag")
         .agg(
@@ -655,7 +664,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue share — two conditional decimal
     sums and one double division (exact numerators → deterministic
-    quotient). Part broadcasts; one global agg, no other shuffle."""
+    quotient). Part's join strategy is AQE's call; one global agg."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
@@ -664,7 +673,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double")
@@ -711,7 +720,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("__mx")
     )
     return (
-        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        top.join(s, top.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -735,11 +744,11 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
     spanning both join sides. Catalyst extracts the common-side parts of
     the OR (brand∈{...} on part, quantity∈[1,30] on lineitem) and pushes
-    them below the join, so both scans prune before the broadcast hash
-    join evaluates the full residual."""
+    them below the join, so both scans prune before the join (strategy
+    is AQE's call) evaluates the full residual."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -776,8 +785,9 @@ def q20_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (partsupp availability → 'shipped >300 units of
     red parts in 1996'): nested IN-subquery = agg → HAVING → left-semi
     join. The LIKE filter can't prune the parquet scan (no leading
-    literal) but the broadcast part join drops non-matching lineitems
-    map-side; the qualifying-supplier set is tiny → semi join broadcasts."""
+    literal) but the part join drops non-matching lineitems early; the
+    qualifying-supplier set scales with SF, so both join strategies are
+    AQE's runtime call (broadcast locally, shuffle at 100 TB)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -786,14 +796,14 @@ def q20_bulk_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     q = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
         .filter(F.col("sq") > 300)
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(q), s.s_suppkey == q.l_suppkey, "left_semi")
+        s.join(q, s.s_suppkey == q.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )
@@ -818,12 +828,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties kept, via rank() over the per-(part,supplier) aggregate. The
     rank compares the UNROUNDED min (exact — min selects an actual
     value, order-independent) so tie sets agree across engines; only
-    the output is rounded. Part filter broadcasts ahead of the agg so
-    the shuffle carries 1/50th of the pairs."""
+    the output is rounded. The part filter joins ahead of the agg so
+    the shuffle carries 1/50th of the pairs (strategy AQE's call)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
     up = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_raw"))
     )
@@ -858,8 +868,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of ASIA-customer
     revenue per year — conditional decimal sum over total decimal sum
-    (exact numerators, one double division). Six broadcast dim joins;
-    the year agg is the only shuffle."""
+    (exact numerators, one double division). nation/region broadcast by
+    hint; orders/customer/supplier strategy is AQE's call; the year agg
+    is the only guaranteed shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -874,11 +885,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
     nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(_DEC))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -907,8 +918,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (ps_supplycost → p_retailprice as unit cost):
     profit on 'blue' parts by supplier nation and year. The LIKE filter
-    can't prune the scan but drops ~5/6 of parts before broadcast; one
-    agg shuffle over (nation, year)."""
+    can't prune the scan but drops ~5/6 of parts before the joins
+    (strategies AQE's call); one agg shuffle over (nation, year)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     s = _t(spark, sf_dir, "supplier")
@@ -918,10 +929,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(dsum(profit).alias("sum_profit"))
     )
@@ -991,7 +1002,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
-    lo = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).withColumn(
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
@@ -1003,7 +1014,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.filter(F.col("late"))
         .join(per_order, F.col("l_orderkey") == F.col("po_key"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").cast("long").alias("numwait"))
     )
@@ -2288,7 +2299,7 @@ def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_df(d, "text", "doc_id", k=5)
     src = d.select("doc_id", "source")
     return (
-        sh.join(F.broadcast(src), "doc_id")
+        sh.join(src, "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
@@ -2456,7 +2467,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sk = (
         D.simhash_sketches(d)
-        .join(F.broadcast(d.select("doc_id", "source")), "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
         .cache()
     )
     a, b = sk.alias("a"), sk.alias("b")
