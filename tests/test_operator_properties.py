@@ -75,3 +75,22 @@ def test_sampling_determinism(spark, documents):
     # monotone: a larger fraction strictly contains the smaller sample
     p3 = {r["doc_id"] for r in proportional_sample(documents, 0.5).collect()}
     assert p1 <= p3
+
+
+def test_approx_variants_accuracy_contract(spark, sf_dir):
+    """The at-scale approximate variants (SCALING.md) must actually meet
+    their error contracts against the exact answers on real data."""
+    from pyspark.sql import functions as F
+
+    from bearysta_spark.operators.aggregate import AGG_FUNCS
+    from bearysta_spark.tables import load_events, load_table
+
+    ev = load_events(spark, sf_dir)
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_med = li.select(F.median("l_extendedprice")).first()[0]
+    appr_med = li.select(AGG_FUNCS["median_approx"](F.col("l_extendedprice"))).first()[0]
+    assert abs(appr_med - exact_med) / exact_med < 0.01
