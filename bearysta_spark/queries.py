@@ -1982,6 +1982,36 @@ def per_group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents_32",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS a FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([{'cid': i,
+                      'chunk': array_to_string(a[1+i*24 : i*24+32], ' '),
+                      'nt': len(a[1+i*24 : i*24+32])}
+                     for i in range(0, CAST(ceil(greatest(len(a) - 8, 1) / 24.0)
+                                            AS BIGINT))]) AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(s.cid AS BIGINT) AS chunk_id, s.chunk,
+           CAST(s.nt AS BIGINT) AS n_tokens
+    FROM chunks
+    """,
+)
+def chunk_documents_32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking (functions.chunking.chunk_documents):
+    32-token windows, stride 24 (8-token overlap) — the pretraining
+    example-generation op. Zero shuffle: tokenize + explode(sequence) +
+    slice, all codegen, fan-out inside the scan stage."""
+    from bearysta_spark.functions.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=32, stride=24)
+
+
+@query(
     "contamination_4gram",
     oracle="""
     WITH arrs AS (

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "mixture_weighted_sample",
     "hash_split_docs",
     "per_group_sample_docs",
+    "chunk_documents_32",
     "sequence_packing",
     "contamination_4gram",
     "repetition_filter",

@@ -125,3 +125,34 @@ def test_contaminated_docs_known_overlap(spark):
         for r in contaminated_docs(corpus, bench, n=4).collect()
     }
     assert got == {1: 1, 3: 1}
+
+
+def test_chunk_documents_coverage_and_overlap(documents):
+    from bearysta_spark.functions.chunking import chunk_documents
+
+    out = chunk_documents(documents, chunk_size=32, stride=24).cache()
+    rows = out.filter(F.col("doc_id") == 1).orderBy("chunk_id").collect()
+    toks_by_chunk = [r["chunk"].split(" ") for r in rows]
+    # consecutive chunks share exactly the 8-token overlap
+    for a, b in zip(toks_by_chunk, toks_by_chunk[1:]):
+        assert a[24:] == b[: len(a[24:])]
+    # stitching chunks (dropping each successor's overlap) rebuilds the doc
+    stitched = toks_by_chunk[0] + [t for c in toks_by_chunk[1:] for t in c[8:]]
+    import re
+
+    orig = re.findall(
+        "[a-z0-9]+", documents.filter(F.col("doc_id") == 1).first()["text"]
+    )
+    assert stitched == orig
+    # every chunk but the last is exactly chunk_size tokens
+    per_doc_last = {
+        r["doc_id"]: r["chunk_id"]
+        for r in out.groupBy("doc_id").agg(F.max("chunk_id").alias("chunk_id")).collect()
+    }
+    bad = out.filter(
+        (F.col("n_tokens") != 32)
+        & (F.col("chunk_id") != F.lit(None))
+    ).collect()
+    assert all(per_doc_last[r["doc_id"]] == r["chunk_id"] for r in bad)
+    with pytest.raises(ValueError):
+        chunk_documents(documents, chunk_size=8, stride=9)
