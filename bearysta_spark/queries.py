@@ -2012,6 +2012,68 @@ def chunk_documents_32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_manifest",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+              / length(text))
+             * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0)
+               AS q,
+             md5(text) AS h
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE q >= 0.5 AND lang IN ('en', 'de', 'fr', 'es')
+    ), dedup AS (
+      SELECT h, min(doc_id) AS keep_id FROM kept GROUP BY h
+    ), final AS (
+      SELECT k.source, {_split_case()} AS split,
+             len(regexp_extract_all(k.text, '[a-z0-9]+')) AS nt
+      FROM kept k JOIN dedup d ON k.doc_id = d.keep_id
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens
+    FROM final GROUP BY source, split
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data deliverable: quality threshold +
+    language allowlist → exact dedup keep-first → deterministic
+    train/val/test hash split → per-(source, split) doc and token
+    counts. One scan of documents, two shuffles (dedup agg + final
+    rollup) — the split assignment and token count are scan-side
+    expressions. This is the manifest a 100 TB curation run publishes;
+    every stage is reproducible from doc content + salt alone."""
+    from bearysta_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        T.quality_score("text").alias("q"),
+        D.content_hash("text").alias("h"),
+    )
+    kept = scored.filter(
+        (F.col("q") >= 0.5) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    keep_first = kept.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    final = hash_split(
+        kept.join(keep_first, kept.doc_id == keep_first.keep_id), _split_fracs()
+    ).select(
+        "source",
+        "split",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias("nt"),
+    )
+    return final.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "contamination_4gram",
     oracle="""
     WITH arrs AS (

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "hash_split_docs",
     "per_group_sample_docs",
     "chunk_documents_32",
+    "corpus_manifest",
     "sequence_packing",
     "contamination_4gram",
     "repetition_filter",
