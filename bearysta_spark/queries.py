@@ -2199,6 +2199,40 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             CAST(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])
+                  AS DOUBLE) AS s
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN s = 0 THEN [0 for x in embedding]
+                ELSE [CAST(trunc(CAST(x AS DOUBLE) * 127.0 / s) AS INTEGER)
+                      for x in embedding] END AS qvec,
+           s AS scale,
+           CASE WHEN s = 0 THEN 0.0
+                ELSE list_max([abs(CAST(x AS DOUBLE)
+                       - CAST(trunc(CAST(x AS DOUBLE) * 127.0 / s) AS INTEGER)
+                         * s / 127.0) for x in embedding]) END AS max_err
+    FROM scaled
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table
+    (functions.quantize.quantize_int8): 4× storage cut for the ANN
+    index, per-vector scale, exact max dequantization error. trunc
+    (not round) keeps both engines bit-identical — cast double→int
+    truncates in Spark while DuckDB's cast rounds, so the oracle spells
+    trunc explicitly. Scan-side only; no shuffle."""
+    from bearysta_spark.functions.quantize import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(e)
+
+
 @query("knn_ivf")  # rows-only: approximate by construction
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of K fixed

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "quality_filter_pipeline",
     "embedding_near_dup",
     "knn_ivf",
+    "quantize_embeddings_int8",
     "stratified_sample_docs",
     "mixture_weighted_sample",
     "hash_split_docs",

@@ -117,3 +117,24 @@ def test_kmeans_improves_ivf_recall(spark, embeddings):
         for r in S.ivf_topk(embeddings, q, rand.tolist(), k=5, probes=1).collect()
     }
     assert len(ivf_trained & exact) >= len(ivf_rand & exact)
+
+
+def test_quantize_int8_bounds_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bearysta_spark.functions.quantize import quantize_int8
+    from bearysta_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e).cache()
+    r = q.agg(
+        F.max("max_err").alias("worst"),
+        F.min(F.array_min("qvec")).alias("lo"),
+        F.max(F.array_max("qvec")).alias("hi"),
+        F.max(F.col("max_err") - F.col("scale") / 127.0).alias("viol"),
+    ).first()
+    assert -127 <= r["lo"] and r["hi"] <= 127
+    assert r["viol"] <= 1e-12  # error bounded by one quantization step
+    a = q.orderBy("vec_id").first()
+    b = quantize_int8(e.repartition(7)).orderBy("vec_id").first()
+    assert a == b
