@@ -1610,6 +1610,38 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_forward_fill",
+    oracle="""
+    SELECT event_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (gap-fill) over each user's event timeline: carry
+    the most recent purchase value onto every subsequent event —
+    last(ignorenulls) over a running row frame, the canonical Spark
+    spelling of time-series LOCF. One shuffle on user_id; ts is
+    µs-aligned and unique per user in the testdata, with event_id as
+    the deterministic tiebreak regardless."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        F.round(F.last(pv, ignorenulls=True).over(w), 4).alias("last_purchase_value"),
+    )
+
+
+@query(
     "events_asof_join",
     oracle="""
     SELECT l.event_id, l.user_id, round(r.value, 4) AS signup_value

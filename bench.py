@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_json_extract",
     "events_asof_join",
+    "events_forward_fill",
     "cube_rollup",
     "rolling_revenue",
     "quality_filter_pipeline",
