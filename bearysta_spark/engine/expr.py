@@ -38,7 +38,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, NumericType, StringType
+from pyspark.sql.types import ArrayType, BooleanType, NumericType, StringType
 
 
 class ExprCompileError(ValueError):
@@ -155,13 +155,23 @@ class SparkExprCompiler:
     def truthy(self, node: ast.expr, col) -> Column:
         if not isinstance(col, Column):
             return F.lit(bool(col))
+        # already-boolean expressions (comparisons, and/or, not): the
+        # column IS the truth value — casting it to string would make
+        # 'false' truthy (non-empty string).  NULL → False matches the
+        # row-wise python reference (bool(None) is False).
+        if self._is_boolish(node):
+            return F.coalesce(col, F.lit(False))
         kind = None
         if isinstance(node, ast.Subscript) and isinstance(node.slice, ast.Constant):
             dt = self._dtype_of(node.slice.value)
-            if isinstance(dt, StringType):
+            if isinstance(dt, BooleanType):
+                kind = "bool"
+            elif isinstance(dt, StringType):
                 kind = "str"
             elif isinstance(dt, NumericType):
                 kind = "num"
+        if kind == "bool":
+            return F.coalesce(col, F.lit(False))
         if kind == "str":
             return col.isNotNull() & (col != "")
         if kind == "num":
@@ -284,6 +294,11 @@ class SparkExprCompiler:
         if isinstance(node.op, ast.UAdd):
             return v
         if isinstance(node.op, ast.Not):
+            if isinstance(v, Column) and self._is_boolish(node.operand):
+                # operand is already boolean: negate directly.  NULL (a
+                # comparison over NaN) negates to True, matching pandas
+                # where NaN-comparisons yield False and `not False` → True.
+                return F.coalesce(~v, F.lit(True))
             return ~self.truthy(node.operand, v)
         raise ExprCompileError("unsupported unary operator")
 
@@ -302,7 +317,12 @@ class SparkExprCompiler:
 
     @staticmethod
     def _is_boolish(node: ast.expr) -> bool:
-        return isinstance(node, (ast.Compare, ast.BoolOp, ast.UnaryOp))
+        # NB: only `not` among the unary ops yields a boolean — `-x`
+        # must NOT be treated as boolish or `&`/`~` would apply bitwise
+        # semantics to a numeric column.
+        return isinstance(node, (ast.Compare, ast.BoolOp)) or (
+            isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not)
+        )
 
     def visit_Compare(self, node: ast.Compare):
         if len(node.ops) != 1:

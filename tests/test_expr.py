@@ -136,3 +136,31 @@ def test_unsupported_raises(df):
         compile_expr(df, "open('/etc/passwd')")
     with pytest.raises(ExprCompileError):
         compile_expr(df, "[x for x in row]")
+
+
+def test_boolean_column_truthiness(spark):
+    # boolean-typed columns in truthiness positions (`not row['flag']`,
+    # `x if row['flag'] else y`) must use the column's own truth value,
+    # not its string form ('false' is a non-empty string!); NULL → False.
+    bdf = spark.createDataFrame(
+        [(True,), (False,), (None,)], "flag: boolean"
+    )
+    got = [
+        tuple(r)
+        for r in bdf.select(
+            compile_expr(bdf, "not row['flag']").alias("neg"),
+            compile_expr(bdf, "'y' if row['flag'] else 'n'").alias("pick"),
+        ).collect()
+    ]
+    assert got == [(False, "y"), (True, "n"), (True, "n")]
+
+
+def test_not_of_comparison(spark):
+    ndf = spark.createDataFrame([(1,), (2,)], "a: int")
+    got = [
+        r["v"]
+        for r in ndf.select(
+            compile_expr(ndf, "not (row['a'] == 1)").alias("v")
+        ).collect()
+    ]
+    assert got == [False, True]

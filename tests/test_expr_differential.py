@@ -36,6 +36,15 @@ EXPRESSIONS = [
     "min(row['time'], 3.5)",
     "max(row['time'], 3.5)",
     "abs(row['time'] - 5)",
+    # `not` / boolean-truthiness surface (ADVICE r01: truthy()'s string
+    # fallback made `not <comparison>` constant-False)
+    "not (row['threads'] == 1)",
+    "not (row['threads'] == 1 or row['name'] == 'abc')",
+    "not (row['threads'] > 2 and row['time'] < 100)",
+    "not not (row['threads'] == 1)",
+    "'a' if not (row['threads'] == 1) else 'b'",
+    "(row['threads'] == 1) and (row['time'] > 1)",
+    "-row['threads'] + 1",
 ]
 
 names = st.sampled_from(["abc", "de_f", "g_h_i_j", "K_2_seq", "", "a b", "_"])
