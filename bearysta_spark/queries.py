@@ -2843,3 +2843,110 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         davg(S.l2_norm(F.col("embedding"))).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-order priority.
+#
+# The correctness driver iterates __spark_entry__.queries() in dict order
+# under a fixed budget: CORRECTNESS_r01.json contains exactly the first 50
+# registered names and nothing after.  Rebuild the registry so queries that
+# still lack a driver-green row come first (cheapest first, measured at
+# sf0.01 via scripts/driver_replica.py), followed by the already-verified
+# set.  Pure reordering — no query or oracle changes.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY = [
+    # -- no CORRECTNESS_r01 row yet (entire LLM-pipeline surface) ----------
+    "mixture_weighted_sample",
+    "embedding_norms",
+    "per_group_sample_docs",
+    "chunk_documents_32",
+    "hash_split_docs",
+    "text_stats",
+    "sequence_packing",
+    "dedup_exact_keepfirst",
+    "stratified_sample_docs",
+    "quality_by_source",
+    "knn_bruteforce",
+    "corpus_manifest",
+    "recipe_pipeline",
+    "token_count_by_source",
+    "dedup_exact_stats",
+    "recipe_ratio",
+    "contamination_4gram",
+    "multimodal_meta",
+    "source_overlap_matrix",
+    "bigram_frequency",
+    "knn_lsh",
+    "quantize_embeddings_int8",
+    "simhash_pairs",
+    "minhash_lsh_candidates",
+    "shingle_stats",
+    "repetition_filter",
+    "lang_id_eval",
+    "near_dup_pairs",
+    "knn_ivf",
+    "dedup_clusters",
+    # -- driver-green in r01 (keep refreshing as budget allows) ------------
+    "part_type_stats",
+    "agg_geomean",
+    "filter_in_out",
+    "top_orders_per_priority",
+    "pack_melt",
+    "events_user_reach",
+    "supplier_nation_balance",
+    "q11_concentrated_balances",
+    "events_forward_fill",
+    "events_sessionize",
+    "events_json_extract",
+    "rolling_revenue",
+    "unpack_pivot",
+    "events_hourly",
+    "events_asof_join",
+    "agg_median",
+    "cube_rollup",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "nation_acctbal_rollup",
+    "percent_diff_base",
+    "q19_disjunctive_join",
+    "window_analytics",
+    "agg_mean_dims",
+    "quality_filter_pipeline",
+    "q2_min_cost_supplier",
+    "ratio_of_base",
+    "q22_dormant_customers",
+    "grouping_sets_revenue",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q20_bulk_shippers",
+    "q12_late_shipments",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q10_return_losses",
+    "tfidf_top_terms",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "q17_small_qty_revenue",
+    "q16_supplier_variety",
+    "q5_region_volume",
+    "q3_shipping_priority",
+    "label_centroids",
+    "token_doc_frequency",
+    "expected_fill_combos",
+    "embedding_near_dup",
+    "q1_pricing_summary",
+]
+
+
+def _reorder(d: dict, priority: list[str]) -> dict:
+    out = {k: d[k] for k in priority if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
+QUERIES = _reorder(QUERIES, _DRIVER_PRIORITY)
+ORACLE = _reorder(ORACLE, _DRIVER_PRIORITY)
