@@ -141,18 +141,30 @@ def main() -> None:
         # 2-4x; min-of-runs is the standard stable estimator
         times[name] = round(min(run(name), run(name)), 4)
 
-    total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bearysta_spark_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+    total = round(sum(times.values()), 2)
+    # The driver captures only the LAST 2000 chars of stdout and parses the
+    # JSON from that window (BENCH_r01: 2400-char line → "parsed": null).
+    # Keep the line well under 2000: compact separators, 2-decimal values,
+    # TPC-H names shortened to q1..q22 (unambiguous, match BENCH_r01 keys
+    # by prefix).
+    compact = {
+        (re.match(r"(q\d+)_", k).group(1) if re.match(r"q\d+_", k) else k): round(
+            v, 2
         )
+        for k, v in times.items()
+    }
+    line = json.dumps(
+        {
+            "metric": "bearysta_spark_headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    print(line, flush=True)
     spark.stop()
 
 
