@@ -360,3 +360,74 @@ def simhash_sketches(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit sketches."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    sketches: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    sketch_col: str = "sketch",
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All pairs within `max_hamming` of each other, via pigeonhole
+    banding instead of a within-block cross join.
+
+    Split the 63 usable sketch bits into `max_hamming + 1` chunks: two
+    sketches with hamming distance <= max_hamming MUST agree exactly on
+    at least one chunk (pigeonhole), so an equi-join on
+    (chunk_id, chunk_value, *block_cols) finds every qualifying pair
+    while generating only candidates that already share a chunk.
+    Candidate count scales with real near-duplicate density, not with
+    block_size^2 — at 100 TB a source block is billions of docs and the
+    naive blocked self-join (r01 shape) is O(n^2); this is the linear-ish
+    shape. Output: (id_a, id_b, hamming int), id_a < id_b, deduped
+    across multi-chunk matches.
+    """
+    nchunks = max_hamming + 1
+    base, rem = divmod(63, nchunks)
+    bounds: list[tuple[int, int]] = []
+    start = 0
+    for i in range(nchunks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((start, w))
+        start += w
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.shiftright(F.col(sketch_col), s)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("cval"),
+            )
+            for i, (s, w) in enumerate(bounds)
+        ]
+    )
+    keyed = sketches.select(
+        id_col, *block_cols, sketch_col, F.explode(chunk_arr).alias("c")
+    ).select(
+        id_col,
+        *block_cols,
+        sketch_col,
+        F.col("c.cid").alias("cid"),
+        F.col("c.cval").alias("cval"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cond = (
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.cval") == F.col("b.cval"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col(f"a.{sketch_col}"), F.col(f"b.{sketch_col}"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

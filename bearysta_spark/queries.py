@@ -2677,27 +2677,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_pairs")  # rows-only: xxhash64-based sketch has no SQL twin
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit token sketch, pairs within hamming ≤ 6
-    inside each source block (blocking bounds the quadratic surface)."""
+    inside each source block, found by pigeonhole banding
+    (functions.dedup.simhash_near_pairs): 7 sketch chunks → equi-join
+    on (chunk_id, chunk_value, source) → hamming verify. Never forms a
+    within-block cross product, so candidate volume tracks duplicate
+    density instead of block_size², the shape that survives
+    billion-document source blocks."""
     d = _t(spark, sf_dir, "documents")
+    # cache: both sides of the banded self-join read the sketch frame,
+    # and the 63-sum sketch aggregation is the expensive part
     sk = (
         D.simhash_sketches(d)
         .join(d.select("doc_id", "source"), "doc_id")
         .cache()
     )
-    a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .withColumn("hamming", D.hamming64(F.col("a.sketch"), F.col("b.sketch")))
-        .filter(F.col("hamming") <= 6)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("hamming").cast("int").alias("hamming"),
-        )
+    return D.simhash_near_pairs(
+        sk, max_hamming=6, block_cols=("source",)
     )
 
 

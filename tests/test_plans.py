@@ -133,3 +133,14 @@ def test_lineage_scan_preserves_pushdown(spark, tmp_path):
         assert "EqualTo(i,2)" in plan, f"{fmt}: filter not pushed to scan"
         r = back.filter(back.i == 2).select("i", "File").first()
         assert r["i"] == 2 and r["File"]  # lineage still populated
+
+
+def test_simhash_pairs_no_block_cross_product(spark):
+    # r01 VERDICT: the old shape self-joined on source alone — an
+    # all-pairs cross product within each source block. The banded
+    # rewrite must be a pure equi-join on (chunk_id, chunk_value,
+    # source): no nested-loop / cartesian anywhere in the plan.
+    p = plan_of(spark, "simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "cval" in p  # chunk value participates in the join key
