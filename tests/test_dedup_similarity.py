@@ -138,3 +138,49 @@ def test_quantize_int8_bounds_and_determinism(spark, sf_dir):
     a = q.orderBy("vec_id").first()
     b = quantize_int8(e.repartition(7)).orderBy("vec_id").first()
     assert a == b
+
+
+def test_cosine_near_dup_blocked_matches_single_block(spark, embeddings):
+    # r01 VERDICT: the old shape collected the whole corpus to the
+    # driver. The blocked rewrite must (a) never collect, (b) produce
+    # identical pairs whatever the block count.
+    single = sorted(
+        tuple(r) for r in S.cosine_near_dup_pairs(embeddings, 0.3).collect()
+    )
+    multi = sorted(
+        tuple(r)
+        for r in S.cosine_near_dup_pairs(embeddings, 0.3, block_rows=7).collect()
+    )
+    # different panel shapes reorder the BLAS accumulation → last-ulp
+    # drift on sim; pair sets must match exactly, sims to 1e-9
+    assert [(a, b) for a, b, _ in single] == [(a, b) for a, b, _ in multi]
+    assert all(
+        abs(s1 - s2) < 1e-9 for (_, _, s1), (_, _, s2) in zip(single, multi)
+    )
+    assert len(single) > 0
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    # pigeonhole banding must find exactly the pairs a cross join finds
+    rows = [(i, f"common tokens alpha beta gamma delta {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sk = D.simhash_sketches(df)
+    banded = sorted(
+        tuple(r) for r in D.simhash_near_pairs(sk, max_hamming=6).collect()
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    brute = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.hamming64(F.col("a.sketch"), F.col("b.sketch"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    )
+    assert banded == brute
+    assert len(banded) > 0
