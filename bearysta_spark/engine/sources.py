@@ -232,6 +232,10 @@ def scan_sqlite(spark: SparkSession, files: list[str], table: str | None) -> Dat
     data by construction; cite aggregate.py:295-314), then parallelize."""
     if not table:
         raise RecipeError("input.table-name required for sql format")
+    # recipe YAML is data, not code: never interpolate an arbitrary
+    # string into SQL (the reference shares this flaw; harden here)
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+        raise RecipeError(f"invalid sqlite table name {table!r}")
     import sqlite3
 
     frames = []

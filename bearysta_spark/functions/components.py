@@ -75,6 +75,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # loop fell through max_iter with changed > 0: labels are NOT a
+        # fixpoint — a dedup caller would silently split deep duplicate
+        # chains into multiple clusters. Fail loudly; callers with
+        # genuinely deep graphs should raise max_iter or switch to the
+        # large-star/small-star form (module docstring).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     return labels.select(
         F.col("a").alias("node"), F.col("label").alias("component")
     )

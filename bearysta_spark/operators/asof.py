@@ -54,21 +54,26 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(
-            out_names[c], F.last(out_names[c], ignorenulls=True).over(w)
-        )
+    # Carry the matched right ROW as one struct: per-column
+    # last(ignorenulls) would skip a matched row's NULL value and attach
+    # an older row's non-NULL one instead, and could tolerance-check
+    # against a timestamp the value didn't come from. merge_asof /
+    # DuckDB ASOF attach the matched row's values even when NULL.
+    rstruct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col(on).alias("__rt"), *[F.col(out_names[c]) for c in right_cols]
+        ),
+    )
+    filled = unioned.withColumn("__r", F.last(rstruct, ignorenulls=True).over(w))
+    keep = F.col("__r").isNotNull()
     if tolerance_seconds is not None:
-        rtime = F.last(
-            F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
-        ).over(w)
-        in_tol = (
-            F.unix_micros(F.col(on)) - F.unix_micros(rtime)
+        keep = keep & (
+            F.unix_micros(F.col(on)) - F.unix_micros(F.col("__r.__rt"))
             <= tolerance_seconds * 1_000_000
         )
-        for c in right_cols:
-            filled = filled.withColumn(
-                out_names[c], F.when(in_tol, F.col(out_names[c]))
-            )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    for c in right_cols:
+        filled = filled.withColumn(
+            out_names[c], F.when(keep, F.col(f"__r.{out_names[c]}"))
+        )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__r")

@@ -68,11 +68,16 @@ def _fmt_number(x, number_format, max_val=None):
         return number_format.format(x)
     ref = max_val if max_val is not None else x
     if isinstance(x, (int, float)):
+        # aggregate.py:935-940 get_precision: decimals =
+        # max(precision - int(log10(num)), 0); log(0) overflows int()
+        # there and yields 0 decimals
+        if not ref:
+            return f"{x:.0f}"
         try:
-            mag = int(math.log10(abs(ref))) if ref else 0
+            mag = int(math.log10(abs(ref)))
         except (ValueError, OverflowError):
             mag = 0
-        decimals = max(number_format - mag - 1, 0)
+        decimals = max(number_format - mag, 0)
         return f"{x:.{decimals}f}"
     return str(x)
 

@@ -40,3 +40,17 @@ def test_cluster_sizes(spark):
         for r in cluster_sizes(connected_components(df)).collect()
     }
     assert got == {1: 3, 10: 2}
+
+
+def test_unconverged_raises(spark):
+    # a 12-node path needs ~11 min-label rounds; cap at 2 → must raise,
+    # not silently return split components (ADVICE r01)
+    import pytest as _pytest
+
+    from bearysta_spark.functions.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a: long, id_b: long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

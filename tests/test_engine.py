@@ -441,3 +441,12 @@ def test_json_input(spark, tmp_path):
     rows = {r["Prefix"]: r["Time"] for r in out.collect()}
     assert rows == {"a": 2.0, "b": 5.0}
     assert out.select("File").first()[0] == "runs.jsonl"
+
+
+def test_sqlite_rejects_hostile_table_name(spark, tmp_path):
+    from bearysta_spark.engine.sources import RecipeError, scan_sqlite
+
+    db_path = str(tmp_path / "x.db")
+    sqlite3.connect(db_path).close()
+    with pytest.raises(RecipeError, match="invalid sqlite table"):
+        scan_sqlite(spark, [db_path], "t; DROP TABLE t--")

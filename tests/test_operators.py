@@ -199,3 +199,29 @@ def test_salted_join_equals_plain_join(spark):
     salted = {(r["k"], r["payload"], r["dim"]) for r in salted_join(left, right, ["k"], salt=8).collect()}
     assert salted == plain
     assert len(salted) == 67  # keys 0,1 present: ceil/floor of 100/3
+
+
+def test_asof_join_null_right_value_attaches_matched_row(spark):
+    # ADVICE r01: per-column last(ignorenulls) skipped a matched right
+    # row whose carried value is NULL and attached an OLDER row's value.
+    # merge_asof/DuckDB ASOF semantics: the matched row's value wins,
+    # even when it is NULL.
+    from bearysta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 12:00:00")], ["id", "user", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 10.0),
+         ("u1", "2024-01-01 11:00:00", None)],
+        "user string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = asof_join(left, right, on="ts", by=["user"], right_cols=["v"])
+    assert [r["v"] for r in out.collect()] == [None]
+
+    # tolerance must measure from the matched row (11:00, 1h away), not
+    # from the older row the value used to leak from
+    tol = asof_join(left, right, on="ts", by=["user"], right_cols=["v"],
+                    tolerance_seconds=2 * 3600)
+    assert [r["v"] for r in tol.collect()] == [None]

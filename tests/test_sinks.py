@@ -96,3 +96,25 @@ def test_orc_roundtrip_with_recipe_scan(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.filter(back.i == 2).explain("formatted")
     assert "PushedFilters" in buf.getvalue()
+
+
+def test_fmt_number_matches_reference_precision():
+    # parity with aggregate.py:935-955 get_precision/apply_precision:
+    # decimals = max(precision - int(log10(num)), 0); log(0) -> 0 decimals
+    import math as _math
+
+    from bearysta_spark.sinks import _fmt_number
+
+    def ref_fmt(x, precision):
+        try:
+            order = _math.log10(x)
+            decimals = max(precision - int(order), 0)
+        except (ValueError, OverflowError):
+            decimals = 0
+        return f"{x:.{decimals}f}"
+
+    for v in (123.0, 123.456, 1.5, 0.5, 0.0517, 9999.9, 1.0, 7e-4):
+        for p in (0, 1, 3):
+            assert _fmt_number(v, p) == ref_fmt(v, p), (v, p)
+    assert _fmt_number(0.0, 3) == "0"
+    assert _fmt_number(None, 3) == ""
