@@ -278,7 +278,11 @@ class RecipeEngine:
             import numpy as np
             import pandas as pd
 
-            env = {"np": np, "pd": pd}
+            from bearysta_spark.engine.expr import read_csv_cached
+
+            # S9: same cached-CSV accessor the reference exposes in its
+            # eval env (aggregate.py:483)
+            env = {"np": np, "pd": pd, "read_csv_fd": read_csv_cached}
             for pdf in it:
                 if row_wise:
                     fn = eval("lambda row: " + expr, env)  # noqa: S307
@@ -286,6 +290,14 @@ class RecipeEngine:
                 else:
                     fn = eval("lambda df: " + expr, env)  # noqa: S307
                     res = fn(pdf)
+                if isinstance(res, tuple):
+                    # P5 general (df, origin) merge-back: needs the whole
+                    # frame, which a batch never is — reject rather than
+                    # silently merge per-batch (see expr.compile)
+                    raise ValueError(
+                        "tuple-returning precompute is not supported; use "
+                        "the ratio_of/percent_of family"
+                    )
                 pdf = pdf.copy()
                 pdf[col] = res.astype(str) if len(pdf) else res
                 yield pdf

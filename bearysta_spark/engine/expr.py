@@ -21,6 +21,11 @@ Supported surface (the complete set used by the 24 shipped recipes):
   x.capitalize() .lower() .upper() .strip()
   df['c'].fillna(value=v)         coalesce
   (lambda p: EXPR)(ARG)           immediately-invoked lambda
+  read_csv_fd('t.csv')            cached sidecar-CSV lookup table
+                                  (.set_index/.to_dict/['col'] shaping
+                                  folds at compile time; indexing by a
+                                  row column becomes a literal-map
+                                  lookup; missing key → NULL)
   ratio_of family                 handled by the engine (extracted
                                   before compilation → temp columns)
   truthiness: `x if row['c'] else y` (string: non-null & non-empty;
@@ -43,6 +48,29 @@ from pyspark.sql.types import ArrayType, BooleanType, NumericType, StringType
 
 class ExprCompileError(ValueError):
     pass
+
+
+_CSV_CACHE: dict[str, object] = {}
+
+
+def read_csv_cached(path, *args, **kwargs):
+    """S9 (aggregate.py:287-293): pd.read_csv cached by absolute path —
+    the `read_csv_fd` helper recipes use inside precompute expressions
+    to pull a small lookup table (targets, labels). Driver-side by
+    design: these are kilobyte-scale sidecar CSVs, and the compiler
+    folds them into the plan as literals."""
+    import os as _os
+
+    import pandas as _pd
+
+    key = _os.path.abspath(path) if _os.path.isfile(path) else path
+    if key not in _CSV_CACHE:
+        _CSV_CACHE[key] = _pd.read_csv(path, *args, **kwargs)
+    return _CSV_CACHE[key]
+
+
+def _is_pandas(obj) -> bool:
+    return type(obj).__module__.startswith("pandas")
 
 
 RATIO_FUNCS = (
@@ -188,6 +216,22 @@ class SparkExprCompiler:
         except SyntaxError as e:
             raise ExprCompileError(f"cannot parse {expr!r}: {e}") from e
         out = self.visit(tree.body)
+        if isinstance(out, tuple):
+            # P5 (aggregate.py:500-506): the reference's general
+            # (df, origin_col) merge-back form. Every shipped use is the
+            # ratio_of family, which the engine extracts and joins
+            # natively (engine/core.py); a hand-rolled tuple return has
+            # no batch-safe Spark translation — reject it loudly.
+            raise ExprCompileError(
+                "tuple-returning precompute (df, origin_col) is not "
+                "supported; use the ratio_of/percent_of family, which "
+                "the engine merges back as a native join"
+            )
+        if _is_pandas(out):
+            raise ExprCompileError(
+                "precompute evaluated to a whole lookup table — index it "
+                "(e.g. read_csv_fd('t.csv').set_index('k')['v'][row['c']])"
+            )
         return out if isinstance(out, Column) else F.lit(out)
 
     def visit(self, node: ast.expr):
@@ -229,9 +273,36 @@ class SparkExprCompiler:
             hi = self.visit(node.slice.upper) if node.slice.upper else None
             return self._slice(base, lo, hi)
         idx = self.visit(node.slice)
+        if isinstance(base, dict) or _is_pandas(base):
+            # compile-time lookup table (read_csv_fd result): constant
+            # index folds now; a Column index becomes a literal-map
+            # lookup that runs inside codegen
+            if isinstance(idx, Column):
+                return self._map_lookup(base, idx)
+            try:
+                return base[idx]
+            except (KeyError, IndexError) as e:
+                raise ExprCompileError(f"lookup-table index {idx!r} not found") from e
         if not isinstance(idx, int):
             raise ExprCompileError("only integer indexing is supported")
         return self._index(base, idx)
+
+    def _map_lookup(self, obj, key: Column) -> Column:
+        if _is_pandas(obj):
+            if getattr(obj, "ndim", 1) != 1:
+                raise ExprCompileError(
+                    "Column lookup needs a Series or dict — e.g. "
+                    "read_csv_fd('t.csv').set_index('k')['v']"
+                )
+            obj = obj.to_dict()
+        pairs: list[Column] = []
+        for k, v in obj.items():
+            pairs += [F.lit(k), F.lit(v)]
+        if not pairs:
+            return F.lit(None)
+        # missing key → NULL (Spark map semantics; pandas would raise —
+        # recipes pair this with .fillna when absence is expected)
+        return F.element_at(F.create_map(*pairs), key)
 
     def _as_array(self, base) -> Column:
         if isinstance(base, (list, tuple)):
@@ -331,6 +402,10 @@ class SparkExprCompiler:
         b = self.visit(node.comparators[0])
         op = node.ops[0]
         a_col = a if isinstance(a, Column) else F.lit(a)
+        if _is_pandas(b):
+            b = b.tolist() if hasattr(b, "tolist") else list(b)
+        elif isinstance(b, dict):
+            b = list(b)  # python `in dict` checks keys
         if isinstance(op, ast.In):
             vals = b if isinstance(b, (list, tuple)) else [b]
             return F.coalesce(a_col.isin(list(vals)), F.lit(False))
@@ -419,6 +494,16 @@ class SparkExprCompiler:
         if name in ("min", "max"):
             cols = [x if isinstance(x, Column) else F.lit(x) for x in args]
             return F.least(*cols) if name == "min" else F.greatest(*cols)
+        if name == "read_csv_fd":
+            # S9 (aggregate.py:287-293,483): cached lookup-CSV accessor.
+            # Path must be a literal — the table folds into the plan.
+            if any(isinstance(a, Column) for a in args):
+                raise ExprCompileError("read_csv_fd path must be a literal")
+            reader = self.env.get("read_csv_fd", read_csv_cached)
+            kwargs = {kw.arg: self.visit(kw.value) for kw in node.keywords}
+            return reader(*args, **kwargs)
+        if name == "list" and len(args) == 1 and not isinstance(args[0], Column):
+            return list(args[0])
         if name in RATIO_FUNCS:
             raise ExprCompileError(
                 f"{name} must be extracted via extract_ratio_calls before compile"
@@ -469,6 +554,21 @@ class SparkExprCompiler:
         recv = self.visit(node.func.value)
         args = [self.visit(a) for a in node.args]
         kwargs = {kw.arg: self.visit(kw.value) for kw in node.keywords}
+
+        if _is_pandas(recv):
+            # lookup-table shaping on a read_csv_fd result — pure
+            # compile-time pandas, folded before the plan is built
+            allowed = {"set_index", "to_dict", "get", "tolist", "to_list", "astype", "dropna", "unique"}
+            if attr not in allowed:
+                raise ExprCompileError(
+                    f"unsupported method .{attr}() on a lookup table "
+                    f"(supported: {', '.join(sorted(allowed))})"
+                )
+            if any(isinstance(a, Column) for a in args) or any(
+                isinstance(v, Column) for v in kwargs.values()
+            ):
+                raise ExprCompileError("lookup-table methods take literal args")
+            return getattr(recv, attr)(*args, **kwargs)
 
         if attr == "format":
             if not isinstance(recv, str):

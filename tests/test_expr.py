@@ -164,3 +164,40 @@ def test_not_of_comparison(spark):
         ).collect()
     ]
     assert got == [False, True]
+
+
+def test_read_csv_fd_lookup(spark, tmp_path):
+    # S9 (aggregate.py:287-293,483): a precompute pulls a sidecar lookup
+    # CSV; the compiler folds it into a literal map lookup (codegen, no
+    # shuffle, no python in the row path).
+    lookup = tmp_path / "targets.csv"
+    lookup.write_text("name,target\nabc,1.5\ng_h_i_j,2.5\n")
+    df = spark.createDataFrame([("abc",), ("g_h_i_j",), ("zzz",)], ["name"])
+
+    col = compile_expr(
+        df,
+        f"read_csv_fd('{lookup}').set_index('name')['target'][row['name']]",
+    )
+    got = [r["t"] for r in df.select(col.alias("t")).collect()]
+    assert got == [1.5, 2.5, None]  # missing key -> NULL (documented)
+
+    # membership test against a lookup column
+    member = compile_expr(
+        df, f"row['name'] in list(read_csv_fd('{lookup}')['name'])"
+    )
+    got_m = [r["m"] for r in df.select(member.alias("m")).collect()]
+    assert got_m == [True, True, False]
+
+
+def test_read_csv_fd_cached(tmp_path):
+    from bearysta_spark.engine.expr import _CSV_CACHE, read_csv_cached
+
+    p = tmp_path / "x.csv"
+    p.write_text("a\n1\n")
+    first = read_csv_cached(str(p))
+    assert read_csv_cached(str(p)) is first
+
+
+def test_tuple_precompute_rejected(df):
+    with pytest.raises(ExprCompileError, match="tuple-returning"):
+        compile_expr(df, "(row['Time'], 'Time')")
