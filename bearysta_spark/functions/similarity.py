@@ -172,6 +172,35 @@ def nearest_cells(vec: Column, centroids: list[list[float]], n: int = 1) -> Colu
     return F.transform(top, lambda p: p["cell"])
 
 
+def assign_cells_arrow(
+    centroids: list[list[float]], probes: int = 1
+):
+    """Arrow-batched IVF cell assignment: one `batch @ centroids.T`
+    dgemm per Arrow batch, top-`probes` cells per vector.
+
+    The literal-expression `nearest_cells` builds K×d literals into the
+    plan — past a few centroids the expression tree exceeds the codegen
+    method-size limit and falls back to interpreted evaluation (measured
+    ~8 s for 500×8×64 at sf0.01 vs ~0.2 s here). Centroids ship in the
+    UDF closure (KB-scale). Deterministic: stable argsort, ties by
+    ascending cell id."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        scores = M @ C.T
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :probes]
+        return pd.Series(list(idx.astype("int32")))
+
+    return cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -180,27 +209,38 @@ def ivf_topk(
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow_kernel: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors live in
     their single nearest cell; each query probes its `probes` nearest
     cells and ranks exact cosine within them. Equi-join on cell id →
     candidate count shrinks ~|cells|/probes vs the crossJoin; recall is
-    tuned by `probes` (FAISS nprobe)."""
+    tuned by `probes` (FAISS nprobe). Assignment and re-rank run as
+    Arrow-batched numpy by default (see assign_cells_arrow); flip
+    use_arrow_kernel=False for the pure-expression plan."""
+    if use_arrow_kernel:
+        corpus_cells = assign_cells_arrow(centroids, 1)(F.col(vec_col))[0]
+        query_cells = assign_cells_arrow(centroids, probes)(F.col(vec_col))
+        kernel = _cosine_arrow(F.col("qvec"), F.col("nvec"))
+    else:
+        corpus_cells = nearest_cells(F.col(vec_col), centroids, 1)[0]
+        query_cells = nearest_cells(F.col(vec_col), centroids, probes)
+        kernel = cosine(F.col("qvec"), F.col("nvec"))
     c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
-        nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+        corpus_cells.alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(nearest_cells(F.col(vec_col), centroids, probes)).alias("cell"),
+        F.explode(query_cells).alias("cell"),
     )
     scored = (
         F.broadcast(q)
         .join(c, "cell")
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("sim", kernel)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
