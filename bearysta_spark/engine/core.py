@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bearysta_spark.colnames import qcol
 from bearysta_spark.engine.expr import (
     ExprCompileError,
     compile_expr,
@@ -72,7 +73,7 @@ def infer_numeric(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
         return df
 
     firsts = df.agg(
-        *[F.first(F.col(c), ignorenulls=True).alias(c) for c in cand]
+        *[F.first(qcol(c), ignorenulls=True).alias(c) for c in cand]
     ).collect()[0]
 
     def plausible(v) -> bool:
@@ -90,9 +91,9 @@ def infer_numeric(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
 
     aggs = []
     for i, c in enumerate(cand):
-        t = F.trim(F.col(c))
+        t = F.trim(qcol(c))
         aggs += [
-            F.count(F.col(c)).alias(f"n_{i}"),
+            F.count(qcol(c)).alias(f"n_{i}"),
             F.count(F.when(~t.rlike(_NUM_RE), 1)).alias(f"bad_{i}"),
             F.count(F.when(~t.rlike(_INT_RE), 1)).alias(f"nonint_{i}"),
         ]
@@ -107,6 +108,46 @@ def infer_numeric(df: DataFrame, exclude: tuple[str, ...] = ()) -> DataFrame:
         else:
             promotions[c] = F.expr(f"try_cast(trim(`{c}`) as double)")
     return df.withColumns(promotions) if promotions else df
+
+
+def _align_for_union(frames: list[DataFrame]) -> list[DataFrame]:
+    """Pre-union schema alignment across child frames.
+
+    Spark resolves unionByName case-insensitively, so a child's
+    'classes' (bigint, from svm.yml) lands in another child's 'Classes'
+    (string, sklearn.yml's fillna('n/a')) and ANSI union coercion
+    cast-throws on the words. pandas concat (the reference,
+    aggregate.py:85) never coerces. Align: first spelling wins the
+    name; when the same column carries conflicting dtypes including
+    string, every frame casts it to string (infer_numeric re-promotes
+    later iff all values are numeric). Numeric-vs-numeric conflicts are
+    left to Spark's native safe widening.
+    """
+    canon: dict[str, str] = {}
+    seen_types: dict[str, set[str]] = {}
+    for f in frames:
+        for name, dt in f.dtypes:
+            canon.setdefault(name.lower(), name)
+            seen_types.setdefault(name.lower(), set()).add(dt)
+    conflicted = {
+        canon[k] for k, ds in seen_types.items() if len(ds) > 1 and "string" in ds
+    }
+    out = []
+    for f in frames:
+        renames = {
+            name: canon[name.lower()]
+            for name, _ in f.dtypes
+            if name != canon[name.lower()]
+        }
+        g = f.withColumnsRenamed(renames) if renames else f
+        casts = {
+            c: qcol(c).cast("string")
+            for c in conflicted
+            if c in g.columns and dict(g.dtypes)[c] != "string"
+        }
+        g = g.withColumns(casts) if casts else g
+        out.append(g)
+    return out
 
 
 class RecipeEngine:
@@ -162,6 +203,7 @@ class RecipeEngine:
         if not frames:
             raise RecipeError("Recipe has no inputs (neither path nor config)")
 
+        frames = _align_for_union(frames)
         out = frames[0]
         for df in frames[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
@@ -216,7 +258,7 @@ class RecipeEngine:
         for c in r.values:
             if dict(df.dtypes)[c] == "string":
                 raise RecipeError("Found non-numerical data in values columns!")
-        df = df.withColumns({c: F.col(c).cast("double") for c in r.values})
+        df = df.withColumns({c: qcol(c).cast("double") for c in r.values})
 
         self._normalized = df
         return df
@@ -332,14 +374,14 @@ class RecipeEngine:
         values = [v for v in r.values if v in df.columns]
         others = [c for c in df.columns if c not in dims and c not in values]
         aggs = [agg_expr(agg, v, v) for v in values] + [
-            F.first(c, ignorenulls=True).alias(c) for c in others
+            F.first(qcol(c), ignorenulls=True).alias(c) for c in others
         ]
         if self.diagnostics and others:
             # A5 (reference aggregate.py:723-726): log distinct counts of
             # columns being aggregated out. approx_count_distinct — at
             # scale an exact nunique per column is its own shuffle each.
             row = df.agg(
-                *[F.approx_count_distinct(c).alias(c) for c in others]
+                *[F.approx_count_distinct(qcol(c)).alias(c) for c in others]
             ).collect()[0]
             for c in others:
                 logger.debug(
@@ -357,7 +399,7 @@ class RecipeEngine:
         out = []
         for v in r.values:
             out += ordering_check(
-                df.filter(F.col(v).isNotNull()),
+                df.filter(qcol(v).isNotNull()),
                 order,
                 r.series[0],
                 v,
@@ -387,7 +429,7 @@ class RecipeEngine:
         for combo in sorted(combos, key=lambda t: tuple(str(x) for x in t)):
             sub = df
             for c, val in zip(variants, combo):
-                sub = sub.filter(F.col(c) == F.lit(val))
+                sub = sub.filter(qcol(c) == F.lit(val))
             yield combo, pivot_table(
                 sub, r.axis, r.series or ["File"], r.values, self._pivot_agg()
             )

@@ -266,7 +266,11 @@ class SparkExprCompiler:
             and isinstance(node.slice, ast.Constant)
             and isinstance(node.slice.value, str)
         ):
-            return F.col(node.slice.value)
+            # backtick-quote: packed/renamed recipe columns may contain
+            # dots (SVM.fit) which bare F.col parses as a struct path
+            from bearysta_spark.colnames import qcol
+
+            return qcol(node.slice.value)
         base = self.visit(node.value)
         if isinstance(node.slice, ast.Slice):
             lo = self.visit(node.slice.lower) if node.slice.lower else None
@@ -395,6 +399,40 @@ class SparkExprCompiler:
             isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not)
         )
 
+    def _static_dtype(self, node: ast.expr):
+        if (
+            isinstance(node, ast.Subscript)
+            and isinstance(node.slice, ast.Constant)
+            and isinstance(node.slice.value, str)
+        ):
+            return self._dtype_of(node.slice.value)
+        return None
+
+    def _mixed_eq(self, col: Column, col_dt, v) -> Column | None:
+        """Cross-type equality with the reference's semantics, ANSI-safe.
+
+        Spark ANSI casts the literal to the column type and THROWS on
+        'Serial' vs a bigint column; pandas (read_csv object columns
+        hold per-cell parsed values) yields plain False for number-vs-
+        word and True for '1'-cell vs 1. Returns None when the default
+        typed comparison is already correct."""
+        if isinstance(col_dt, NumericType) and isinstance(v, str):
+            # numeric column never equals a non-numeric word; a numeric
+            # string literal compares through its parsed value
+            try:
+                return col == F.lit(float(v))
+            except ValueError:
+                return F.lit(False)
+        if (
+            isinstance(col_dt, StringType)
+            and isinstance(v, (int, float))
+            and not isinstance(v, bool)
+        ):
+            # string column kept mixed content ('Serial', '8'): compare
+            # numerically where the cell parses, never equal otherwise
+            return col.try_cast("double") == F.lit(float(v))
+        return None
+
     def visit_Compare(self, node: ast.Compare):
         if len(node.ops) != 1:
             raise ExprCompileError("chained comparisons unsupported")
@@ -402,16 +440,46 @@ class SparkExprCompiler:
         b = self.visit(node.comparators[0])
         op = node.ops[0]
         a_col = a if isinstance(a, Column) else F.lit(a)
+        a_dt = self._static_dtype(node.left)
         if _is_pandas(b):
             b = b.tolist() if hasattr(b, "tolist") else list(b)
         elif isinstance(b, dict):
             b = list(b)  # python `in dict` checks keys
-        if isinstance(op, ast.In):
-            vals = b if isinstance(b, (list, tuple)) else [b]
-            return F.coalesce(a_col.isin(list(vals)), F.lit(False))
-        if isinstance(op, ast.NotIn):
-            vals = b if isinstance(b, (list, tuple)) else [b]
-            return F.coalesce(~a_col.isin(list(vals)), F.lit(True))
+        if isinstance(op, (ast.In, ast.NotIn)):
+            vals = list(b) if isinstance(b, (list, tuple)) else [b]
+            hits = []
+            direct = []
+            for v in vals:
+                mixed = (
+                    self._mixed_eq(a_col, a_dt, v)
+                    if not isinstance(v, Column)
+                    else None
+                )
+                if mixed is not None:
+                    hits.append(mixed)
+                else:
+                    direct.append(v)
+            if direct:
+                hits.append(a_col.isin(direct))
+            out = hits[0] if hits else F.lit(False)
+            for h in hits[1:]:
+                out = out | h
+            if isinstance(op, ast.In):
+                return F.coalesce(out, F.lit(False))
+            return F.coalesce(~out, F.lit(True))
+        if isinstance(op, (ast.Eq, ast.NotEq)) and not isinstance(b, Column):
+            mixed = self._mixed_eq(a_col, a_dt, b)
+            if mixed is not None:
+                if isinstance(op, ast.Eq):
+                    return F.coalesce(mixed, F.lit(False))
+                return F.coalesce(~mixed, F.lit(True))
+        if isinstance(op, (ast.Eq, ast.NotEq)) and not isinstance(a, Column) and isinstance(b, Column):
+            # literal == row['col'] (mirrored operands)
+            mixed = self._mixed_eq(b, self._static_dtype(node.comparators[0]), a)
+            if mixed is not None:
+                if isinstance(op, ast.Eq):
+                    return F.coalesce(mixed, F.lit(False))
+                return F.coalesce(~mixed, F.lit(True))
         b_col = b if isinstance(b, Column) else F.lit(b)
         if isinstance(op, ast.Eq):
             # pandas: NaN == x → False

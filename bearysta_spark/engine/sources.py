@@ -39,9 +39,12 @@ from bearysta_spark.engine.recipe import Recipe, RecipeError
 
 
 def expand_globs(patterns: list[str]) -> list[str]:
+    # absolute paths: the glob resolves against the python process cwd,
+    # but a relative path handed to spark.read resolves against the
+    # JVM's cwd — not necessarily the same directory
     files: list[str] = []
     for p in patterns:
-        files += sorted(globmod.glob(p))
+        files += sorted(os.path.abspath(f) for f in globmod.glob(p))
     return files
 
 

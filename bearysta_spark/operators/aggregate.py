@@ -15,10 +15,14 @@ so at 100 TB prefer `percentile_approx` (exposed as `median_approx`).
 
 from __future__ import annotations
 
+import logging
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from bearysta_spark.colnames import qcol
 
 
 def _geomean(col: Column) -> Column:
@@ -67,14 +71,40 @@ _EXACT_ALIASES = {"mean": "mean_exact", "avg": "mean_exact", "sum": "sum_exact"}
 def agg_expr(func: str, col: str | Column, alias: str | None = None) -> Column:
     """Resolve an aggregation-function name (recipe `aggregation:` key)
     to a Column expression. Unknown names raise, mirroring the reference's
-    pandas-dispatch failure mode."""
+    pandas-dispatch failure mode.
+
+    Scale guard: exact `median` cannot partial-aggregate — every row of a
+    group ships to one reducer, the one recipe aggregation that degrades
+    superlinearly at corpus scale. Set BEARYSTA_SPARK_MEDIAN=approx to
+    swap every recipe `median` for percentile_approx (t-digest, map-side
+    combinable); the default stays exact because the DuckDB oracle and
+    the reference's pandas median are exact."""
     if func not in AGG_FUNCS:
         raise ValueError(
             f"unknown aggregation {func!r}; available: {sorted(AGG_FUNCS)}"
         )
-    c = F.col(col) if isinstance(col, str) else col
+    if func == "median":
+        if os.environ.get("BEARYSTA_SPARK_MEDIAN", "exact") == "approx":
+            func = "median_approx"
+        else:
+            _warn_exact_median()
+    c = qcol(col)
     out = AGG_FUNCS[func](c)
     return out.alias(alias) if alias else out
+
+
+_median_warned = False
+
+
+def _warn_exact_median() -> None:
+    global _median_warned
+    if not _median_warned:
+        logging.getLogger("bearysta_spark.operators").warning(
+            "exact median cannot partial-aggregate (all rows per group "
+            "shuffle to one reducer); set BEARYSTA_SPARK_MEDIAN=approx "
+            "for the t-digest percentile_approx at scale"
+        )
+        _median_warned = True
 
 
 def group_agg(
@@ -98,8 +128,8 @@ def group_agg(
     aggs = [agg_expr(func, v, v) for v in values]
     if keep_others:
         others = [c for c in df.columns if c not in dims and c not in values]
-        aggs += [F.first(c, ignorenulls=True).alias(c) for c in others]
-    return df.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
+        aggs += [F.first(qcol(c), ignorenulls=True).alias(c) for c in others]
+    return df.groupBy(*[qcol(d) for d in dims]).agg(*aggs)
 
 
 def pivot_table(
@@ -119,9 +149,9 @@ def pivot_table(
     full shuffle of its own.
     """
     key = (
-        F.concat_ws("|", *[F.col(c).cast("string") for c in columns])
+        F.concat_ws("|", *[qcol(c).cast("string") for c in columns])
         if len(columns) != 1
-        else F.col(columns[0]).cast("string")
+        else qcol(columns[0]).cast("string")
     )
     g = df.withColumn("__pivot_key", key).groupBy(*index)
     p = g.pivot("__pivot_key", list(column_values) if column_values else None)

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bearysta_spark.colnames import qcol
+
 from bearysta_spark.operators.aggregate import agg_expr
 
 
@@ -48,7 +50,7 @@ def expected_fill(
 
     fill = missing.select(
         *[
-            F.col(c) if c in ([*keys, *series]) else F.lit(None).cast(df.schema[c].dataType).alias(c)
+            qcol(c) if c in ([*keys, *series]) else F.lit(None).cast(df.schema[c].dataType).alias(c)
             for c in df.columns
         ]
     )

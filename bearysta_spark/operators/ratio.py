@@ -27,6 +27,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bearysta_spark.colnames import qcol
+
 from bearysta_spark.operators.aggregate import agg_expr
 
 
@@ -67,7 +69,7 @@ def ratio_of(
 
     base_slice = df
     for k, v in base.items():
-        base_slice = base_slice.filter(F.col(k) == F.lit(v))
+        base_slice = base_slice.filter(qcol(k) == F.lit(v))
     if check_base and base_slice.isEmpty():
         raise MissingBaseError(f"no rows match ratio base {dict(base)!r}")
 

@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bearysta_spark.colnames import qcol
+
 
 def pack(
     df: DataFrame,
@@ -30,8 +32,13 @@ def pack(
     id_vars. Values are cast to a common type (melt requires it; recipe
     values are numeric measures)."""
     ids = [c for c in df.columns if c not in columns]
-    casted = df.select(*ids, *[F.col(c).cast(value_type).alias(c) for c in columns])
-    return casted.unpivot(ids, list(columns), name, value)
+    casted = df.select(
+        *[qcol(c) for c in ids],
+        *[qcol(c).cast(value_type).alias(c) for c in columns],
+    )
+    return casted.unpivot(
+        [qcol(c) for c in ids], [qcol(c) for c in columns], name, value
+    )
 
 
 def unpack(
@@ -43,5 +50,7 @@ def unpack(
     """Pivot the `name` column's values into columns holding first(value)
     per group of all remaining columns."""
     others = [c for c in df.columns if c not in (name, value)]
-    p = df.groupBy(*others).pivot(name, list(column_values) if column_values else None)
-    return p.agg(F.first(value, ignorenulls=True))
+    p = df.groupBy(*[qcol(c) for c in others]).pivot(
+        name, list(column_values) if column_values else None
+    )
+    return p.agg(F.first(qcol(value), ignorenulls=True))
