@@ -6,21 +6,34 @@ typed struct, and every decode / feature-extract / resize / frame-sample
 step is an Arrow-batched `mapInPandas` operator so payload bytes move
 once per stage, in columnar batches, never row-at-a-time.
 
-The container ships no image/audio libs, so the decode kernels are
-STUBS: `fake=True` produces deterministic synthetic outputs (content-
-hash-seeded) with the real schema, partitioning, UDF signature and
-batch shape — everything except the pixel math is production-shaped;
-with fake=False they raise NotImplementedError at the decode site.
+Decode backends: `fake=True` (default) produces deterministic synthetic
+outputs (content-hash-seeded) with the real schema, partitioning, UDF
+signature and batch shape; `fake=False` uses Pillow when importable in
+the executor environment (decode, pixel features, resize) and raises
+NotImplementedError with an actionable message when it is not — this
+container ships no image libs, so the PIL paths are exercised only
+where the optional dep exists (tests skip accordingly).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pil():
+    """Import-gated Pillow accessor (executor-side)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 # typed metadata struct carried alongside every payload
 META_SCHEMA = (
@@ -68,21 +81,38 @@ def extract_features(
     multimodal pipeline at scale)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil()
         for pdf in batches:
-            if not fake:
+            if fake:
+                feats = [_fake_feature(bytes(p), dim) for p in pdf[payload_col]]
+                mt = "image/fake"
+            elif Image is None:
                 raise NotImplementedError(
-                    "real image decode requires PIL/ffmpeg — not in this container"
+                    "real image decode requires Pillow in the executor env "
+                    "(pip install pillow) — or run with fake=True"
                 )
+            else:
+                feats, mt = [], "image/decoded"
+                for p in pdf[payload_col]:
+                    feats.append(_pil_feature(Image, bytes(p), dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "media_type": "image/fake",
-                    "feat": [_fake_feature(bytes(p), dim) for p in pdf[payload_col]],
+                    "media_type": mt,
+                    "feat": feats,
                     "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def _pil_feature(Image, payload: bytes, dim: int) -> list[float]:
+    """Real decode path: grayscale-resize the image to a dim-pixel strip
+    and emit normalized intensities — a minimal, dependency-light
+    stand-in for a CNN embedding that still reflects pixel content."""
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return [px / 255.0 for px in img.getdata()]
 
 
 def resize_images(
@@ -98,18 +128,31 @@ def resize_images(
     the binary-in/binary-out plumbing."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil()
         target = width * height // 64 + 8
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires an image lib")
-            payloads = [
-                (bytes(p) * (target // max(len(bytes(p)), 1) + 1))[:target]
-                for p in pdf[payload_col]
-            ]
+            if fake:
+                payloads = [
+                    (bytes(p) * (target // max(len(bytes(p)), 1) + 1))[:target]
+                    for p in pdf[payload_col]
+                ]
+                mt = "image/fake"
+            elif Image is None:
+                raise NotImplementedError(
+                    "real resize requires Pillow in the executor env "
+                    "(pip install pillow) — or run with fake=True"
+                )
+            else:
+                payloads, mt = [], "image/png"
+                for p in pdf[payload_col]:
+                    img = Image.open(io.BytesIO(bytes(p))).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payloads.append(buf.getvalue())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "media_type": "image/fake",
+                    "media_type": mt,
                     "payload": payloads,
                     "width": width,
                     "height": height,

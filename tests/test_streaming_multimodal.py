@@ -179,3 +179,112 @@ def test_stream_static_enrichment(spark, sf_dir):
         .collect()
     }
     assert rows == batch
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="Pillow not installed",
+)
+def test_multimodal_real_decode_with_pillow(spark):
+    # real-decode path, exercised only where the optional dep exists:
+    # a 2x2 PNG built with PIL round-trips through feature extraction
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id: long, payload: binary")
+    row = MM.extract_features(df, dim=4, fake=False).first()
+    assert row["media_type"] == "image/decoded"
+    assert len(row["feat"]) == 4
+    rs = MM.resize_images(df, 8, 8, fake=False).first()
+    assert rs["media_type"] == "image/png" and rs["width"] == 8
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    # r01 VERDICT #10: a real multi-micro-batch file source where the
+    # watermark actually advances and discards a late row — the single
+    # processAllAvailable backlog tests can never exercise the drop.
+    import datetime as dt
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    schema = "ts timestamp, user_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_drop_test")
+        .start()
+    )
+    try:
+        feed([(t(10, 0), 1, 1.0), (t(10, 30), 2, 1.0), (t(12, 0), 3, 1.0)])
+        q.processAllAvailable()  # watermark -> 11:00
+        feed([(t(9, 10), 4, 99.0), (t(13, 0), 5, 1.0)])
+        q.processAllAvailable()  # 09:10 is behind the watermark: dropped
+        feed([(t(15, 30), 6, 1.0)])
+        q.processAllAvailable()  # watermark 14:30: flushes 12:00 + 13:00
+    finally:
+        q.stop()
+
+    got = {
+        r["w"]["start"].hour: r["n"]
+        for r in spark.sql("SELECT * FROM wm_drop_test").collect()
+    }
+    # batch oracle over the NON-late rows for the closed windows
+    assert got[10] == 2  # the late 09:10 event did NOT resurrect hour 9/10
+    assert 9 not in got
+    assert got[12] == 1 and got[13] == 1
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    # duplicates arriving in LATER micro-batches must be suppressed by
+    # the state store; output equals the batch distinct-by-event_id
+    import datetime as dt
+
+    from bearysta_spark.streaming.stateful import stream_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    schema = "user_id long, event_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_mb_test")
+        .start()
+    )
+    try:
+        feed([(1, 101, 1.0), (1, 102, 2.0), (2, 201, 3.0)])
+        q.processAllAvailable()
+        feed([(1, 102, 2.0), (1, 103, 4.0), (2, 201, 3.0), (2, 202, 5.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["user_id"], r["event_id"])
+        for r in spark.sql("SELECT * FROM dedup_mb_test").collect()
+    )
+    # batch oracle: distinct (user_id, event_id) across both feeds
+    assert got == [(1, 101), (1, 102), (1, 103), (2, 201), (2, 202)]
