@@ -225,3 +225,17 @@ def test_asof_join_null_right_value_attaches_matched_row(spark):
     tol = asof_join(left, right, on="ts", by=["user"], right_cols=["v"],
                     tolerance_seconds=2 * 3600)
     assert [r["v"] for r in tol.collect()] == [None]
+
+
+def test_median_scale_guard_env_switch(spark, monkeypatch):
+    # BEARYSTA_SPARK_MEDIAN=approx swaps recipe medians for the
+    # map-side-combinable t-digest; default stays exact (oracle parity)
+    from bearysta_spark.operators.aggregate import agg_expr
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (100.0,)], "v: double")
+    exact = df.agg(agg_expr("median", "v", "m")).collect()[0]["m"]
+    assert exact == pytest.approx(2.0)
+
+    monkeypatch.setenv("BEARYSTA_SPARK_MEDIAN", "approx")
+    approx = df.agg(agg_expr("median", "v", "m")).collect()[0]["m"]
+    assert approx == pytest.approx(2.0)  # t-digest exact on tiny input
