@@ -2840,6 +2840,140 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)            AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+           round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6) AS type_token_ratio
+    FROM toks GROUP BY source
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary growth (Heaps-law corpus analytics): token
+    count, type count, type-token ratio. One explode + one aggregate;
+    the distinct-count is the only extra shuffle and partial-aggregates
+    map-side. The ratio is a single double division of two exact bigints
+    → bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "tok"
+        ),
+    )
+    return toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("tok")).cast("long").alias("n_types"),
+        F.round(
+            F.count_distinct(F.col("tok")).cast("double") / F.count("*"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "simpson_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+      FROM documents
+    ), freqs AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           round(CAST(sum(cnt * cnt) AS DOUBLE)
+                 / (CAST(sum(cnt) AS DOUBLE) * sum(cnt)), 10) AS simpson
+    FROM freqs GROUP BY source
+    """,
+)
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical concentration (Simpson index): sum(cnt²)/N² —
+    the repetitiveness signal a mixture designer reads before weighting
+    a source. All-integer accumulation (sum of bigint squares) with one
+    final double division → exact cross-engine equality without decimal
+    gymnastics; log-free on purpose (libm last-ulp differences are not
+    portable, entropy would need them)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "tok"
+        ),
+    )
+    freqs = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("cnt"))
+    return freqs.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (F.sum("cnt").cast("double") * F.sum("cnt")),
+            10,
+        ).alias("simpson")
+    )
+
+
+@query(
+    "token_commonness",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS tok
+      FROM documents
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM toks GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id, CAST(sum(d.doc_freq) AS BIGINT) AS sum_df,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM toks t JOIN df d USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT s.source,
+           round(CAST(sum(sc.sum_df) AS DOUBLE) / sum(sc.n_distinct), 6)
+             AS avg_token_doc_freq
+    FROM scored sc JOIN documents s USING (doc_id)
+    GROUP BY s.source
+    """,
+)
+def token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signal: how 'common' is each source's vocabulary — the
+    mean document-frequency of distinct tokens, aggregated per source
+    (rare-vocabulary sources score low; boilerplate scores high). The
+    doc-frequency table is built once and equi-joined back to the
+    exploded distinct tokens; integer sums all the way, one final
+    division. At 100 TB the df table is vocabulary-sized (≪ corpus) and
+    broadcastable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count("*").cast("long").alias("doc_freq"))
+    scored = (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("doc_freq").cast("long").alias("sum_df"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum("sum_df").cast("double") / F.sum("n_distinct"), 6
+            ).alias("avg_token_doc_freq")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -2883,6 +3017,10 @@ _DRIVER_PRIORITY = [
     "near_dup_pairs",
     "knn_ivf",
     "dedup_clusters",
+    # -- new in r02 (no driver row yet either) -----------------------------
+    "vocab_stats",
+    "simpson_diversity",
+    "token_commonness",
     # -- driver-green in r01 (keep refreshing as budget allows) ------------
     "part_type_stats",
     "agg_geomean",

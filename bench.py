@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "bigram_frequency",
     "recipe_pipeline",
     "recipe_ratio",
+    "vocab_stats",
+    "simpson_diversity",
+    "token_commonness",
 ]
 
 
