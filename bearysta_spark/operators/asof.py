@@ -69,7 +69,8 @@ def asof_join(
     keep = F.col("__r").isNotNull()
     if tolerance_seconds is not None:
         keep = keep & (
-            F.unix_micros(F.col(on)) - F.unix_micros(F.col("__r.__rt"))
+            F.unix_micros(F.col(on).cast("timestamp"))
+            - F.unix_micros(F.col("__r.__rt").cast("timestamp"))
             <= tolerance_seconds * 1_000_000
         )
     for c in right_cols:

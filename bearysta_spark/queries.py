@@ -1534,7 +1534,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition-by-user pattern."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # parquet naive timestamps load as TIMESTAMP_NTZ; unix_micros requires
+    # TIMESTAMP — the cast is exact because the session TZ is pinned UTC
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
     new_session = F.when(
         gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
     ).otherwise(0)

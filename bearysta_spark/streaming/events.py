@@ -15,42 +15,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see tables.load_events)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
+from pyspark.sql.types import LongType
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet; ts converted ns→timestamp.
+    """readStream over the events parquet; ts normalized to a timestamp.
 
     The file source wants a directory — point it at the sf dir with a
     glob filter (new event files landing there stream in incrementally,
     the object-store ingestion pattern). maxFilesPerTrigger bounds each
     micro-batch.
+
+    The stream schema is probed from a batch read of the same files so
+    both physical encodings of `ts` work: legacy nanos-as-long (bigint)
+    and native parquet timestamp[us] (TIMESTAMP_NTZ).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probe)
         .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if isinstance(probe["ts"].dataType, LongType):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
