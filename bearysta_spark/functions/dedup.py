@@ -323,16 +323,23 @@ def simhash_sketches(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_pattern: str = "[A-Za-z0-9]+",
+    oracle_safe: bool = False,
 ) -> DataFrame:
     """Distributed SimHash: explode distinct tokens → one aggregate with
-    63 plain ±1 bit-vote sums → reassemble the sketch.
+    plain ±1 bit-vote sums → reassemble the sketch.
 
     Prefer this over the scalar `simhash64` column beyond toy sizes: the
     63 higher-order folds build an expression tree past the codegen
     method-size limit (interpreted fallback, measured ~16 s for 5k docs
     vs ~1 s here), while explode + plain sums stays in codegen and
-    map-side-combines. Output: id_col + all original columns via
-    rejoin? No — (id_col, sketch); join back on id_col if needed.
+    map-side-combines. Output: (id_col, sketch); join back on id_col if
+    needed.
+
+    oracle_safe=True derives the per-token bits from the low 60 bits of
+    md5 (15 hex chars → long, reproducible in any SQL engine: DuckDB
+    spells it ('0x' || substr(md5(tok),1,15))::BIGINT); the default is
+    xxhash64's 63 positive bits (faster, Spark-only). Banding and
+    hamming downstream are unchanged — high always-zero bits never vote.
     """
     toks = _spread(df).select(
         F.col(id_col),
@@ -340,17 +347,22 @@ def simhash_sketches(
             F.array_distinct(F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0))
         ).alias("tok"),
     )
-    h = F.xxhash64("tok")
+    if oracle_safe:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        nbits = 60
+    else:
+        h = F.xxhash64("tok")
+        nbits = 63
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(63)
+            for i in range(nbits)
         ]
     )
     sketch = F.lit(0).cast("long")
-    for i in range(63):
+    for i in range(nbits):
         sketch = sketch + F.when(
             F.col(f"b{i}") > 0, F.lit(2**i).cast("long")
         ).otherwise(F.lit(0).cast("long"))

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 
 def asof_join(
@@ -34,8 +35,21 @@ def asof_join(
 
     right_cols: right columns to carry (default: all non-key,
     non-time). Carried columns are renamed with `suffix` on clashes.
+
+    tolerance_seconds requires a timestamp-typed `on` column (TIMESTAMP
+    or TIMESTAMP_NTZ); the gap is computed with timestampdiff on the
+    original type, so NTZ inputs are DST-safe regardless of session TZ
+    and numeric time columns fail fast instead of being silently read
+    as epoch seconds.
     """
     by = list(by)
+    if tolerance_seconds is not None:
+        on_type = left.schema[on].dataType
+        if not isinstance(on_type, (TimestampType, TimestampNTZType)):
+            raise TypeError(
+                f"asof_join tolerance_seconds requires a timestamp `on` "
+                f"column; {on!r} is {on_type.simpleString()}"
+            )
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
     out_names = {
@@ -69,9 +83,8 @@ def asof_join(
     keep = F.col("__r").isNotNull()
     if tolerance_seconds is not None:
         keep = keep & (
-            F.unix_micros(F.col(on).cast("timestamp"))
-            - F.unix_micros(F.col("__r.__rt").cast("timestamp"))
-            <= tolerance_seconds * 1_000_000
+            F.timestamp_diff("MICROSECOND", F.col("__r.__rt"), F.col(on))
+            <= int(tolerance_seconds * 1_000_000)
         )
     for c in right_cols:
         filled = filled.withColumn(

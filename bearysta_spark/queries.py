@@ -72,6 +72,30 @@ def _davg_sql(expr: str, scale: int = 4) -> str:
     )
 
 
+def _sql_vec(v) -> str:
+    """A python float list as a DuckDB DOUBLE[] literal. repr() is the
+    shortest round-trip form, and DuckDB's strtod is correctly rounded,
+    so both engines see bit-identical plane/centroid constants."""
+    return "CAST([" + ", ".join(repr(float(x)) for x in v) + "] AS DOUBLE[])"
+
+
+# Fixed-seed ANN geometry, shared verbatim by the Spark queries and the
+# DuckDB oracles below (the literals fold into both plans as constants).
+_LSH_PLANES = S.make_planes(dim=64, bits=4, seed=42)
+
+
+def _make_ivf_centroids() -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((8, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+_IVF_CENTROIDS = _make_ivf_centroids()
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -2300,9 +2324,9 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
-           CASE WHEN s = 0 THEN [0 for x in embedding]
+           CAST(to_json(CASE WHEN s = 0 THEN [0 for x in embedding]
                 ELSE [CAST(trunc(CAST(x AS DOUBLE) * 127.0 / s) AS INTEGER)
-                      for x in embedding] END AS qvec,
+                      for x in embedding] END) AS VARCHAR) AS qvec_json,
            s AS scale,
            CASE WHEN s = 0 THEN 0.0
                 ELSE list_max([abs(CAST(x AS DOUBLE)
@@ -2317,31 +2341,79 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, per-vector scale, exact max dequantization error. trunc
     (not round) keeps both engines bit-identical — cast double→int
     truncates in Spark while DuckDB's cast rounds, so the oracle spells
-    trunc explicitly. Scan-side only; no shuffle."""
+    trunc explicitly. Scan-side only; no shuffle.
+
+    The registered query projects qvec as a JSON string (to_json in
+    both engines) so the harness can canonicalize — pandas sort_values
+    can't order an array<int> column. Internal consumers use
+    quantize_int8's array output directly."""
     from bearysta_spark.functions.quantize import quantize_int8
 
     e = _t(spark, sf_dir, "embeddings")
-    return quantize_int8(e)
+    return quantize_int8(e).select(
+        "vec_id",
+        F.to_json("qvec").alias("qvec_json"),
+        "scale",
+        "max_err",
+    )
 
 
-@query("knn_ivf")  # rows-only: approximate by construction
+_IVF_CM_SQL = ",\n      ".join(
+    f"({i}, {_sql_vec(c)})" for i, c in enumerate(_IVF_CENTROIDS)
+)
+
+
+@query(
+    "knn_ivf",
+    oracle=f"""
+    WITH cm(cell, c) AS (VALUES
+      {_IVF_CM_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (
+      SELECT e.vec_id, e.v, CAST(cm.cell AS INT) AS cell,
+             list_dot_product(e.v, cm.c) AS score
+      FROM e, cm
+    ),
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+      FROM sc
+    ),
+    corpus AS (SELECT vec_id AS nid, v AS nvec, cell FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qvec, cell
+          FROM ranked WHERE rn <= 2 AND vec_id < 5),
+    scored AS (
+      SELECT qid, nid,
+             list_dot_product(qvec, nvec)
+             / (sqrt(list_dot_product(qvec, qvec))
+                * sqrt(list_dot_product(nvec, nvec))) AS sim
+      FROM q JOIN corpus USING (cell) WHERE qid != nid
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of K fixed
     seed centroids (deterministic, driver-generated), then search only
     within the query's probe cells. The coarse-quantizer pattern of
     FAISS-IVF expressed as two DataFrame joins — at 100 TB the centroid
     assignment is a scan-side map (centroids broadcast as literals) and
-    the per-cell search replaces the full crossJoin."""
-    from bearysta_spark.functions.similarity import ivf_topk, make_planes
+    the per-cell search replaces the full crossJoin.
+
+    Deterministic given the fixed-seed centroids (stable argsort, ties
+    by cell asc), so the DuckDB oracle replays assignment (row_number
+    by score DESC, cell ASC), probe-2 search, and re-rank from the same
+    centroid literals (shared module constant _IVF_CENTROIDS)."""
+    from bearysta_spark.functions.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    import numpy as np
-
-    rng = np.random.default_rng(7)
-    centroids = rng.standard_normal((8, 64))
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
     q = e.filter(F.col("vec_id") < 5)
-    out = ivf_topk(e, q, centroids.tolist(), k=5, probes=2)
+    out = ivf_topk(e, q, _IVF_CENTROIDS, k=5, probes=2)
     return out.select(
         "qid",
         "nid",
@@ -2677,7 +2749,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_pairs")  # rows-only: xxhash64-based sketch has no SQL twin
+@query(
+    "simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, CAST(t.i AS INT) AS bit,
+             sum(CASE WHEN (hv >> CAST(t.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, generate_series(0, 59) AS t(i)
+      GROUP BY doc_id, t.i
+    ),
+    sk AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS sketch
+      FROM votes GROUP BY doc_id
+    ),
+    sks AS (
+      SELECT s.doc_id, s.sketch, d.source FROM sk s JOIN documents d USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sketch, b.sketch)) AS INT) AS hamming
+    FROM sks a JOIN sks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sketch, b.sketch)) <= 6
+    """,
+)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit token sketch, pairs within hamming ≤ 6
     inside each source block, found by pigeonhole banding
@@ -2685,12 +2787,18 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (chunk_id, chunk_value, source) → hamming verify. Never forms a
     within-block cross product, so candidate volume tracks duplicate
     density instead of block_size², the shape that survives
-    billion-document source blocks."""
+    billion-document source blocks.
+
+    Runs the oracle_safe md5-bit sketch so the DuckDB twin (a
+    brute-force within-source pair scan over the same sketches) can
+    verify the banding end-to-end — the oracle proves the pigeonhole
+    join finds exactly the pairs the naive quadratic scan finds. The
+    xxhash64 production sketch is the `oracle_safe=False` default."""
     d = _t(spark, sf_dir, "documents")
     # cache: both sides of the banded self-join read the sketch frame,
-    # and the 63-sum sketch aggregation is the expensive part
+    # and the 60-sum sketch aggregation is the expensive part
     sk = (
-        D.simhash_sketches(d)
+        D.simhash_sketches(d, oracle_safe=True)
         .join(d.select("doc_id", "source"), "doc_id")
         .cache()
     )
@@ -2699,15 +2807,49 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh")  # rows-only: approximate by construction
+_LSH_SIG_SQL = "\n         + ".join(
+    f"(CASE WHEN list_dot_product(v, {_sql_vec(p)}) >= 0"
+    f" THEN {1 << i} ELSE 0 END)"
+    for i, p in enumerate(_LSH_PLANES)
+)
+
+
+@query(
+    "knn_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+           {_LSH_SIG_SQL} AS sig
+      FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qvec, sig FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, c.vec_id AS nid,
+             list_dot_product(q.qvec, c.v)
+             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                * sqrt(list_dot_product(c.v, c.v))) AS sim
+      FROM q JOIN sig c ON q.sig = c.sig AND q.qid != c.vec_id
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (functions.similarity.lsh_topk):
     the scale path for similarity search — equi-join on sign-bucket
-    instead of a crossJoin, exact re-rank within bucket."""
+    instead of a crossJoin, exact re-rank within bucket.
+
+    Deterministic given the fixed-seed planes, so the DuckDB oracle
+    replays the identical signature + bucket-join + re-rank from the
+    same plane literals (shared module constant _LSH_PLANES)."""
     e = _t(spark, sf_dir, "embeddings")
-    planes = S.make_planes(dim=64, bits=4, seed=42)
     q = e.filter(F.col("vec_id") < 5)
-    out = S.lsh_topk(e, q, planes, k=5)
+    out = S.lsh_topk(e, q, _LSH_PLANES, k=5)
     return out.select(
         "qid", "nid", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank")
     )

@@ -13,9 +13,31 @@ test suite asserts equality of the two results.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+# Default when the directory is empty at stream-definition time (the
+# object-store ingestion pattern: files land after the stream starts).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see tables.load_events)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet; ts normalized to a timestamp.
@@ -27,22 +49,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The stream schema is probed from a batch read of the same files so
     both physical encodings of `ts` work: legacy nanos-as-long (bigint)
-    and native parquet timestamp[us] (TIMESTAMP_NTZ).
+    and native parquet timestamp[us] (TIMESTAMP_NTZ). withWatermark
+    requires TIMESTAMP — NTZ is cast (session TZ pinned UTC, so the cast
+    is offset-free). An empty directory falls back to the nanos schema.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
-    )
+    try:
+        probe = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+    except AnalysisException:  # no files yet — start on the default schema
+        probe = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(probe)
         .option("maxFilesPerTrigger", 4)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(probe["ts"].dataType, LongType):
+    ts_type = probe["ts"].dataType
+    if isinstance(ts_type, LongType):
         raw = raw.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
