@@ -87,6 +87,36 @@ def shingle_df(
     return shingle_rows(df, text_col, id_col, k).distinct()
 
 
+def drop_boilerplate_shingles(
+    sh: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Remove shingles present in more than max_df_frac of documents
+    (template boilerplate) before MinHash.
+
+    Why this matters at scale: a MinHash function whose global-argmin
+    shingle is boilerplate is degenerate — most docs share its min, the
+    band containing it stops discriminating, and LSH candidate volume
+    blows up quadratically in the boilerplate clique size (measured on
+    this corpus: 2 of 12 draws degenerate → one band at 35k pair-slots
+    vs ~4k healthy, 3× total candidates). Filtering by document
+    frequency removes the cause rather than re-rolling seeds, and makes
+    the downstream Jaccard measure distinctive content. The hot-shingle
+    list is tiny (DF > frac·N bounds it by 1/frac · shingles-per-doc) —
+    broadcast anti-join, no extra wide shuffle beyond the DF count,
+    which map-side combines on the shingle key.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") > max_df_frac * n_docs)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -133,6 +163,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     oracle_safe: bool = True,
     sh: DataFrame | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash
     signature. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -140,8 +171,15 @@ def minhash_lsh_pairs(
     Scale path: the band bucket key is md5(band-slice), the self-join is
     an equi-join on that key — bucket sizes are the only quadratic
     surface, and AQE's skew-join splitting handles hot buckets.
+    max_df_frac drops boilerplate shingles first (see
+    drop_boilerplate_shingles); callers passing a prebuilt `sh` are
+    expected to have filtered it themselves.
     """
     rows_per_band = num_hashes // bands
+    if sh is None and max_df_frac is not None:
+        sh = drop_boilerplate_shingles(
+            shingle_rows(df, text_col, id_col, k), df.count(), id_col, max_df_frac
+        )
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe, sh=sh)
     band_key = [
         (
@@ -243,6 +281,7 @@ def minhash_dedup_verified(
     bands: int = 3,
     threshold: float = 0.5,
     oracle_safe: bool = True,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash+LSH candidate pairs →
     exact n-gram Jaccard verification ≥ threshold.
@@ -251,10 +290,18 @@ def minhash_dedup_verified(
     LSH bucket-mates (measured ~200 candidates for 500 docs at the shipped
     parameters), and the exact verifier only touches candidates. Returns
     (id_a, id_b, jaccard).
+
+    max_df_frac filters boilerplate shingles before BOTH the signatures
+    and the Jaccard verify, so similarity is measured on distinctive
+    content (see drop_boilerplate_shingles for why this is the
+    robustness lever on templated corpora).
     """
     # one shingle explode+distinct, cached, shared by signature build,
     # size counts, and both verify joins
-    sh = shingle_df(df, text_col, id_col, k).cache()
+    sh = shingle_df(df, text_col, id_col, k)
+    if max_df_frac is not None:
+        sh = drop_boilerplate_shingles(sh, df.count(), id_col, max_df_frac)
+    sh = sh.cache()
     cand = minhash_lsh_pairs(
         df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh
     )

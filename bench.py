@@ -110,14 +110,26 @@ def main() -> None:
     spark = get_spark("bearysta_spark_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run_fn(fn) -> float:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         elapsed = time.perf_counter() - t0
         # dedup queries cache intermediates; without clearing, leaked
         # cache blocks accumulate across queries → GC-pressure variance
         spark.catalog.clearCache()
         return elapsed
+
+    def run(name: str) -> float:
+        return run_fn(QUERIES[name])
+
+    def best_of(fn) -> float:
+        # best-of-2, plus a third run for sub-second queries: r02 showed
+        # ~1.4-1.9× run-to-run drift on cheap shapes where scheduler/GC
+        # noise is the same magnitude as the query itself
+        t = min(run_fn(fn), run_fn(fn))
+        if t < 1.0:
+            t = min(t, run_fn(fn))
+        return t
 
     # Warmup: JVM + codegen + parquet footer caches, plus the md5/explode
     # codepaths of the dedup pipeline at a small SF — C2 JIT on those
@@ -140,11 +152,51 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        # best-of-2: run-to-run variance on the GC-heavy dedup queries is
-        # 2-4x; min-of-runs is the standard stable estimator
-        times[name] = round(min(run(name), run(name)), 4)
+        times[name] = round(best_of(QUERIES[name]), 4)
 
     total = round(sum(times.values()), 2)
+
+    # Production-path variants: the registered dedup queries run
+    # oracle_safe=True (md5-based hashing, engine-portable for the DuckDB
+    # correctness gate). The engine's production path is xxhash64 +
+    # boilerplate-shingle filtering (max_df_frac — on this templated
+    # corpus, unfiltered minhash draws degenerate hash functions whose
+    # argmin shingle sits in >70% of docs, and candidate volume blows up
+    # ~3×; see functions.dedup.drop_boilerplate_shingles). Benched
+    # separately so oracle-parity cost is visible, not conflated with
+    # engine cost. Not part of `value` (keeps the headline total
+    # comparable across rounds).
+    from bearysta_spark.functions import dedup as D
+    from bearysta_spark.tables import load_table
+
+    def minhash_lsh_prod(spark, sfd):
+        d = load_table(spark, sfd, "documents")
+        return D.minhash_lsh_pairs(
+            d, num_hashes=12, bands=3, oracle_safe=False, max_df_frac=0.5
+        )
+
+    def near_dup_prod(spark, sfd):
+        d = load_table(spark, sfd, "documents")
+        return D.minhash_dedup_verified(
+            d, num_hashes=12, bands=3, threshold=0.5, oracle_safe=False,
+            max_df_frac=0.5,
+        )
+
+    def simhash_prod(spark, sfd):
+        d = load_table(spark, sfd, "documents")
+        sk = (
+            D.simhash_sketches(d)  # xxhash64 63-bit sketch
+            .join(d.select("doc_id", "source"), "doc_id")
+            .cache()
+        )
+        return D.simhash_near_pairs(sk, max_hamming=6, block_cols=("source",))
+
+    prod = {
+        "minhash_lsh": minhash_lsh_prod,
+        "near_dup": near_dup_prod,
+        "simhash": simhash_prod,
+    }
+    prod_times = {k: round(best_of(fn), 2) for k, fn in prod.items()}
     # The driver captures only the LAST 2000 chars of stdout and parses the
     # JSON from that window (BENCH_r01: 2400-char line → "parsed": null).
     # Keep the line well under 2000: compact separators, 2-decimal values,
@@ -162,6 +214,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": compact,
+            "prod_xxhash": prod_times,
             "sf": sf,
         },
         separators=(",", ":"),

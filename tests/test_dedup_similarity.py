@@ -184,3 +184,62 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
     )
     assert banded == brute
     assert len(banded) > 0
+
+
+def test_drop_boilerplate_shingles(spark):
+    # 10 docs share a template prefix; each has a unique suffix
+    rows = [(i, "SHARED TEMPLATE HEADER unique" + ("x%02d" % i) * 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = D.shingle_df(df)
+    n_before = sh.count()
+    filtered = D.drop_boilerplate_shingles(sh, df.count(), max_df_frac=0.5)
+    n_after = filtered.count()
+    assert n_after < n_before
+    # every surviving shingle is below the DF cap
+    dfreq = (
+        filtered.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.max("df").alias("m")).collect()[0]["m"]
+    )
+    assert dfreq <= 5
+
+
+def test_minhash_max_df_prunes_candidates(spark, documents):
+    raw = D.minhash_lsh_pairs(documents, num_hashes=12, bands=3, oracle_safe=False)
+    pruned = D.minhash_lsh_pairs(
+        documents, num_hashes=12, bands=3, oracle_safe=False, max_df_frac=0.5
+    )
+    assert pruned.count() <= raw.count()
+    # verified pipeline still finds the planted high-jaccard dups
+    pairs = D.minhash_dedup_verified(
+        documents, num_hashes=12, bands=3, threshold=0.5, max_df_frac=0.5
+    )
+    got = pairs.collect()
+    assert len(got) > 0
+    assert all(r["jaccard"] >= 0.5 for r in got)
+
+
+def test_simhash_oracle_safe_mode_banding_parity(spark):
+    # md5-bit sketches stay under 2^60 and banding == brute force
+    rows = [(i, f"alpha beta gamma delta token{i % 4} epsilon") for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sk = D.simhash_sketches(df, oracle_safe=True)
+    vals = [r["sketch"] for r in sk.collect()]
+    assert all(0 <= v < (1 << 60) for v in vals)
+    banded = sorted(
+        tuple(r) for r in D.simhash_near_pairs(sk, max_hamming=6).collect()
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    brute = sorted(
+        tuple(r)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.hamming64(F.col("a.sketch"), F.col("b.sketch"))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    )
+    assert banded == brute

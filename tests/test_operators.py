@@ -188,6 +188,34 @@ def test_asof_join(spark):
     assert got_tol == {1: None, 2: None, 3: 30.0}
 
 
+def test_asof_join_ntz_and_numeric_on(spark):
+    # ADVICE r02: tolerance must be NTZ-safe (computed on the original
+    # type, not cast through session-TZ TIMESTAMP) and must fail fast on
+    # a numeric time column instead of reading it as epoch seconds
+    import pytest
+
+    from bearysta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 12:00:00")], ["id", "user", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 11:40:00", 10.0)], ["user", "ts", "v"]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    tol = asof_join(left, right, on="ts", by=["user"], right_cols=["v"],
+                    tolerance_seconds=1800)
+    assert [r["v"] for r in tol.collect()] == [10.0]
+    tight = asof_join(left, right, on="ts", by=["user"], right_cols=["v"],
+                      tolerance_seconds=600)
+    assert [r["v"] for r in tight.collect()] == [None]
+
+    num_left = spark.createDataFrame([(1, "u1", 1000)], ["id", "user", "t"])
+    num_right = spark.createDataFrame([("u1", 900, 1.0)], ["user", "t", "v"])
+    with pytest.raises(TypeError, match="timestamp"):
+        asof_join(num_left, num_right, on="t", by=["user"], right_cols=["v"],
+                  tolerance_seconds=60)
+
+
 def test_salted_join_equals_plain_join(spark):
     from bearysta_spark.operators.skew import salted_join
 

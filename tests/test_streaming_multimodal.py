@@ -288,3 +288,11 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     )
     # batch oracle: distinct (user_id, event_id) across both feeds
     assert got == [(1, 101), (1, 102), (1, 103), (2, 201), (2, 202)]
+
+
+def test_events_stream_empty_dir_fallback(spark, tmp_path):
+    # ADVICE r02: stream definition must work before any file lands (the
+    # object-store ingestion pattern) — falls back to the explicit schema
+    stream = events_stream(spark, str(tmp_path))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
