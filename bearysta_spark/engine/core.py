@@ -305,13 +305,16 @@ class RecipeEngine:
         reference-exact semantics for explicitly-trusted recipes.
         Row-wise (`row[` present) or frame-wise, applied per batch
         (frame-wise lambdas must therefore be element-wise — true of
-        every shipped recipe)."""
+        every shipped recipe). Frame-wise lambdas returning a
+        (frame, origin) tuple take the P5 merge-back path instead."""
         import pandas as pd  # noqa: F401
 
         logger.warning(
             "precompute %r fell back to python eval (allow_python=True)", col
         )
         row_wise = "row[" in expr
+        if not row_wise and self._probe_returns_tuple(df, expr):
+            return self._tuple_merge_back(df, col, expr)
         out_schema = ", ".join(
             [f"`{c}` {t}" for c, t in df.dtypes] + [f"`{col}` string"]
         )
@@ -333,12 +336,13 @@ class RecipeEngine:
                     fn = eval("lambda df: " + expr, env)  # noqa: S307
                     res = fn(pdf)
                 if isinstance(res, tuple):
-                    # P5 general (df, origin) merge-back: needs the whole
-                    # frame, which a batch never is — reject rather than
-                    # silently merge per-batch (see expr.compile)
+                    # P5 (df, origin) merge-back needs the whole frame,
+                    # which a batch never is — backstop for lambdas the
+                    # probe misclassified (data-dependent return type)
                     raise ValueError(
-                        "tuple-returning precompute is not supported; use "
-                        "the ratio_of/percent_of family"
+                        "tuple-returning precompute detected mid-batch; "
+                        "the expression's return type must not depend on "
+                        "the data"
                     )
                 pdf = pdf.copy()
                 pdf[col] = res.astype(str) if len(pdf) else res
@@ -346,6 +350,62 @@ class RecipeEngine:
 
         out = df.mapInPandas(apply_batch, schema=out_schema)
         return infer_numeric(out, exclude=tuple(c for c in df.columns))
+
+    @staticmethod
+    def _eval_frame_lambda(pdf, expr: str):
+        import numpy as np
+        import pandas as pd
+
+        from bearysta_spark.engine.expr import read_csv_cached
+
+        # same eval env the reference exposes (aggregate.py:483)
+        env = {"np": np, "pd": pd, "read_csv_fd": read_csv_cached}
+        return eval("lambda df: " + expr, env)(pdf)  # noqa: S307
+
+    def _probe_returns_tuple(self, df: DataFrame, expr: str) -> bool:
+        """Classify a frame-wise lambda by evaluating it on a small
+        driver-side sample: tuple-returning expressions (the reference's
+        advanced merge-back protocol, aggregate.py:500-506) are
+        structural — the return type comes from the expression shape,
+        not the data — so a sample is enough to dispatch."""
+        try:
+            probe = self._eval_frame_lambda(df.limit(50).toPandas(), expr)
+        except Exception:
+            return False  # let the batch path surface the real error
+        return isinstance(probe, tuple)
+
+    # Driver-side eval bound for tuple merge-backs. The lambda itself is
+    # arbitrary pandas over the WHOLE frame — inherently single-node, like
+    # the reference engine it reproduces. Recipes are benchmark-log scale;
+    # anything larger should use the native ratio_of family.
+    TUPLE_MERGE_MAX_ROWS = 2_000_000
+
+    def _tuple_merge_back(self, df: DataFrame, col: str, expr: str) -> DataFrame:
+        """P5 general tuple merge-back (ref aggregate.py:500-506): the
+        frame lambda returns (result_frame, origin_col); rename origin →
+        col and left-join result to the frame on all shared columns
+        (pd.merge default-key semantics). The eval is driver-side and
+        bounded (see TUPLE_MERGE_MAX_ROWS); the merge-back join itself
+        stays a distributed Spark join, shuffling on the shared columns
+        exactly like the native ratio_of merge-back."""
+        n = df.count()
+        if n > self.TUPLE_MERGE_MAX_ROWS:
+            raise RecipeError(
+                f"tuple-returning precompute for {col!r} needs whole-frame "
+                f"python eval, bounded at {self.TUPLE_MERGE_MAX_ROWS} rows "
+                f"(got {n}); rewrite with the ratio_of/percent_of family"
+            )
+        result = self._eval_frame_lambda(df.toPandas(), expr)
+        res_pdf, origin = result
+        res_pdf = res_pdf.rename(columns={origin: col})
+        rdf = self.spark.createDataFrame(res_pdf)
+        right = df.drop(col) if col in df.columns else df
+        shared = [c for c in rdf.columns if c in right.columns]
+        if not shared:
+            raise RecipeError(
+                f"tuple merge-back for {col!r} shares no columns with the frame"
+            )
+        return rdf.join(right, on=shared, how="left")
 
     # -- aggregated ---------------------------------------------------
 

@@ -32,7 +32,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bearysta_spark.engine.recipe import Recipe, RecipeError
@@ -48,19 +48,21 @@ def expand_globs(patterns: list[str]) -> list[str]:
     return files
 
 
-def _line_filter_fn(filters: dict[str, str | None]):
+def _line_filter_fn_indexed(filters: dict[str, str | None]):
     """Per-file sequential line filter reproducing aggregate.py:195-243:
     patterns tried in order per line; null repl keeps the line, 'drop'
     drops it, 'append' glues it onto the previous line and keeps
     scanning the remaining patterns against the combined line; a line
-    matched by nothing is dropped; blank lines implicitly dropped."""
+    matched by nothing is dropped; blank lines implicitly dropped.
+    Yields (source_line_idx, output_line) so chunked callers can tell
+    which outputs were triggered inside their owned region."""
     compiled = [(re.compile(k), v) for k, v in filters.items()]
     compiled.append((re.compile(r"^[\s]*$"), "drop"))
 
-    def filter_lines(text: str) -> list[str]:
-        out: list[str] = []
+    def filter_lines(lines: list[str]) -> list[tuple[int, str]]:
+        out: list[tuple[int, str]] = []
         prev_line = ""
-        for line in text.splitlines():
+        for idx, line in enumerate(lines):
             drop_line = True
             for reg, rep in compiled:
                 if reg.search(line):
@@ -76,21 +78,52 @@ def _line_filter_fn(filters: dict[str, str | None]):
                             line = reg.sub(rep, line)
                             drop_line = False
             if not drop_line:
-                out.append(line)
+                out.append((idx, line))
             prev_line = line
         return out
 
     return filter_lines
 
 
+def _line_filter_fn(filters: dict[str, str | None]):
+    indexed = _line_filter_fn_indexed(filters)
+
+    def filter_lines(text: str) -> list[str]:
+        return [line for _, line in indexed(text.splitlines())]
+
+    return filter_lines
+
+
 def filtered_lines_df(
-    spark: SparkSession, files: list[str], filters: dict[str, str | None] | None
+    spark: SparkSession,
+    files: list[str],
+    filters: dict[str, str | None] | None,
+    split_files_over_mb: float | None = None,
 ) -> DataFrame:
     """DataFrame of (path, line_no, line) after the line filter.
 
     Reads whole files (spark.read.text wholetext) so the sequential
     `append` semantics hold; the filter runs in executors via
-    mapInPandas (Arrow batches of files)."""
+    mapInPandas (Arrow batches of files). Runner output is many small
+    files, so file count is the parallelism axis.
+
+    split_files_over_mb routes files larger than the threshold through
+    the record-boundary splitter (chunked_lines_df) instead, so one
+    multi-GB file no longer pins a single task/heap — see that function
+    for the `append`-context overlap bound."""
+    if split_files_over_mb is not None:
+        thresh = split_files_over_mb * 1024 * 1024
+        big = [f for f in files if os.path.getsize(f) > thresh]
+        small = [f for f in files if f not in big]
+        if big:
+            parts = [chunked_lines_df(spark, big, filters, chunk_mb=split_files_over_mb)]
+            if small:
+                parts.append(filtered_lines_df(spark, small, filters))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
     text = (
         spark.read.text(files, wholetext=True)
         .withColumn("path", F.input_file_name())
@@ -107,6 +140,132 @@ def filtered_lines_df(
             yield pd.DataFrame(rows, columns=["path", "line_no", "line"])
 
     return text.mapInPandas(proc, schema="path string, line_no long, line string")
+
+
+def _read_chunk(
+    path: str, off: int, length: int, overlap_lines: int, back_bytes: int = 1 << 20
+) -> tuple[list[str], list[str]]:
+    """Read one byte-range of a text file at line granularity, Hadoop
+    LineRecordReader convention: a chunk at off>0 discards the first
+    (possibly partial) line — its predecessor reads one line past its
+    end — so every line is owned by exactly one chunk. Returns
+    (context_lines, owned_lines): context is up to `overlap_lines`
+    complete lines immediately before the owned region, replayed through
+    the filter for `append`/prev-line state."""
+    end = off + length
+    with open(path, "rb") as f:
+        f.seek(off)
+        if off > 0:
+            f.readline()  # belongs to the previous chunk
+        start = f.tell()
+
+        ctx: list[str] = []
+        if start > 0 and overlap_lines > 0:
+            back = min(start, back_bytes)
+            f.seek(start - back)
+            data = f.read(back)
+            parts = data.split(b"\n")
+            # data ends exactly at a line start, so the last split piece
+            # is ''; the first piece may be a partial line unless we
+            # reached byte 0
+            pieces = parts[:-1] if parts and parts[-1] == b"" else parts
+            if start - back > 0 and pieces:
+                pieces = pieces[1:]
+            ctx = [
+                p.decode("utf-8", errors="replace").rstrip("\r")
+                for p in pieces[-overlap_lines:]
+            ]
+            f.seek(start)
+
+        owned: list[str] = []
+        while f.tell() <= end:
+            line = f.readline()
+            if not line:
+                break
+            owned.append(line.decode("utf-8", errors="replace").rstrip("\r\n"))
+    return ctx, owned
+
+
+def chunked_lines_df(
+    spark: SparkSession,
+    files: list[str],
+    filters: dict[str, str | None] | None,
+    chunk_mb: float = 64.0,
+    overlap_lines: int = 8,
+) -> DataFrame:
+    """Record-boundary splitter: (path, line_no, line) for large single
+    files, split into ~chunk_mb byte ranges processed in parallel.
+
+    Why: the wholetext scan is one row (one task, one heap) per file —
+    right for runner output (many small files), wrong for one multi-GB
+    log. Here the driver plans byte-range chunk specs from file sizes
+    (metadata only), executors read their range at line granularity
+    (_read_chunk), and the sequential filter replays `overlap_lines` of
+    context before each chunk so prev-line state (`append` gluing,
+    substitutions) is reconstructed. Correctness bound: a chain of
+    consecutive `append` lines longer than overlap_lines would be
+    mis-glued — raise overlap_lines to the longest expected wrapped
+    record (shipped recipes wrap at most one line).
+
+    Global line_no needs each chunk's output count: a tiny per-chunk
+    count aggregate (rows = number of chunks) is cumulative-summed and
+    broadcast back — no giant window partition over the file's rows.
+    The chunk data is read twice (count pass + emit pass), the standard
+    trade for global indexing without materializing the file.
+    """
+    chunk = int(chunk_mb * 1024 * 1024)
+    specs = []
+    for fn in files:
+        size = os.path.getsize(fn)
+        n = max(1, -(-size // chunk))
+        for i in range(n):
+            specs.append((fn, i, i * chunk, min(chunk, size - i * chunk)))
+    sdf = spark.createDataFrame(
+        specs, "path string, chunk_id int, off long, length long"
+    ).repartition(min(len(specs), spark.sparkContext.defaultParallelism))
+    indexed = _line_filter_fn_indexed(filters or {})
+    has_filters = bool(filters)
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, cid, off, length in zip(
+                pdf["path"], pdf["chunk_id"], pdf["off"], pdf["length"]
+            ):
+                ctx, owned = _read_chunk(path, int(off), int(length), overlap_lines)
+                if has_filters:
+                    outs = [
+                        line
+                        for idx, line in indexed(ctx + owned)
+                        if idx >= len(ctx)
+                    ]
+                else:
+                    outs = owned
+                rows.extend((path, int(cid), i, line) for i, line in enumerate(outs))
+            yield pd.DataFrame(
+                rows, columns=["path", "chunk_id", "local_idx", "line"]
+            )
+
+    raw = sdf.mapInPandas(
+        proc, schema="path string, chunk_id int, local_idx long, line string"
+    )
+    counts = raw.groupBy("path", "chunk_id").agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("path")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).select("path", "chunk_id", "offset")
+    return (
+        raw.join(F.broadcast(offsets), ["path", "chunk_id"])
+        .select(
+            "path",
+            (F.col("offset") + F.col("local_idx")).alias("line_no"),
+            "line",
+        )
+    )
 
 
 def _norm_path(p: str) -> str:
@@ -230,15 +389,56 @@ def attach_sidecar_meta(
     return df.drop(*overlap).join(F.broadcast(meta_df), "Path", "left")
 
 
+def _sqlite_jdbc_available(spark: SparkSession) -> bool:
+    """True when a sqlite JDBC driver is on the executor classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
 def scan_sqlite(spark: SparkSession, files: list[str], table: str | None) -> DataFrame:
-    """S8: sqlite scan. Driver-side read (a .db file is single-machine
-    data by construction; cite aggregate.py:295-314), then parallelize."""
+    """S8: sqlite scan (cite aggregate.py:295-314).
+
+    Preferred path is `spark.read.format("jdbc")` per file — the scan
+    then runs executor-side and Catalyst pushes filters/pruning into the
+    JDBC source. A .db file is single-machine data by construction, so
+    each file is a single JDBC partition; parallelism comes from the
+    many-files union, matching the runner layout. When no sqlite JDBC
+    driver jar is on the classpath (this container ships none), falls
+    back to a driver-side sqlite3/pandas read, then parallelizes."""
     if not table:
         raise RecipeError("input.table-name required for sql format")
     # recipe YAML is data, not code: never interpolate an arbitrary
     # string into SQL (the reference shares this flaw; harden here)
     if not re.fullmatch(r"[A-Za-z0-9_]+", table):
         raise RecipeError(f"invalid sqlite table name {table!r}")
+
+    if _sqlite_jdbc_available(spark):
+        frames = []
+        for fn in files:
+            jdf = (
+                spark.read.format("jdbc")
+                .option("url", f"jdbc:sqlite:{fn}")
+                .option("driver", "org.sqlite.JDBC")
+                .option("dbtable", table)
+                .load()
+            )
+            frames.append(
+                jdf.withColumns(
+                    {
+                        "Path": F.lit(fn),
+                        "File": F.lit(os.path.basename(fn)),
+                        "Directory": F.lit(os.path.dirname(fn) or "."),
+                    }
+                )
+            )
+        out = frames[0]
+        for jdf in frames[1:]:
+            out = out.unionByName(jdf, allowMissingColumns=True)
+        return out
+
     import sqlite3
 
     frames = []

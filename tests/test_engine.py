@@ -450,3 +450,106 @@ def test_sqlite_rejects_hostile_table_name(spark, tmp_path):
     sqlite3.connect(db_path).close()
     with pytest.raises(RecipeError, match="invalid sqlite table"):
         scan_sqlite(spark, [db_path], "t; DROP TABLE t--")
+
+
+# ---------------------------------------------------------------------------
+# P5: general tuple merge-back (ref aggregate.py:500-506)
+# ---------------------------------------------------------------------------
+
+
+def test_tuple_merge_back_precompute(spark, tmp_path):
+    csv = write(
+        tmp_path / "perf.csv",
+        """\
+        Vendor,Size,MOPS
+        a,1000,100.0
+        a,2000,50.0
+        b,1000,10.0
+        """,
+    )
+    recipe = {
+        "input": {"path": csv, "format": "csv"},
+        "precomputed": {
+            # frame lambda returning (aggregated_frame, origin_col): the
+            # reference renames origin→col and left-merges on shared cols
+            "VendorMean": "(df.groupby('Vendor', as_index=False).agg({'MOPS': 'mean'}), 'MOPS')",
+        },
+        "aggregation": "mean",
+        "series": ["Vendor"],
+        "axis": ["Size"],
+        "values": ["MOPS", "VendorMean"],
+    }
+    eng = RecipeEngine(spark, recipe, allow_python=True)
+    rows = {(r["Vendor"], r["Size"]): r for r in eng.aggregated().collect()}
+    assert rows[("a", 1000)]["VendorMean"] == 75.0
+    assert rows[("a", 2000)]["VendorMean"] == 75.0
+    assert rows[("b", 1000)]["VendorMean"] == 10.0
+    assert rows[("a", 1000)]["MOPS"] == 100.0
+
+
+def test_tuple_merge_back_requires_allow_python(spark, tmp_path):
+    csv = write(tmp_path / "p.csv", "Vendor,MOPS\na,1.0\n")
+    recipe = {
+        "input": {"path": csv, "format": "csv"},
+        "precomputed": {
+            "M": "(df.groupby('Vendor', as_index=False).agg({'MOPS': 'mean'}), 'MOPS')",
+        },
+        "aggregation": "mean",
+        "series": ["Vendor"],
+        "values": ["MOPS"],
+    }
+    from bearysta_spark.engine.expr import ExprCompileError
+
+    with pytest.raises(ExprCompileError):
+        RecipeEngine(spark, recipe).aggregated()
+
+
+# ---------------------------------------------------------------------------
+# Record-boundary splitter for large single files (SCALING.md §Scans)
+# ---------------------------------------------------------------------------
+
+
+def test_chunked_lines_match_wholetext(spark, tmp_path):
+    from bearysta_spark.engine.sources import chunked_lines_df, filtered_lines_df
+
+    # one "large" file with wrapped (append) lines and droppable noise,
+    # tiny chunks so many records straddle chunk boundaries
+    lines = []
+    for i in range(400):
+        lines.append(f"DATA: row {i} value {i * 7} padpadpadpadpad")
+        if i % 3 == 0:
+            lines.append(f"  +wrapped tail {i}")  # glued onto previous line
+        if i % 5 == 0:
+            lines.append("noise to drop")
+    big = tmp_path / "big.log"
+    big.write_text("\n".join(lines) + "\n")
+    filters = {
+        r"^\s+\+wrapped": "append",
+        r"^DATA: (.*)": r"\1",
+        "^noise": "drop",
+        # re-match the glued line so appends are emitted
+        r"^row .* tail \d+$": None,
+    }
+    whole = filtered_lines_df(spark, [str(big)], filters).collect()
+    chunked = chunked_lines_df(
+        spark, [str(big)], filters, chunk_mb=2048 / (1024 * 1024), overlap_lines=4
+    ).collect()
+    wl = [(r["line_no"], r["line"]) for r in sorted(whole, key=lambda r: r["line_no"])]
+    cl = [(r["line_no"], r["line"]) for r in sorted(chunked, key=lambda r: r["line_no"])]
+    assert len(wl) > 100
+    assert cl == wl
+
+    # no filters: plain line split must round-trip too
+    whole2 = filtered_lines_df(spark, [str(big)], None).collect()
+    chunked2 = chunked_lines_df(
+        spark, [str(big)], None, chunk_mb=1024 / (1024 * 1024)
+    ).collect()
+    assert sorted((r["line_no"], r["line"]) for r in chunked2) == sorted(
+        (r["line_no"], r["line"]) for r in whole2
+    )
+
+    # threshold routing: small files keep the wholetext path, big ones split
+    routed = filtered_lines_df(
+        spark, [str(big)], filters, split_files_over_mb=1024 / (1024 * 1024)
+    ).collect()
+    assert sorted((r["line_no"], r["line"]) for r in routed) == sorted(wl)
