@@ -129,18 +129,29 @@ def minhash_signatures(
     """Per-doc MinHash signature: for each of `num_hashes` seeded hash
     functions, the min hash over the doc's distinct k-shingles.
 
-    oracle_safe=True uses md5(seed||shingle) (string min — reproducible
-    in any SQL engine); False uses xxhash64 (faster, Spark-only).
-    Pass a (cached) `sh` shingle frame to share the explode across
-    pipeline stages. Output: id_col, sig array ordered by seed.
-    min() is duplicate-insensitive, so the standalone path skips the
-    distinct shuffle entirely — map-side partial mins see raw shingles.
+    oracle_safe=True uses md5-derived string mins (reproducible in any
+    SQL engine); False uses xxhash64 (faster, Spark-only). Pass a
+    (cached) `sh` shingle frame to share the explode across pipeline
+    stages. Output: id_col, sig array ordered by seed. min() is
+    duplicate-insensitive, so the standalone path skips the distinct
+    shuffle entirely — map-side partial mins see raw shingles.
+
+    md5 cost halving (r3): one digest is 128 bits — each md5 yields TWO
+    independent 64-bit hash functions (hex slices [1,16] and [17,32]),
+    so num_hashes functions cost ceil(num_hashes/2) md5 calls. The
+    DuckDB oracle slices identically:
+    substr(md5('s<i//2>|'||shingle), 1+16*(i%2), 16). Fixed-width hex
+    slices keep lexicographic min == numeric min.
     """
     if sh is None:
         sh = shingle_rows(df, text_col, id_col, k)
     if oracle_safe:
+        digests = [
+            F.md5(F.concat(F.lit(f"s{j}|"), F.col("shingle")))
+            for j in range((num_hashes + 1) // 2)
+        ]
         mins = [
-            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.substring(digests[i // 2], 1 + 16 * (i % 2), 16)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:

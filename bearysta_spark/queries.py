@@ -2629,7 +2629,12 @@ _SH_CTE = """
       FROM documents
     ), sh AS (SELECT DISTINCT doc_id, shingle FROM raw)
 """
-_SIG_MINS = ", ".join(f"min(md5('s{i}|'||shingle)) AS h{i}" for i in range(12))
+# two 64-bit hash functions per md5 digest (hex slices — see
+# functions.dedup.minhash_signatures): 12 functions, 6 md5 calls
+_SIG_MINS = ", ".join(
+    f"min(substr(md5('s{i // 2}|'||shingle), {1 + 16 * (i % 2)}, 16)) AS h{i}"
+    for i in range(12)
+)
 _BANDS = ",".join(
     f"md5(h{b*4}||'|'||h{b*4+1}||'|'||h{b*4+2}||'|'||h{b*4+3})" for b in range(3)
 )
