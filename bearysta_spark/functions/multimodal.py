@@ -12,7 +12,9 @@ signature and batch shape; `fake=False` uses Pillow when importable in
 the executor environment (decode, pixel features, resize) and raises
 NotImplementedError with an actionable message when it is not — this
 container ships no image libs, so the PIL paths are exercised only
-where the optional dep exists (tests skip accordingly).
+where the optional dep exists (tests skip accordingly). Video frame
+sampling decodes YUV4MPEG2 payloads with zero dependencies (pure byte
+parsing); compressed containers need an upstream ffmpeg transcode.
 """
 
 from __future__ import annotations
@@ -162,6 +164,51 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(kernel, RESIZE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame int, payload binary, width int, height int"
+
+# bytes per pixel numerator/denominator for Y4M colourspace tags
+_Y4M_SIZES = {"420": (3, 2), "422": (2, 1), "444": (3, 1), "mono": (1, 1)}
+
+
+def _parse_y4m(b: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 stream — the uncompressed interchange format
+    ffmpeg/mjpegtools emit (`ffmpeg -i in.mp4 out.y4m`). Plain bytes:
+    'YUV4MPEG2 W<w> H<h> ...\\n' then per frame 'FRAME...\\n' + raw
+    planar pixel data, so frame extraction needs no codec library.
+    Returns (width, height, [frame_bytes...])."""
+    nl = b.index(b"\n")
+    header = b[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    num, den = _Y4M_SIZES["420"]  # C420 is the spec default
+    for tok in header.split()[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            key = next((k for k in _Y4M_SIZES if tok[1:].startswith(k)), None)
+            if key is None:
+                raise ValueError(f"unsupported Y4M colourspace {tok!r}")
+            num, den = _Y4M_SIZES[key]
+    if not w or not h:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    fsize = w * h * num // den
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        if not b[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        start = fnl + 1
+        if start + fsize > len(b):
+            raise ValueError("truncated Y4M frame")
+        frames.append(b[start : start + fsize])
+        pos = start + fsize
+    return w, h, frames
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
@@ -169,26 +216,53 @@ def sample_frames(
     id_col: str = "doc_id",
     fake: bool = True,
 ) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled frame
+    """Video frame sampling: one output row per sampled frame
     (explode-shaped mapInPandas — row count grows, which is why this
-    runs BEFORE feature extraction and AFTER any filtering)."""
+    runs BEFORE feature extraction and AFTER any filtering).
+
+    fake=False decodes real YUV4MPEG2 (.y4m) payloads — pure byte
+    parsing, no codec dependency (_parse_y4m); each sampled frame exits
+    as raw planar pixels with its dimensions, ready for the resize /
+    feature stages. Compressed containers (mp4/webm) still need an
+    ffmpeg transcode to y4m upstream and raise NotImplementedError
+    here. fake=True keeps the deterministic synthetic path (width and
+    height 0)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
-            ids, frames, blobs = [], [], []
+            ids, frames, blobs, ws, hs = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(p)
-                n_frames = max(len(b) // 32, 1)
-                for f_idx in range(0, n_frames, every_n):
-                    ids.append(i)
-                    frames.append(f_idx)
-                    blobs.append(b[f_idx * 32 : (f_idx + 1) * 32])
+                if fake:
+                    n_frames = max(len(b) // 32, 1)
+                    for f_idx in range(0, n_frames, every_n):
+                        ids.append(i)
+                        frames.append(f_idx)
+                        blobs.append(b[f_idx * 32 : (f_idx + 1) * 32])
+                        ws.append(0)
+                        hs.append(0)
+                elif b.startswith(b"YUV4MPEG2"):
+                    w, h, decoded = _parse_y4m(b)
+                    for f_idx in range(0, len(decoded), every_n):
+                        ids.append(i)
+                        frames.append(f_idx)
+                        blobs.append(decoded[f_idx])
+                        ws.append(w)
+                        hs.append(h)
+                else:
+                    raise NotImplementedError(
+                        "real frame sampling reads YUV4MPEG2 payloads; "
+                        "transcode compressed containers with ffmpeg "
+                        "(`ffmpeg -i in.mp4 out.y4m`) upstream"
+                    )
             yield pd.DataFrame(
-                {"doc_id": ids, "frame": frames, "payload": blobs}
+                {
+                    "doc_id": ids,
+                    "frame": frames,
+                    "payload": blobs,
+                    "width": ws,
+                    "height": hs,
+                }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        kernel, "doc_id long, frame int, payload binary"
-    )
+    return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)

@@ -107,7 +107,45 @@ def test_multimodal_resize_and_frames(binary_docs):
     assert r["width"] == 64 and len(bytes(r["payload"])) == 64 * 64 // 64 + 8
     fr = MM.sample_frames(binary_docs.limit(5), every_n=4)
     assert fr.count() >= 5
-    assert set(fr.columns) == {"doc_id", "frame", "payload"}
+    assert set(fr.columns) == {"doc_id", "frame", "payload", "width", "height"}
+
+
+def _make_y4m(w, h, n_frames):
+    # luma plane = frame index everywhere, chroma planes = 128
+    frames = b"".join(
+        b"FRAME\n" + bytes([i]) * (w * h) + bytes([128]) * (w * h // 2)
+        for i in range(n_frames)
+    )
+    return f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode() + frames
+
+
+def test_sample_frames_real_y4m(spark):
+    payload = _make_y4m(4, 2, 7)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "doc_id long, payload binary",
+    )
+    out = MM.sample_frames(df, every_n=3, fake=False).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["frame"])
+        assert [r["frame"] for r in rows] == [0, 3, 6]
+        for r in rows:
+            assert (r["width"], r["height"]) == (4, 2)
+            raw = bytes(r["payload"])
+            assert len(raw) == 4 * 2 * 3 // 2
+            # luma plane carries the frame index
+            assert raw[0] == r["frame"]
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"\x00\x00\x00 ftypmp42 not a y4m"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg|YUV4MPEG2"):
+        MM.sample_frames(bad, fake=False).collect()
 
 
 def test_multimodal_real_decode_raises(binary_docs):
