@@ -46,10 +46,17 @@ def kmeans_fit(
             F.col(vec_col),
             nearest_cells(F.col(vec_col), centroids.tolist(), 1)[0].alias("cell"),
         )
+        # DECIMAL accumulation: the update means are then independent of
+        # partition count / combine order — the same centroids come out
+        # of a 2-executor run and a 2000-executor run (and a DuckDB
+        # oracle can reproduce the iteration bit-for-bit)
         sums = (
             assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
             .groupBy("cell", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(F.col("v").cast("decimal(25,10)")).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new_centroids = centroids.copy()
@@ -57,7 +64,7 @@ def kmeans_fit(
         for r in sums:
             acc.setdefault(r["cell"], {})[r["dim"]] = (r["s"], r["n"])
         for cell, dims in acc.items():
-            vec = np.array([dims[d][0] / dims[d][1] for d in sorted(dims)])
+            vec = np.array([float(dims[d][0]) / dims[d][1] for d in sorted(dims)])
             new_centroids[cell] = vec
         shift = float(np.abs(new_centroids - centroids).max())
         centroids = new_centroids

@@ -1538,6 +1538,43 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_windows",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT date_trunc('hour', ts)
+               + (CAST(extract(minute FROM ts) AS INT) // 15) * INTERVAL 15 MINUTE
+               - k.k * INTERVAL 15 MINUTE AS win_start,
+             event_type, value
+      FROM events, (VALUES (0), (1), (2), (3)) k(k)
+    )
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n, {_dsum_sql("value", 4)} AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup: 1-hour windows advancing every 15 minutes
+    (each event lands in 4 windows). Spark's window() expands
+    scan-side, so the shuffle carries 4× rows pre-combined by the
+    map-side partial agg — the same plan streaming uses with a
+    watermark. The oracle expands windows arithmetically (epoch-aligned
+    15-minute buckets shifted 0..3 slides) and aggregates identically."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum(F.col("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     WITH g AS (
@@ -1826,6 +1863,80 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     out = S.cosine_near_dup_pairs(e, threshold=0.3)
     return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+def _make_km_init() -> list[list[float]]:
+    # must equal kmeans_fit's internal init (seed 42, k=4, d=64)
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    c = rng.standard_normal((4, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+_KM_INIT = _make_km_init()
+_KM_CM0 = ",\n      ".join(f"({i}, {_sql_vec(c)})" for i, c in enumerate(_KM_INIT))
+# one Lloyd iteration in SQL: spherical assignment (max dot; ties take
+# the HIGHER cell — nearest_cells' reverse-sort semantics), then a
+# DECIMAL-exact per-(cell,dim) mean; empty cells keep their previous
+# centroid (kmeans_fit parity)
+_KM_ITER = """
+    a{n} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cm{p}.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cm{p}.c) DESC, cm{p}.cell DESC) AS rn
+        FROM e, cm{p}
+      ) WHERE rn = 1
+    ),
+    u{n} AS (
+      SELECT cell, CAST(t.i - 1 AS INT) AS dim,
+             CAST(sum(CAST(v[CAST(t.i AS INT)] AS DECIMAL(25,10))) AS DOUBLE)
+               / count(*) AS c
+      FROM a{n}, generate_series(1, 64) AS t(i)
+      GROUP BY cell, t.i
+    ),
+    cm{n} AS (
+      SELECT cm{p}.cell, coalesce(u.c, cm{p}.c) AS c
+      FROM cm{p} LEFT JOIN
+        (SELECT cell, list(c ORDER BY dim) AS c FROM u{n} GROUP BY cell) u
+        USING (cell)
+    )
+"""
+
+
+@query(
+    "kmeans_centroids",
+    oracle=f"""
+    WITH cm0(cell, c) AS (VALUES
+      {_KM_CM0}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_KM_ITER.format(n=1, p=0)},
+    {_KM_ITER.format(n=2, p=1)}
+    SELECT CAST(cell AS INT) AS cell, CAST(t.i - 1 AS INT) AS dim,
+           round(c[CAST(t.i AS INT)], 6) AS centroid
+    FROM cm2, generate_series(1, 8) AS t(i)
+    """,
+)
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed Lloyd iterations of distributed k-means
+    (functions.clustering.kmeans_fit, k=4): assignment is a scan-side
+    map against literal centroids, the update is one posexplode
+    hash-agg shuffle per iteration with DECIMAL accumulation — so the
+    trained centroids are identical on any cluster size, and the DuckDB
+    oracle replays both iterations exactly (unrolled SQL). The same
+    exact-iterative-algorithm check as dedup_clusters, for the IVF
+    coarse-quantizer trainer. First 8 dims kept for a bounded result."""
+    from bearysta_spark.functions.clustering import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=4, max_iters=2, tol=0.0, seed=42)
+    rows = [
+        (c, d, float(vec[d])) for c, vec in enumerate(cents) for d in range(8)
+    ]
+    out = spark.createDataFrame(rows, "cell int, dim int, centroid double")
+    return out.select("cell", "dim", F.round("centroid", 6).alias("centroid"))
 
 
 @query(

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "events_user_reach",
     "supplier_nation_balance",
     "events_hourly",
+    "events_sliding_windows",
     "events_sessionize",
     "events_json_extract",
     "events_asof_join",
@@ -88,6 +89,7 @@ BENCH_QUERIES = [
     "knn_lsh",
     "embedding_norms",
     "label_centroids",
+    "kmeans_centroids",
     "token_doc_frequency",
     "bigram_frequency",
     "recipe_pipeline",
