@@ -1940,6 +1940,67 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_trained",
+    oracle=f"""
+    WITH cm0(cell, c) AS (VALUES
+      {_KM_CM0}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_KM_ITER.format(n=1, p=0)},
+    {_KM_ITER.format(n=2, p=1)},
+    sc AS (
+      SELECT e.vec_id, e.v, CAST(cm2.cell AS INT) AS cell,
+             list_dot_product(e.v, cm2.c) AS score
+      FROM e, cm2
+    ),
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+      FROM sc
+    ),
+    corpus AS (SELECT vec_id AS nid, v AS nvec, cell FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qvec, cell
+          FROM ranked WHERE rn <= 2 AND vec_id < 5),
+    scored AS (
+      SELECT qid, nid,
+             list_dot_product(qvec, nvec)
+             / (sqrt(list_dot_product(qvec, qvec))
+                * sqrt(list_dot_product(nvec, nvec))) AS sim
+      FROM q JOIN corpus USING (cell) WHERE qid != nid
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN composition: train the coarse quantizer
+    with k-means (2 Lloyd iterations, decimal-exact updates — so the
+    trained centroids are bit-identical across engines), then IVF
+    search with probe-2 against the trained cells. The DuckDB oracle
+    replays training (unrolled iterations) AND search end-to-end.
+    Search-assignment ties break by ascending cell (Arrow stable
+    argsort); training-assignment ties by descending cell
+    (nearest_cells reverse-sort) — each oracle stage mirrors its
+    engine stage."""
+    from bearysta_spark.functions.clustering import kmeans_fit
+    from bearysta_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=4, max_iters=2, tol=0.0, seed=42)
+    q = e.filter(F.col("vec_id") < 5)
+    out = ivf_topk(e, q, cents, k=5, probes=2)
+    return out.select(
+        "qid",
+        "nid",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     WITH pos AS (

@@ -93,6 +93,28 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding 1-hour windows advancing every 15 minutes (each event in
+    4 windows; the window operator expands scan-side, partial-aggregates
+    map-side). Matches the batch events_sliding_windows query — the
+    parity test asserts equality."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
 def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (session_window) — the streaming
     equivalent of the batch lag-gap sessionization."""

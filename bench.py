@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "embedding_norms",
     "label_centroids",
     "kmeans_centroids",
+    "knn_ivf_trained",
     "token_doc_frequency",
     "bigram_frequency",
     "recipe_pipeline",

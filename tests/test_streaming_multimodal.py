@@ -32,6 +32,28 @@ def test_streaming_hourly_matches_batch(spark, sf_dir):
     assert g == b
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    from bearysta_spark.streaming.events import sliding_rollup_stream
+
+    stream = events_stream(spark, sf_dir)
+    agg = sliding_rollup_stream(stream)
+    got = run_stream_to_memory(spark, agg, "sliding_test")
+
+    from bearysta_spark.tables import load_events
+
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    g = {(r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 6)) for r in got.collect()}
+    b = {(r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert g == b
+    # sliding: ~4x the tumbling row count
+    assert len(b) > 3000
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     got = run_stream_to_memory(
