@@ -2770,6 +2770,64 @@ def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_doc_repeated_spans",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest([substr(text, CAST(i AS INT), 50)
+                     for i in range(1, greatest(length(text) - 48, 1))]) AS s
+      FROM documents
+    ),
+    p AS (SELECT DISTINCT doc_id, s FROM raw),
+    dup AS (SELECT s FROM (SELECT s, count(*) AS c FROM p GROUP BY s) WHERE c >= 2),
+    hit AS (SELECT p.doc_id, p.s FROM p JOIN dup USING (s)),
+    per AS (
+      SELECT d.source, count(DISTINCT h.s) AS dup_spans,
+             count(DISTINCT h.doc_id) AS affected_docs
+      FROM hit h JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    docs AS (SELECT source, CAST(count(*) AS BIGINT) AS docs
+             FROM documents GROUP BY source)
+    SELECT d.source, d.docs,
+           CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(p.affected_docs, 0) AS BIGINT) AS affected_docs
+    FROM docs d LEFT JOIN per p USING (source)
+    """,
+)
+def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication detection (the Lee et al.
+    'Deduplicating Training Data' shape, window-hash variant): a 50-char
+    window appearing in ≥2 distinct documents is a repeated span; per
+    source, count such spans and the documents they touch. One window
+    explode + one hash-agg on the window key + per-source rollup — at
+    100 TB the window key should be the md5 of the span so the dedup
+    shuffle carries 16-byte digests, not text (counts are identical;
+    the oracle keeps the raw span for readability)."""
+    d = _t(spark, sf_dir, "documents")
+    p = D.shingle_df(d, "text", "doc_id", k=50).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    dup = (
+        p.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hit = p.join(dup, "h").join(d.select("doc_id", "source"), "doc_id")
+    per = hit.groupBy("source").agg(
+        F.countDistinct("h").alias("dup_spans"),
+        F.countDistinct("doc_id").alias("affected_docs"),
+    )
+    docs = d.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
+    return docs.join(per, "source", "left").select(
+        "source",
+        "docs",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("affected_docs", F.lit(0)).cast("long").alias("affected_docs"),
+    )
+
+
+@query(
     "multimodal_meta",
     oracle="""
     SELECT source, CAST(count(*) AS BIGINT) AS n,

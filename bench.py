@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "token_count_by_source",
     "quality_by_source",
     "shingle_stats",
+    "cross_doc_repeated_spans",
     "minhash_lsh_candidates",
     "near_dup_pairs",
     "simhash_pairs",
