@@ -144,3 +144,35 @@ def test_simhash_pairs_no_block_cross_product(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "cval" in p  # chunk value participates in the join key
+
+
+def test_sliding_windows_single_shuffle_partial_agg(spark):
+    # window(slide) expands scan-side; the aggregate must partial-combine
+    # before its one shuffle — 4x expansion never crosses the wire raw
+    p = plan_of(spark, "events_sliding_windows")
+    assert "Expand" in p
+    assert p.count("Exchange") <= 2  # agg shuffle (+AQE coalesce read)
+    assert "partial" in p.lower()
+
+
+def test_repeated_spans_digest_agg_no_cross_join(spark):
+    p = plan_of(spark, "cross_doc_repeated_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial" in p.lower()  # md5-digest count map-side combines
+
+
+def test_chunked_lines_offsets_broadcast(spark, tmp_path):
+    from bearysta_spark.engine.sources import chunked_lines_df
+
+    big = tmp_path / "big.log"
+    big.write_text("\n".join(f"DATA: {i}" for i in range(5000)) + "\n")
+    df = chunked_lines_df(spark, [str(big)], {r"^DATA: (.*)": r"\1"}, chunk_mb=0.005)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # global line numbering joins the tiny per-chunk offset frame via
+    # broadcast — the file's rows must never hit a window/sort exchange
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
