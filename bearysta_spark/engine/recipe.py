@@ -85,6 +85,14 @@ class Recipe:
         return self.input.get("table-name")
 
     @property
+    def split_files_over_mb(self) -> float | None:
+        """Engine extension (not in the reference's config surface):
+        route input files larger than this through the record-boundary
+        splitter so one multi-GB log parallelizes across executors."""
+        v = self.input.get("split-files-over-mb")
+        return float(v) if v is not None else None
+
+    @property
     def rename(self) -> dict:
         return self.config.get("rename") or {}
 

@@ -278,11 +278,14 @@ def scan_csv(
     files: list[str],
     csv_header: str | None = None,
     line_filter: dict[str, str | None] | None = None,
+    split_files_over_mb: float | None = None,
 ) -> DataFrame:
     """Distributed CSV scan with line preprocessing, header sniff,
     lineage columns and sidecar metadata. All columns load as strings;
     numeric promotion is the engine's inference pass (P2)."""
-    lines = filtered_lines_df(spark, files, line_filter)
+    lines = filtered_lines_df(
+        spark, files, line_filter, split_files_over_mb=split_files_over_mb
+    )
     if line_filter:
         lines = lines.cache()
 
@@ -508,7 +511,13 @@ def scan(spark: SparkSession, recipe: Recipe, inputs: list[str] | None = None) -
         raise RecipeError(f"No matching files found for {patterns}")
     fmt = recipe.input_format
     if fmt == "csv":
-        return scan_csv(spark, files, recipe.csv_header, recipe.line_filter)
+        return scan_csv(
+            spark,
+            files,
+            recipe.csv_header,
+            recipe.line_filter,
+            split_files_over_mb=recipe.split_files_over_mb,
+        )
     if fmt == "sql":
         return scan_sqlite(spark, files, recipe.table_name)
     if fmt == "parquet":

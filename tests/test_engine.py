@@ -553,3 +553,25 @@ def test_chunked_lines_match_wholetext(spark, tmp_path):
         spark, [str(big)], filters, split_files_over_mb=1024 / (1024 * 1024)
     ).collect()
     assert sorted((r["line_no"], r["line"]) for r in routed) == sorted(wl)
+
+
+def test_recipe_split_large_files_equals_wholetext(spark, tmp_path):
+    rows = "\n".join(f"POINT: a,{i % 7},{i * 1.5}" for i in range(3000))
+    csv = write(tmp_path / "big_run.out", rows + "\n")
+    base = {
+        "input": {
+            "path": csv,
+            "format": "csv",
+            "csv-header": "Vendor,Size,MOPS",
+            "filter": {r"POINT: (.*)": r"\1"},
+        },
+        "aggregation": "mean",
+        "series": ["Vendor"],
+        "axis": ["Size"],
+        "values": ["MOPS"],
+    }
+    split = {**base, "input": {**base["input"], "split-files-over-mb": 0.01}}
+    plain = {(r["Vendor"], r["Size"], r["MOPS"]) for r in RecipeEngine(spark, base).aggregated().collect()}
+    chunked = {(r["Vendor"], r["Size"], r["MOPS"]) for r in RecipeEngine(spark, split).aggregated().collect()}
+    assert chunked == plain
+    assert len(plain) == 7
