@@ -186,33 +186,12 @@ def minhash_lsh_pairs(
     drop_boilerplate_shingles); callers passing a prebuilt `sh` are
     expected to have filtered it themselves.
     """
-    rows_per_band = num_hashes // bands
     if sh is None and max_df_frac is not None:
         sh = drop_boilerplate_shingles(
             shingle_rows(df, text_col, id_col, k), df.count(), id_col, max_df_frac
         )
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe, sh=sh)
-    band_key = [
-        (
-            F.lit(b),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col("sig")[i].cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            ),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(b.alias("band"), h.alias("bucket")) for b, h in band_key])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = band_buckets(sigs, id_col, num_hashes, bands)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -230,6 +209,76 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return pairs
+
+
+def band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows: bucket = md5 of the band's signature
+    slice. One row per doc per band — the LSH index a production system
+    persists alongside the corpus."""
+    rows_per_band = num_hashes // bands
+    band_key = [
+        (
+            F.lit(b),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(b.alias("band"), h.alias("bucket")) for b, h in band_key])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    oracle_safe: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus: candidate pairs are
+    corpus×increment bucket-mates ONLY — no corpus×corpus work, so the
+    cost of deduping a daily increment scales with the increment, not
+    the corpus. Returns distinct (corpus_id, new_id).
+
+    The production shape: corpus band buckets are computed once and
+    persisted (band_buckets — a table keyed (band, bucket)); each new
+    batch computes its own buckets and equi-joins. Here both sides are
+    computed inline; the join, the only wide op across the boundary,
+    hash-partitions on (band, bucket) and a small increment side
+    auto-broadcasts under AQE.
+    """
+    c_sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes, oracle_safe)
+    i_sigs = minhash_signatures(increment, text_col, id_col, k, num_hashes, oracle_safe)
+    cb = band_buckets(c_sigs, id_col, num_hashes, bands).alias("c")
+    ib = band_buckets(i_sigs, id_col, num_hashes, bands).alias("i")
+    return (
+        cb.join(
+            ib,
+            (F.col("c.band") == F.col("i.band"))
+            & (F.col("c.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col(f"i.{id_col}").alias("new_id"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

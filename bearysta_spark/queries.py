@@ -2868,13 +2868,16 @@ _SIG_MINS = ", ".join(
 _BANDS = ",".join(
     f"md5(h{b*4}||'|'||h{b*4+1}||'|'||h{b*4+2}||'|'||h{b*4+3})" for b in range(3)
 )
-_CAND_CTE = f"""
+_BUCKETS_CTE = f"""
     sig AS (SELECT doc_id, {_SIG_MINS} FROM sh GROUP BY doc_id),
     buckets AS (
       SELECT doc_id, unnest(generate_series(0, 2)) AS band,
              unnest([{_BANDS}]) AS bucket
       FROM sig
-    ),
+    )
+"""
+_CAND_CTE = f"""
+    {_BUCKETS_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b
@@ -2931,6 +2934,39 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+@query(
+    "dedup_increment_candidates",
+    oracle=f"""
+    WITH {_SH_CTE}, {_BUCKETS_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    )
+    SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(new_id AS BIGINT) AS new_id
+    FROM cand
+    """,
+)
+def dedup_increment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (functions.dedup.incremental_lsh_pairs): every
+    10th document plays the role of a newly-arrived batch and is LSH-
+    checked against the remaining 90% corpus. Candidates are
+    corpus×increment bucket-mates ONLY — no corpus×corpus pairs, so
+    daily-increment dedup cost scales with the increment. The oracle
+    builds one shared bucket table and applies the same boundary
+    predicate."""
+    d = _t(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+    corp = d.filter(F.col("doc_id") % 10 != 0)
+    out = D.incremental_lsh_pairs(corp, inc, num_hashes=12, bands=3)
+    return out.select(
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("new_id").cast("long").alias("new_id"),
     )
 
 

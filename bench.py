@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "shingle_stats",
     "cross_doc_repeated_spans",
     "minhash_lsh_candidates",
+    "dedup_increment_candidates",
     "near_dup_pairs",
     "simhash_pairs",
     "knn_bruteforce",
