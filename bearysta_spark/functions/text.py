@@ -129,3 +129,57 @@ def fingerprint(text: str | Column) -> Column:
     matters)."""
     norm = F.regexp_replace(F.trim(_col(text)), "\\s+", " ")
     return F.xxhash64(norm)
+
+
+def winnow_fingerprints(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 5, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-char gram, slide a window of w
+    consecutive gram hashes, keep each window's minimum — guaranteeing
+    any shared substring of length >= k + w - 1 contributes at least one
+    common fingerprint between two documents, while storing ~1/w of the
+    grams. Returns distinct (id_col, fp long) rows.
+
+    Spark shape: position explode (codegen) → per-doc ordered window
+    min over a w-row frame → distinct. The window partitions by doc, so
+    state is bounded by document length — corpus-size independent. The
+    gram hash is the low 60 bits of md5 (hex-slice → long), reproducible
+    in any SQL engine: min(...) OVER (PARTITION BY doc ORDER BY pos
+    ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING).
+    """
+    from pyspark.sql import Window
+
+    from bearysta_spark.functions.dedup import _spread
+
+    spread = _spread(df).filter(F.length(text_col) >= k + w - 1)
+    p = spread.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(k - 1))
+        ).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.conv(
+            F.substring(
+                F.md5(F.col(text_col).substr(F.col("pos"), F.lit(k))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        p.withColumn("m", F.min("h").over(frame))
+        .withColumn("n_in", F.count("*").over(frame))
+        .filter(F.col("n_in") == w)  # only complete windows fingerprint
+    )
+    return sel.select(id_col, F.col("m").alias("fp")).distinct()

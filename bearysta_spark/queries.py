@@ -2770,6 +2770,64 @@ def shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest([{'pos': CAST(i AS INT),
+                      'h': ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT}
+                     for i in range(1, greatest(length(text) - 3, 1))]) AS u
+      FROM documents
+    ),
+    p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM raw),
+    sel AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in
+      FROM p
+    ),
+    fps AS (SELECT DISTINCT doc_id, m AS fp FROM sel WHERE n_in = 4),
+    per AS (
+      SELECT d.source, count(*) AS total_fps, count(DISTINCT f.fp) AS distinct_fps
+      FROM fps f JOIN documents d USING (doc_id) GROUP BY d.source
+    ),
+    docs AS (SELECT source, CAST(count(*) AS BIGINT) AS docs
+             FROM documents GROUP BY source)
+    SELECT d.source, d.docs,
+           CAST(coalesce(p.total_fps, 0) AS BIGINT) AS total_fps,
+           CAST(coalesce(p.distinct_fps, 0) AS BIGINT) AS distinct_fps
+    FROM docs d LEFT JOIN per p USING (source)
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing
+    (functions.text.winnow_fingerprints, MOSS algorithm): min gram-hash
+    per sliding window, guaranteeing shared substrings >= k+w-1 chars
+    produce a common fingerprint at ~1/w storage. Per source: stored
+    fingerprints and distinct fingerprints (overlap signal). The oracle
+    replays gram-hash + window-min + distinct in SQL window frames."""
+    d = _t(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(d, k=5, w=4)
+    per = (
+        fps.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_fps"),
+            F.countDistinct("fp").alias("distinct_fps"),
+        )
+    )
+    docs = d.groupBy("source").agg(F.count("*").cast("long").alias("docs"))
+    return docs.join(per, "source", "left").select(
+        "source",
+        "docs",
+        F.coalesce("total_fps", F.lit(0)).cast("long").alias("total_fps"),
+        F.coalesce("distinct_fps", F.lit(0)).cast("long").alias("distinct_fps"),
+    )
+
+
+@query(
     "cross_doc_repeated_spans",
     oracle="""
     WITH raw AS (

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "quality_by_source",
     "shingle_stats",
     "cross_doc_repeated_spans",
+    "winnowing_fingerprints",
     "minhash_lsh_candidates",
     "dedup_increment_candidates",
     "near_dup_pairs",
@@ -207,10 +208,20 @@ def main() -> None:
     # Keep the line well under 2000: compact separators, 2-decimal values,
     # TPC-H names shortened to q1..q22 (unambiguous, match BENCH_r01 keys
     # by prefix).
+    # r3-new queries get short stable keys (no prior-round key to match);
+    # r01/r02 keys are kept verbatim for cross-round comparison
+    short = {
+        "events_sliding_windows": "sliding_win",
+        "kmeans_centroids": "kmeans",
+        "knn_ivf_trained": "ivf_trained",
+        "cross_doc_repeated_spans": "xdoc_spans",
+        "dedup_increment_candidates": "incr_dedup",
+        "winnowing_fingerprints": "winnow",
+    }
     compact = {
-        (re.match(r"(q\d+)_", k).group(1) if re.match(r"q\d+_", k) else k): round(
-            v, 2
-        )
+        short.get(
+            k, re.match(r"(q\d+)_", k).group(1) if re.match(r"q\d+_", k) else k
+        ): round(v, 2)
         for k, v in times.items()
     }
     line = json.dumps(
