@@ -94,3 +94,51 @@ def test_approx_variants_accuracy_contract(spark, sf_dir):
     exact_med = li.select(F.median("l_extendedprice")).first()[0]
     appr_med = li.select(AGG_FUNCS["median_approx"](F.col("l_extendedprice"))).first()[0]
     assert abs(appr_med - exact_med) / exact_med < 0.01
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    shared=st.text(alphabet="abcdefgh ", min_size=8, max_size=20),
+    pre_a=st.text(alphabet="xyzw", min_size=0, max_size=10),
+    pre_b=st.text(alphabet="pqrs", min_size=0, max_size=10),
+)
+def test_winnowing_guarantee(spark, shared, pre_a, pre_b):
+    # MOSS guarantee: two docs sharing a substring of length >= k+w-1
+    # (here 8) must share at least one fingerprint
+    from bearysta_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, pre_a + shared), (2, pre_b + shared)], "doc_id: long, text: string"
+    )
+    fps = winnow_fingerprints(df, k=5, w=4).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, "shared substring >= k+w-1 must share a fingerprint"
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_lines=st.integers(min_value=1, max_value=120),
+    line_len=st.integers(min_value=1, max_value=40),
+    chunk_bytes=st.integers(min_value=16, max_value=600),
+)
+def test_chunked_reader_equals_wholetext(spark, tmp_path_factory, n_lines, line_len, chunk_bytes):
+    # record-boundary splitter: any chunk size yields the wholetext result
+    from bearysta_spark.engine.sources import chunked_lines_df, filtered_lines_df
+
+    p = tmp_path_factory.mktemp("chunkprop") / "f.log"
+    lines = [("L%04d_" % i) + "x" * line_len for i in range(n_lines)]
+    p.write_text("\n".join(lines) + "\n")
+    whole = sorted(
+        (r["line_no"], r["line"])
+        for r in filtered_lines_df(spark, [str(p)], None).collect()
+    )
+    chunked = sorted(
+        (r["line_no"], r["line"])
+        for r in chunked_lines_df(
+            spark, [str(p)], None, chunk_mb=chunk_bytes / (1024 * 1024)
+        ).collect()
+    )
+    assert chunked == whole
