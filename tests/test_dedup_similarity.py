@@ -243,3 +243,17 @@ def test_simhash_oracle_safe_mode_banding_parity(spark):
         .collect()
     )
     assert banded == brute
+
+
+def test_incremental_lsh_no_corpus_self_pairs(spark):
+    # a planted near-dup straddling the corpus/increment boundary is
+    # found; identical docs WITHIN the corpus never produce a pair
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    rows = [(i, base % (i % 4)) for i in range(20)]  # heavy dup structure
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    corp = df.filter(F.col("doc_id") < 15)
+    inc = df.filter(F.col("doc_id") >= 15)
+    pairs = D.incremental_lsh_pairs(corp, inc, num_hashes=12, bands=3).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["corpus_id"] < 15 and r["new_id"] >= 15
