@@ -44,6 +44,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+EXPIRING_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+EXPIRING_STATE_SCHEMA = "n long, total double, last_ms long"
+
+
+def expiring_user_sessions(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Per-user session totals with event-time state TTL: state expires
+    `gap_ms` after the user's last event (watermark-driven), emitting
+    one finalized row per session and REMOVING the key's state — the
+    property NoTimeout operators lack at 100 TB, where an open-ended
+    user space would otherwise grow the state store forever. Append
+    mode: rows are emitted only on expiry, so every emission is final.
+    Input must carry a watermark on `ts` (the timeout fires when the
+    watermark passes last_event + gap)."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            n, total, _last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            # pandas Timestamp.value is ns since epoch
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, total, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield from ()  # emission happens only on expiry
+
+    return events.withWatermark("ts", "1 minute").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EXPIRING_OUT_SCHEMA,
+        stateStructType=EXPIRING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 DEDUP_SCHEMA = "user_id long, event_id long, value double"
 DEDUP_STATE_SCHEMA = "seen array<long>"
 

@@ -401,3 +401,40 @@ def test_streaming_restart_exactly_once(spark, sf_dir, tmp_path):
 
     run_once()  # idempotent restart with no new data
     assert spark.read.parquet(out).count() == total
+
+
+def test_expiring_sessions_state_ttl(spark, sf_dir):
+    # event-time TTL: keys whose last event + gap falls behind the final
+    # watermark are finalized and their state removed; totals match batch
+    from bearysta_spark.streaming.stateful import expiring_user_sessions
+    from bearysta_spark.tables import load_events
+
+    stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    out = expiring_user_sessions(stream, gap_ms=60 * 1000)
+    got = run_stream_to_memory(spark, out, "expiring_sessions", output_mode="append")
+    rows = got.collect()
+    assert len(rows) > 0  # watermark advanced past idle keys → emissions
+
+    ev = load_events(spark, sf_dir)
+    # per-user totals over the whole backlog; an expired user may have
+    # sessionized into several rows — sum them
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        agg[r["user_id"]][0] += r["n_events"]
+        agg[r["user_id"]][1] += r["total_value"]
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    for uid, (n, tot) in agg.items():
+        # emitted sessions never exceed the user's lifetime totals
+        assert n <= batch[uid][0]
+        # fully-expired users match exactly
+        if n == batch[uid][0]:
+            assert round(tot, 6) == batch[uid][1]
+    full = sum(1 for uid, (n, _) in agg.items() if n == batch[uid][0])
+    assert full > 0
