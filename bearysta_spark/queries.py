@@ -2530,6 +2530,67 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CAST(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])
+                  AS DOUBLE) AS s,
+             embedding
+      FROM embeddings
+    ),
+    deq AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN [0.0 for x in embedding]
+                  ELSE [CAST(trunc(CAST(x AS DOUBLE) * 127.0 / s) AS INTEGER)
+                        * s / 127.0 for x in embedding] END AS v
+      FROM scaled
+    ),
+    q AS (SELECT vec_id AS qid, v AS qvec FROM deq WHERE vec_id < 5),
+    sc AS (
+      SELECT q.qid, d.vec_id AS nid,
+             list_dot_product(q.qvec, d.v)
+             / (sqrt(list_dot_product(q.qvec, q.qvec))
+                * sqrt(list_dot_product(d.v, d.v))) AS sim
+      FROM q, deq d WHERE d.vec_id != q.qid
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      FROM sc
+    ) WHERE rank <= 5
+    """,
+)
+def knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over the int8-quantized index: dequantize
+    (q·scale/127) scan-side and rank cosine exactly — the 4×-smaller
+    storage path whose recall loss is bounded by the per-vector
+    quantization error (max_err ≤ scale/127, see
+    quantize_embeddings_int8). The dequantized dot stays a JVM fold;
+    the oracle replays quantize→dequantize→rank in SQL. trunc (not
+    round) keeps both engines' int8 codes identical."""
+    from bearysta_spark.functions.quantize import quantize_int8
+    from bearysta_spark.functions.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    deq = quantize_int8(e).select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda q: q.cast("double") * F.col("scale") / 127.0
+        ).alias("embedding"),
+    )
+    q = deq.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(deq, q, k=5)
+    return out.select(
+        "qid",
+        "nid",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 _IVF_CM_SQL = ",\n      ".join(
     f"({i}, {_sql_vec(c)})" for i, c in enumerate(_IVF_CENTROIDS)
 )

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "near_dup_pairs",
     "simhash_pairs",
     "knn_bruteforce",
+    "knn_int8",
     "knn_lsh",
     "embedding_norms",
     "label_centroids",
