@@ -18,6 +18,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--csv", default=None, help="CSV output path ('-' = stdout)")
     p.add_argument("-P", "--pretty-print", action="store_true")
     p.add_argument("--html", default=None, help="HTML output path")
+    p.add_argument("--excel", default=None,
+                   help="Excel output path (K4 pandas engine; needs openpyxl)")
+    p.add_argument("--raw", action="store_true",
+                   help="include the normalized pre-aggregation data sheet in --excel")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--allow-python", action="store_true",
                    help="enable pandas-eval fallback for non-compilable precomputes")
@@ -51,7 +55,13 @@ def main(argv: list[str] | None = None) -> int:
                 indicator=eng.recipe["indicator"],
                 plot=args.plot,
             )
-        if not (args.csv or args.pretty_print or args.html):
+        if args.excel:
+            sinks.to_excel(
+                list(eng.pivot_tables(agg)),
+                path=args.excel,
+                data_df=eng.normalized() if args.raw else None,
+            )
+        if not (args.csv or args.pretty_print or args.html or args.excel):
             sys.stdout.write(sinks.to_csv(agg, "-") or "")
     return rc
 

@@ -118,3 +118,37 @@ def test_fmt_number_matches_reference_precision():
             assert _fmt_number(v, p) == ref_fmt(v, p), (v, p)
     assert _fmt_number(0.0, 3) == "0"
     assert _fmt_number(None, 3) == ""
+
+
+def test_cli_excel_flag_gated(tmp_path, spark):
+    # --excel wires the K4 sink; without openpyxl it must fail with the
+    # actionable NotImplementedError, not silently skip
+    data = tmp_path / "d.csv"
+    data.write_text("Prefix,Time\na,1.0\n")
+    cfg = tmp_path / "r.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""\
+            input:
+                path: '{data}'
+                format: csv
+            aggregation: mean
+            series: [Prefix]
+            values: [Time]
+            """
+        )
+    )
+    try:
+        import openpyxl  # noqa: F401
+
+        has_xl = True
+    except ImportError:
+        has_xl = False
+    if has_xl:
+        assert cli_main([str(cfg), "--excel", str(tmp_path / "o.xlsx")]) == 0
+        assert (tmp_path / "o.xlsx").exists()
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="openpyxl"):
+            cli_main([str(cfg), "--excel", str(tmp_path / "o.xlsx")])
