@@ -2987,6 +2987,35 @@ _SIG_MINS = ", ".join(
 _BANDS = ",".join(
     f"md5(h{b*4}||'|'||h{b*4+1}||'|'||h{b*4+2}||'|'||h{b*4+3})" for b in range(3)
 )
+# LSH-verified pair list → transitive closure, shared by the clustering
+# and canonical-corpus oracles (WITH RECURSIVE required upstream)
+_CLUSTER_CTES = """
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+      SELECT a AS doc, b AS r FROM edges
+      UNION
+      SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+"""
+
 _BUCKETS_CTE = f"""
     sig AS (SELECT doc_id, {_SIG_MINS} FROM sh GROUP BY doc_id),
     buckets AS (
@@ -3092,31 +3121,7 @@ def dedup_increment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE},
-    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS inter
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      GROUP BY c.id_a, c.id_b
-    ),
-    pairs AS (
-      SELECT i.id_a, i.id_b
-      FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
-      WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-      UNION SELECT id_a, id_a FROM pairs
-      UNION SELECT id_b, id_b FROM pairs
-    ),
-    reach AS (
-      SELECT a AS doc, b AS r FROM edges
-      UNION
-      SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
-    )
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES}
     SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
     FROM reach GROUP BY doc
     """,
@@ -3136,6 +3141,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
+    )
+
+
+@query(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
+    comp AS (
+      SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN c.component IS NOT NULL AND c.component != d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLICATION step: detection → clustering → corpus
+    materialization. Each duplicate cluster keeps its canonical document
+    (component id = min doc_id); unclustered documents keep themselves.
+    Per source: total docs, kept, dropped — the numbers a pipeline
+    reports after a dedup pass. Oracle replays the full chain
+    (LSH candidates → Jaccard verify → recursive transitive closure →
+    keep-min) in SQL."""
+    from bearysta_spark.functions.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+        {"node": "doc_id"}
+    )
+    joined = d.select("doc_id", "source").join(labels, "doc_id", "left")
+    kept = F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("dropped"),
     )
 
 
