@@ -21,7 +21,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--excel", default=None,
                    help="Excel output path (K4 pandas engine; needs openpyxl)")
     p.add_argument("--raw", action="store_true",
-                   help="include the normalized pre-aggregation data sheet in --excel")
+                   help="include the normalized pre-aggregation 'raw' sheet in --excel")
     p.add_argument("--plot", action="store_true")
     p.add_argument("--allow-python", action="store_true",
                    help="enable pandas-eval fallback for non-compilable precomputes")
@@ -56,10 +56,16 @@ def main(argv: list[str] | None = None) -> int:
                 plot=args.plot,
             )
         if args.excel:
+            # reference workbook shape (aggregate.py:829-833): the
+            # aggregated frame goes on `data` unconditionally; --raw adds
+            # the normalized pre-aggregation frame on a separate `raw`
             sinks.to_excel(
                 list(eng.pivot_tables(agg)),
                 path=args.excel,
-                data_df=eng.normalized() if args.raw else None,
+                data_df=agg,
+                raw_df=eng.normalized() if args.raw else None,
+                variant_cols=eng.recipe.variants,
+                indicator=eng.recipe["indicator"],
             )
         if not (args.csv or args.pretty_print or args.html or args.excel):
             sys.stdout.write(sinks.to_csv(agg, "-") or "")

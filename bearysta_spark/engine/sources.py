@@ -85,11 +85,23 @@ def _line_filter_fn_indexed(filters: dict[str, str | None]):
     return filter_lines
 
 
+def _split_lines(text: str) -> list[str]:
+    """One line-boundary definition for both read paths: records split on
+    '\\n' only, trailing '\\r's stripped — exactly what the chunked reader
+    (_read_chunk) produces. str.splitlines() would also break on lone \\r,
+    \\x85, \\u2028 etc., making (line_no, line) depend on whether a file
+    crossed the split-files-over-mb threshold."""
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    return [ln.rstrip("\r") for ln in lines]
+
+
 def _line_filter_fn(filters: dict[str, str | None]):
     indexed = _line_filter_fn_indexed(filters)
 
     def filter_lines(text: str) -> list[str]:
-        return [line for _, line in indexed(text.splitlines())]
+        return [line for _, line in indexed(_split_lines(text))]
 
     return filter_lines
 
@@ -135,7 +147,7 @@ def filtered_lines_df(
         for pdf in batches:
             rows = []
             for path, value in zip(pdf["path"], pdf["value"]):
-                for i, line in enumerate(fn(value) if filters else value.splitlines()):
+                for i, line in enumerate(fn(value) if filters else _split_lines(value)):
                     rows.append((path, i, line))
             yield pd.DataFrame(rows, columns=["path", "line_no", "line"])
 

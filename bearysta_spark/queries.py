@@ -2923,8 +2923,13 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries 16-byte digests, not text (counts are identical;
     the oracle keeps the raw span for readability)."""
     d = _t(spark, sf_dir, "documents")
-    p = D.shingle_df(d, "text", "doc_id", k=50).select(
-        "doc_id", F.md5("shingle").alias("h")
+    # hash scan-side, BEFORE the distinct: the dedup shuffle then carries
+    # 32-char digests instead of 50-char raw spans (shingle_df would
+    # distinct on the raw span first — the r03 plan audit's one weak spot)
+    p = (
+        D.shingle_rows(d, "text", "doc_id", k=50)
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .distinct()
     )
     dup = (
         p.groupBy("h")
@@ -3567,7 +3572,19 @@ def token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # -- no CORRECTNESS_r01 row yet (entire LLM-pipeline surface) ----------
+    # -- r04: the 8 r03-new queries with no driver row yet (VERDICT r03 #1) -
+    "winnowing_fingerprints",
+    "cross_doc_repeated_spans",
+    "dedup_increment_candidates",
+    "dedup_canonical_corpus",
+    "knn_int8",
+    "kmeans_centroids",
+    "knn_ivf_trained",
+    "events_sliding_windows",
+    # -- r04-new queries (driver-unchecked by definition) ------------------
+    "events_ttl_sessions",
+    "events_stream_dedup",
+    # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",
     "per_group_sample_docs",

@@ -173,9 +173,16 @@ def to_excel(
     tables: list[tuple[tuple, DataFrame]],
     path: str,
     data_df: DataFrame | None = None,
+    raw_df: DataFrame | None = None,
+    variant_cols: list[str] | None = None,
+    indicator: list[dict] | None = None,
 ) -> None:
-    """K4: Excel sink (pandas engine) — per-variant pivot tables plus a
-    `data` sheet. Gated on openpyxl (not in this container; the COM
+    """K4: Excel sink (pandas engine), reference workbook shape
+    (aggregate.py:792-833): sheet `summary` holds, per variant
+    combination, a one-row variant header followed by the pivot table
+    (indicator color bins applied as cell fills); sheet `data` holds the
+    aggregated frame (always); sheet `raw` holds the normalized
+    pre-aggregation frame when provided. Gated on openpyxl (the COM
     variant K5 is Windows-only and intentionally unported)."""
     try:
         import openpyxl  # noqa: F401
@@ -188,11 +195,31 @@ def to_excel(
     with pd.ExcelWriter(path, engine="openpyxl") as xl:
         row = 0
         for variant, df in tables:
+            if variant and variant_cols:
+                head = pd.DataFrame(dict(zip(variant_cols, variant)), index=[0])
+                head.to_excel(xl, sheet_name="summary", startrow=row, index=False)
+                row += len(head) + 2
             pdf = df.toPandas()
-            pdf.to_excel(xl, sheet_name="pivots", startrow=row, index=False)
-            row += len(pdf) + 3
+            out = pdf
+            if indicator:
+                styled = pdf.style
+                for spec in indicator:
+                    col = spec.get("column")
+                    if col in pdf.columns:
+                        cols = color_bins(pdf[col], spec["ranges"], spec["colors"])
+                        styled = styled.apply(
+                            lambda s, colors=cols: [
+                                f"background-color: {c}" for c in colors
+                            ],
+                            subset=[col],
+                        )
+                out = styled
+            out.to_excel(xl, sheet_name="summary", startrow=row, index=False)
+            row += len(pdf) + 4
         if data_df is not None:
             data_df.toPandas().to_excel(xl, sheet_name="data", index=False)
+        if raw_df is not None:
+            raw_df.toPandas().to_excel(xl, sheet_name="raw", index=False)
 
 
 def _plot_base64(pdf) -> str | None:

@@ -74,6 +74,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
     elif isinstance(ts_type, TimestampNTZType):
+        # NTZ→TIMESTAMP reinterprets the wall-clock in the session TZ;
+        # the engine pins UTC (session.py) so the cast is offset-free.
+        # Assert rather than assume: under a non-UTC session this would
+        # silently shift every watermark/window boundary.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise AssertionError(
+                f"events_stream requires an UTC session timezone for the "
+                f"NTZ ts cast; got {tz!r} (set spark.sql.session.timeZone=UTC)"
+            )
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
