@@ -15,8 +15,12 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def content_hash(text: str | Column) -> Column:
@@ -175,6 +179,7 @@ def minhash_lsh_pairs(
     oracle_safe: bool = True,
     sh: DataFrame | None = None,
     max_df_frac: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash
     signature. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -184,7 +189,9 @@ def minhash_lsh_pairs(
     surface, and AQE's skew-join splitting handles hot buckets.
     max_df_frac drops boilerplate shingles first (see
     drop_boilerplate_shingles); callers passing a prebuilt `sh` are
-    expected to have filtered it themselves.
+    expected to have filtered it themselves. max_bucket_size drops
+    degenerate buckets outright (see cap_buckets) — the backstop that
+    bounds candidate volume on adversarially templated corpora.
     """
     if sh is None and max_df_frac is not None:
         sh = drop_boilerplate_shingles(
@@ -192,6 +199,8 @@ def minhash_lsh_pairs(
         )
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe, sh=sh)
     buckets = band_buckets(sigs, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        buckets = cap_buckets(buckets, max_bucket_size, id_col)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -241,6 +250,46 @@ def band_buckets(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def cap_buckets(
+    buckets: DataFrame, max_bucket_size: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Defensive cap on degenerate LSH buckets: drop (band, bucket) keys
+    with more than max_bucket_size members before the pair join.
+
+    drop_boilerplate_shingles removes the usual CAUSE of degenerate
+    buckets (template boilerplate dominating a hash function's argmin);
+    this is the backstop for adversarially templated corpora at scale,
+    where one hot bucket of size m still costs O(m²) candidate pairs.
+    A bucket that large carries no locality signal anyway — its members
+    pair with everything — so dropping it loses only candidates the
+    verifier would reject wholesale, at the price of possibly missing
+    true near-dups inside the clique (run exact dedup first; identical
+    docs never reach LSH).
+
+    No silent caps: the dropped-bucket count and their total membership
+    are computed (the oversized-key frame is tiny — bounded by
+    rows/max_bucket_size) and logged. The filter itself is a broadcast
+    anti-join on the hot keys; the size pass is one map-side-combined
+    count on the (band, bucket) key.
+    """
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    hot = sizes.filter(F.col("sz") > max_bucket_size).cache()
+    stats = hot.agg(
+        F.count("*").alias("n_buckets"), F.sum("sz").alias("n_rows")
+    ).collect()[0]
+    if stats["n_buckets"]:
+        logger.warning(
+            "cap_buckets: dropping %d oversized LSH buckets (>%d members, "
+            "%d rows total) — candidates inside them carry no locality signal",
+            stats["n_buckets"],
+            max_bucket_size,
+            stats["n_rows"],
+        )
+    return buckets.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
+
+
 def incremental_lsh_pairs(
     corpus: DataFrame,
     increment: DataFrame,
@@ -250,6 +299,7 @@ def incremental_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 3,
     oracle_safe: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus: candidate pairs are
     corpus×increment bucket-mates ONLY — no corpus×corpus work, so the
@@ -261,11 +311,15 @@ def incremental_lsh_pairs(
     batch computes its own buckets and equi-joins. Here both sides are
     computed inline; the join, the only wide op across the boundary,
     hash-partitions on (band, bucket) and a small increment side
-    auto-broadcasts under AQE.
+    auto-broadcasts under AQE. max_bucket_size caps degenerate corpus
+    buckets (cap_buckets) before the cross-boundary join.
     """
     c_sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes, oracle_safe)
     i_sigs = minhash_signatures(increment, text_col, id_col, k, num_hashes, oracle_safe)
-    cb = band_buckets(c_sigs, id_col, num_hashes, bands).alias("c")
+    cb = band_buckets(c_sigs, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        cb = cap_buckets(cb, max_bucket_size, id_col)
+    cb = cb.alias("c")
     ib = band_buckets(i_sigs, id_col, num_hashes, bands).alias("i")
     return (
         cb.join(

@@ -95,6 +95,10 @@ def _make_ivf_centroids() -> list[list[float]]:
 
 _IVF_CENTROIDS = _make_ivf_centroids()
 
+# PQ geometry shared by the Spark query and the DuckDB oracle: 8
+# subspaces × 8 sub-centroids over d=64 (see make_pq_codebooks)
+_PQ_CODEBOOKS = S.make_pq_codebooks(dim=64, m=8, ksub=8, seed=11)
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -1610,6 +1614,87 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ttl_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL OR
+                       ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_dsum_sql("value", 4)} AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_ttl_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the event-time-TTL streaming session operator
+    (streaming.stateful.expiring_user_sessions): per-user sessions split
+    on a 30-minute gap, one row per finalized session. The streaming
+    parity pytest ties the stateful operator to assign_sessions; this
+    driver row ties assign_sessions to the SQL oracle — together the
+    TTL-state surface is transitively driver-checked."""
+    from bearysta_spark.streaming.stateful import assign_sessions
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        assign_sessions(e, gap_ms=30 * 60 * 1000)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.col("ts").cast("timestamp")).alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            dsum(F.col("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+@query(
+    "events_stream_dedup",
+    oracle=f"""
+    WITH replayed AS (
+      SELECT user_id, event_id, value FROM events
+      UNION ALL
+      SELECT user_id, event_id, value FROM events
+    ),
+    dedup AS (
+      SELECT user_id, event_id, min(value) AS value
+      FROM replayed GROUP BY user_id, event_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           {_dsum_sql("value", 4)} AS total_value
+    FROM dedup GROUP BY user_id
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of cross-batch exact stream dedup
+    (streaming.stateful.stream_dedup): replay the feed twice (simulated
+    at-least-once delivery) and keep each (user_id, event_id) once —
+    per-user totals then match the single-delivery feed exactly, which
+    is the invariant the streaming state store maintains. One hash-agg
+    on the composite key; duplicate rows are identical so min(value) is
+    the keep-first value."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    replayed = e.unionAll(e)
+    dedup = replayed.groupBy("user_id", "event_id").agg(
+        F.min("value").alias("value")
+    )
+    return dedup.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dsum(F.col("value"), 4).alias("total_value"),
+    )
+
+
+@query(
     "events_json_extract",
     oracle=f"""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
@@ -2655,6 +2740,81 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CB_SQL = ",\n      ".join(
+    f"({j}, {c}, {_sql_vec(vec)})"
+    for j, book in enumerate(_PQ_CODEBOOKS)
+    for c, vec in enumerate(book)
+)
+
+
+@query(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH cb(j, cell, c) AS (VALUES
+      {_PQ_CB_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
+      FROM e, cb
+    ),
+    ranked AS (
+      SELECT vec_id, j, cell,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY score DESC, cell ASC) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id AS nid, j, cell FROM ranked WHERE rn = 1),
+    lut AS (
+      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
+             CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT l.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
+      FROM codes c JOIN lut l ON l.j = c.j AND l.cell = c.cell
+      WHERE c.nid != l.qid
+      GROUP BY l.qid, c.nid
+    )
+    SELECT qid, nid, adc, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, adc,
+             row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (FAISS IndexPQ,
+    inner-product metric): corpus vectors are compressed to m=8 subspace
+    codes (argmax-IP sub-centroid per slice — see
+    similarity.pq_code_rows), queries build an m×ksub lookup table, and
+    the approximate score is the sum of LUT entries at the corpus codes.
+
+    The 100 TB shape: the scan reads the m-byte code table (32× smaller
+    than raw d=64 floats), the LUT is a broadcast, and the only wide op
+    is a map-side-combined sum on (qid, nid). The ADC sum uses the
+    DECIMAL dsum so Spark's partial-agg order and DuckDB's sequential
+    scan agree bit-for-bit; ranks tie-break by nid."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    codes = S.pq_code_rows(e, _PQ_CODEBOOKS).withColumnRenamed("vec_id", "nid")
+    lut = S.pq_lut_rows(q, _PQ_CODEBOOKS)
+    scored = (
+        codes.join(F.broadcast(lut), ["j", "cell"])
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(dsum(F.col("s"), 4).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "adc", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Documents: dedup + text analysis (LLM-pipeline extension surface)
 # ---------------------------------------------------------------------------
@@ -3584,6 +3744,7 @@ _DRIVER_PRIORITY = [
     # -- r04-new queries (driver-unchecked by definition) ------------------
     "events_ttl_sessions",
     "events_stream_dedup",
+    "knn_pq_adc",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -67,16 +67,29 @@ def expiring_user_sessions(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> D
             )
             return
         n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            # pandas Timestamp.value is ns since epoch
-            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
-        state.update((n, total, last_ms))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
-        yield from ()  # emission happens only on expiry
+        # intra-batch gap splitting: a backlogged source delivers many
+        # sessions' worth of a key in ONE micro-batch, where timeouts
+        # alone would merge them all. Walk the batch in event-time order
+        # and close a session whenever the gap exceeds gap_ms — the
+        # stream then converges to exactly the batch assign_sessions
+        # partitioning (asserted by the session-split parity test), not
+        # just matching lifetime totals.
+        parts = [p for p in pdfs if len(p)]
+        out: list[tuple] = []
+        if parts:
+            batch = pd.concat(parts).sort_values("ts")
+            for ts_val, val in zip(batch["ts"], batch["value"]):
+                ts_ms = int(ts_val.value // 1_000_000)  # Timestamp.value is ns
+                if n and ts_ms - last_ms > gap_ms:
+                    out.append((key[0], n, total))
+                    n, total = 0, 0.0
+                n += 1
+                total += float(val)
+                last_ms = max(last_ms, ts_ms)
+        if n or last_ms:
+            state.update((n, total, last_ms))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(out, columns=["user_id", "n_events", "total_value"])
 
     return events.withWatermark("ts", "1 minute").groupBy("user_id").applyInPandasWithState(
         update,
@@ -84,6 +97,34 @@ def expiring_user_sessions(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> D
         stateStructType=EXPIRING_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def assign_sessions(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Batch-equivalent session assignment for expiring_user_sessions:
+    adds a per-user `session_id` (0-based, in event-time order) where a
+    gap > gap_ms between consecutive events starts a new session. The
+    streaming operator converges to exactly this partitioning once the
+    watermark passes every key (the stream-vs-batch parity test asserts
+    it); the batch shape is one window shuffle on user_id.
+
+    Session boundaries depend only on the ordering of distinct `ts`
+    values (equal timestamps have gap 0 and always share a session), so
+    orderBy("ts") is deterministic for the downstream per-session
+    aggregates even when events tie."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    new_session = F.when(gap.isNull() | (gap > gap_ms * 1000), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        - 1,
     )
 
 

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sliding_windows",
     "events_sessionize",
+    "events_ttl_sessions",
+    "events_stream_dedup",
     "events_json_extract",
     "events_asof_join",
     "events_forward_fill",
@@ -91,6 +93,7 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_int8",
     "knn_lsh",
+    "knn_pq_adc",
     "embedding_norms",
     "label_centroids",
     "kmeans_centroids",
@@ -129,14 +132,14 @@ def main() -> None:
     def run(name: str) -> float:
         return run_fn(QUERIES[name])
 
+    # r04 protocol: per-query MIN over n>=3 runs, recorded as "n" in the
+    # JSON. BASELINE.md's round-3 notes measured 46-66 s whole-run drift
+    # with zero code change — minima over 3 runs make cross-round
+    # comparisons like-for-like without manual reconstruction.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     def best_of(fn) -> float:
-        # best-of-2, plus a third run for sub-second queries: r02 showed
-        # ~1.4-1.9× run-to-run drift on cheap shapes where scheduler/GC
-        # noise is the same magnitude as the query itself
-        t = min(run_fn(fn), run_fn(fn))
-        if t < 1.0:
-            t = min(t, run_fn(fn))
-        return t
+        return min(run_fn(fn) for _ in range(n_runs))
 
     # Warmup: JVM + codegen + parquet footer caches, plus the md5/explode
     # codepaths of the dedup pipeline at a small SF — C2 JIT on those
@@ -212,6 +215,8 @@ def main() -> None:
     # r3-new queries get short stable keys (no prior-round key to match);
     # r01/r02 keys are kept verbatim for cross-round comparison
     short = {
+        "events_ttl_sessions": "ttl_sessions",
+        "events_stream_dedup": "stream_dedup",
         "events_sliding_windows": "sliding_win",
         "kmeans_centroids": "kmeans",
         "knn_ivf_trained": "ivf_trained",
@@ -232,6 +237,7 @@ def main() -> None:
             "unit": "sec",
             "queries": compact,
             "prod_xxhash": prod_times,
+            "n": n_runs,
             "sf": sf,
         },
         separators=(",", ":"),

@@ -257,3 +257,73 @@ def test_incremental_lsh_no_corpus_self_pairs(spark):
     assert len(pairs) > 0
     for r in pairs:
         assert r["corpus_id"] < 15 and r["new_id"] >= 15
+
+
+def test_cap_buckets_bounds_pathological_candidates(spark):
+    # adversarial template corpus: every doc shares one long boilerplate
+    # prefix, so every MinHash band collides and the uncapped candidate
+    # volume is the full O(n^2) clique. The cap drops oversized buckets
+    # and bounds pairs by bands * n * (B-1) / 2 regardless of input.
+    n, B, bands, num_hashes = 120, 8, 3, 12
+    prefix = "all documents on this site share this exact header text " * 3
+    docs = spark.createDataFrame(
+        [(i, prefix + f" tiny suffix {i}") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    uncapped = D.minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands)
+    capped = D.minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, max_bucket_size=B
+    )
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    assert n_uncapped > n * 10  # clique blowup without the cap
+    assert n_capped <= bands * n * (B - 1) // 2
+    assert n_capped < n_uncapped
+
+
+def test_cap_buckets_keeps_healthy_buckets(spark):
+    # distinct docs (healthy small buckets) are untouched by the cap
+    docs = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeff"),
+         (3, "totally unrelated content block one two three four five"),
+         (4, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq")],
+        ["doc_id", "text"],
+    )
+    base = D.minhash_lsh_pairs(docs, num_hashes=12, bands=3)
+    capped = D.minhash_lsh_pairs(docs, num_hashes=12, bands=3, max_bucket_size=3)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, capped.collect()))
+
+
+def test_cap_buckets_incremental(spark):
+    # a degenerate corpus bucket must not explode the per-batch cost:
+    # capped incremental candidates are bounded by bands * |increment| * B
+    corpus = spark.createDataFrame(
+        [(i, "identical corpus boilerplate page body " * 4) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, "identical corpus boilerplate page body " * 4) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    capped = D.incremental_lsh_pairs(corpus, inc, max_bucket_size=10)
+    assert capped.count() == 0  # the only corpus bucket is degenerate → dropped
+
+
+def test_pq_adc_approximates_exact_ip_ranking(spark, embeddings):
+    # PQ-ADC top-k should overlap substantially with exact inner-product
+    # top-k (fixed seeded codebooks — recall is modest but nonzero), and
+    # the code table must be deterministic across runs
+    cb = S.make_pq_codebooks(dim=64, m=8, ksub=8, seed=11)
+    q = embeddings.filter(F.col("vec_id") < 3)
+    adc = S.pq_adc_topk(embeddings, q, cb, k=10)
+    got = adc.collect()
+    assert {r["qid"] for r in got} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 10 for r in got)
+
+    codes1 = sorted(map(tuple, S.pq_code_rows(embeddings, cb).collect()))
+    codes2 = sorted(map(tuple, S.pq_code_rows(embeddings, cb).collect()))
+    assert codes1 == codes2
+    # m codes per vector, all cells within range
+    n = embeddings.count()
+    assert len(codes1) == n * 8
+    assert all(0 <= c < 8 for _, _, c in codes1)

@@ -152,3 +152,85 @@ def test_cli_excel_flag_gated(tmp_path, spark):
 
         with _pytest.raises(NotImplementedError, match="openpyxl"):
             cli_main([str(cfg), "--excel", str(tmp_path / "o.xlsx")])
+
+
+def test_cli_excel_roundtrip_workbook_shape(tmp_path, spark):
+    # e2e: recipe → --excel --raw workbook → openpyxl read-back. Locks
+    # the reference workbook layout (aggregate.py:792-833): 'summary'
+    # holds variant header + pivot with indicator fills, 'data' holds
+    # the aggregated frame ALWAYS, 'raw' the normalized frame under
+    # --raw. (Skips where openpyxl is absent — the gated-error path is
+    # covered by test_cli_excel_flag_gated.)
+    openpyxl = __import__("pytest").importorskip("openpyxl")
+
+    data = tmp_path / "d.csv"
+    data.write_text(
+        "Prefix,Mode,Time\na,x,1.0\na,x,3.0\nb,x,4.0\na,y,2.0\nb,y,6.0\n"
+    )
+    cfg = tmp_path / "r.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""\
+            input:
+                path: '{data}'
+                format: csv
+            aggregation: mean
+            axis: [Prefix]
+            variants: [Mode]
+            values: [Time]
+            indicator:
+            - column: Time
+              ranges: [2.5]
+              colors: ['#ff0000', '#00ff00']
+            """
+        )
+    )
+    out = tmp_path / "o.xlsx"
+    assert cli_main([str(cfg), "--excel", str(out), "--raw"]) == 0
+
+    wb = openpyxl.load_workbook(str(out))
+    assert {"summary", "data", "raw"} <= set(wb.sheetnames)
+
+    # summary: first variant header (Mode / x), then the pivot below it
+    sm = wb["summary"]
+    cells = {
+        (c.row, c.column): c.value
+        for row in sm.iter_rows()
+        for c in row
+        if c.value is not None
+    }
+    vals = set(cells.values())
+    assert "Mode" in vals and "x" in vals and "y" in vals  # variant headers
+    assert "Prefix" in vals  # pivot axis header
+    # mean(1,3)=2.0 for (a,x); mean over y: a→2.0, b→6.0
+    assert 2.0 in vals and 6.0 in vals
+    # indicator fill applied to at least one Time cell (color binning)
+    fills = {
+        c.fill.start_color.rgb
+        for row in sm.iter_rows()
+        for c in row
+        if c.fill is not None and c.fill.fill_type == "solid"
+    }
+    assert any(f and f.endswith("FF0000") for f in fills) or any(
+        f and f.endswith("00FF00") for f in fills
+    )
+
+    # data: the aggregated frame (one row per Prefix×Mode), written even
+    # without --raw semantics applying to it
+    dt = wb["data"]
+    header = [c.value for c in next(dt.iter_rows())]
+    assert "Time" in header
+    assert dt.max_row - 1 == 4  # 4 aggregated groups
+
+    # raw: the normalized pre-aggregation frame (5 input rows)
+    rw = wb["raw"]
+    assert rw.max_row - 1 == 5
+
+
+def test_to_excel_data_sheet_written_without_raw(tmp_path, spark):
+    openpyxl = __import__("pytest").importorskip("openpyxl")
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    out = tmp_path / "w.xlsx"
+    sinks.to_excel([((), df)], str(out), data_df=df)
+    wb = openpyxl.load_workbook(str(out))
+    assert "data" in wb.sheetnames and "raw" not in wb.sheetnames

@@ -438,3 +438,48 @@ def test_expiring_sessions_state_ttl(spark, sf_dir):
             assert round(tot, 6) == batch[uid][1]
     full = sum(1 for uid, (n, _) in agg.items() if n == batch[uid][0])
     assert full > 0
+
+
+def test_expiring_sessions_match_batch_session_split(spark, sf_dir):
+    # session-LEVEL parity (not just per-user totals): for users whose
+    # state fully expired, the stream's emitted (n_events, total) rows
+    # equal the batch assign_sessions partitioning at the same gap —
+    # the invariant that lets the driver's events_ttl_sessions oracle
+    # row transitively verify the streaming operator
+    from bearysta_spark.streaming.stateful import (
+        assign_sessions,
+        expiring_user_sessions,
+    )
+    from bearysta_spark.tables import load_events
+
+    gap_ms = 60 * 1000
+    stream = events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    got = run_stream_to_memory(
+        spark,
+        expiring_user_sessions(stream, gap_ms=gap_ms),
+        "expiring_sessions_split",
+        output_mode="append",
+    ).collect()
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "value")
+    batch = (
+        assign_sessions(ev, gap_ms=gap_ms)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    import collections
+
+    got_by_user = collections.defaultdict(list)
+    for r in got:
+        got_by_user[r["user_id"]].append((r["n_events"], round(r["total_value"], 6)))
+    batch_by_user = collections.defaultdict(list)
+    for r in batch:
+        batch_by_user[r["user_id"]].append((r["n"], round(r["t"], 6)))
+
+    full = 0
+    for uid, sessions in got_by_user.items():
+        if sum(n for n, _ in sessions) == sum(n for n, _ in batch_by_user[uid]):
+            assert sorted(sessions) == sorted(batch_by_user[uid])
+            full += 1
+    assert full > 0
