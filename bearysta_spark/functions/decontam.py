@@ -45,6 +45,101 @@ def gram_rows(
     )
 
 
+def build_gram_bloom(
+    grams: DataFrame,
+    nbits: int = 1 << 17,
+    num_hashes: int = 4,
+    gram_col: str = "gram",
+) -> list[int]:
+    """Distributed Bloom-filter build over a gram column: each gram sets
+    num_hashes bits (xxhash64 seeded 0..k-1, mod nbits) in an nbits-wide
+    filter packed into 64-bit words. The bit-setting is pure JVM
+    (explode + map-side-combined bit_or on the word index), so the only
+    driver-side data is the finished filter: nbits/64 longs — bounded by
+    filter GEOMETRY, never by data volume (a 2^27-bit production filter
+    is 16 MB regardless of corpus size).
+
+    Returns the packed word list (index w holds bits [64w, 64w+64)).
+    """
+    nwords = nbits // 64
+    g = grams.select(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(gram_col)), F.lit(nbits)).alias(f"p{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    structs = ", ".join(
+        f"struct(cast(p{i} div 64 as int) as w, "
+        f"shiftleft(1L, cast(p{i} % 64 as int)) as m)"
+        for i in range(num_hashes)
+    )
+    bits = g.select(F.expr(f"explode(array({structs}))").alias("b")).select(
+        "b.w", "b.m"
+    )
+    words = [0] * nwords
+    for r in bits.groupBy("w").agg(F.bit_or("m").alias("m")).collect():
+        words[r["w"]] = r["m"]
+    return words
+
+
+def bloom_contains(
+    words: list[int], nbits: int, num_hashes: int, gram_col: str = "gram"
+):
+    """Membership predicate for a packed Bloom filter: all num_hashes
+    bit positions of the gram are set. The word array is a foldable
+    literal (constant-folded once by Catalyst), the probes are codegen
+    shift/mask expressions — zero Python in the scan. No false
+    negatives; false positives are eliminated by the exact join that
+    follows in contaminated_docs_bloom."""
+
+    def bit_test(i: int) -> str:
+        p = f"pmod(xxhash64({i}, {gram_col}), {nbits})"
+        return (
+            f"((shiftright(element_at(__bloom, cast({p} div 64 as int) + 1), "
+            f"cast({p} % 64 as int)) & 1) = 1)"
+        )
+
+    cond = F.expr(" AND ".join(bit_test(i) for i in range(num_hashes)))
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    return arr, cond
+
+
+def contaminated_docs_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source",),
+    nbits: int = 1 << 17,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """contaminated_docs with a Bloom prefilter on the corpus gram scan.
+
+    Why a second path: the exact broadcast join ships the full distinct
+    benchmark gram set to every executor — at a few hundred million
+    grams that broadcast is tens of GB and stops fitting. The Bloom
+    filter carries the same membership signal at ~10 bits/entry (a
+    16 MB literal for 2^27 bits), the scan-side probe drops the ~99%+
+    of corpus grams that can't match, and only Bloom survivors reach the
+    exact join — whose broadcast can then be replaced by a shuffle join
+    without moving corpus-scale data, because the surviving side is
+    small. Result is IDENTICAL to contaminated_docs (no false
+    negatives; FPs die in the exact join)."""
+    bench_grams = gram_rows(bench, n, text_col, ()).distinct()
+    words = build_gram_bloom(bench_grams, nbits, num_hashes)
+    arr, cond = bloom_contains(words, nbits, num_hashes)
+    doc_grams = gram_rows(_spread(corpus), n, text_col, (id_col, *keep_cols))
+    survivors = (
+        doc_grams.withColumn("__bloom", arr).filter(cond).drop("__bloom")
+    )
+    return (
+        survivors.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, *keep_cols)
+        .agg(F.count_distinct("gram").cast("long").alias("shared_grams"))
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     bench: DataFrame,

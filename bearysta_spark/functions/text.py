@@ -121,6 +121,19 @@ def dup_ngram_stats(text: str | Column, n: int = 2) -> tuple[Column, Column]:
     return total, dup
 
 
+def normalize_text(text: str | Column) -> Column:
+    """Canonical dedup normalization (the C4/RefinedWeb pre-dedup step):
+    lowercase, strip non-alphanumerics, collapse whitespace runs, trim.
+    Exact dedup on the normalized form catches trivially-edited
+    duplicates (case, punctuation, spacing) that byte-exact dedup
+    misses. Pure codegen expressions; DuckDB spells the identical chain
+    with regexp_replace(..., 'g')."""
+    t = F.lower(_col(text))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
 def fingerprint(text: str | Column) -> Column:
     """Deterministic 64-bit document fingerprint (xxhash64 of the
     whitespace-normalized text) — rolling-hash-style content identity for

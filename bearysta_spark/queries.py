@@ -1714,6 +1714,74 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_salted_segment_join",
+    oracle=f"""
+    WITH dims AS (
+      SELECT DISTINCT user_id, user_id % 5 AS segment FROM events
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql("e.value")} AS total_value
+    FROM events e JOIN dims USING (user_id)
+    GROUP BY segment
+    """,
+)
+def events_salted_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dimension join (operators.skew.salted_join): the fact
+    side is salted, the dim side replicated salt×, so a whale key
+    spreads over salt tasks. Result is identical to the plain join —
+    salting is a physical-plan transform, which is exactly what the
+    oracle (plain SQL join) checks. Use when AQE can't split the skew:
+    broadcast-ineligible dims or pre-aggregation on the hot key."""
+    from bearysta_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dims = e.select("user_id").distinct().withColumn(
+        "segment", F.col("user_id") % 5
+    )
+    joined = salted_join(e.select("user_id", "value"), dims, ["user_id"], salt=8)
+    return joined.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
+    "events_value_band_join",
+    oracle=f"""
+    WITH bands AS (
+      SELECT i AS band_id, i*5.0 - 2.0 AS lo, i*5.0 + 6.0 AS hi
+      FROM range(0, 100) t(i)
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(count(*) AS BIGINT) AS n, {_dsum_sql("e.value")} AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band_id
+    """,
+)
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketized equi-join
+    (operators.rangejoin.banded_range_join): overlapping value bands
+    [5i-2, 5i+6) explode to their overlapped buckets and the probe side
+    equi-joins on its single bucket — no nested-loop, no probe-side
+    replication. Identical result to the BETWEEN join the oracle runs;
+    at 100 TB the nested-loop alternative is O(rows × bands) and the
+    interval side may not broadcast."""
+    from bearysta_spark.operators.rangejoin import banded_range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(0, 100).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5.0 - 2.0).alias("lo"),
+        (F.col("id") * 5.0 + 6.0).alias("hi"),
+    )
+    joined = banded_range_join(e, bands, "value", width=8.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").cast("long").alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
     "events_user_reach",
     oracle=f"""
     SELECT event_type,
@@ -2480,6 +2548,53 @@ def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontam",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS a
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(a[i:i+3], ' ')
+                     for i in range(1, len(a) - 2)]) AS gram
+      FROM arrs WHERE len(a) >= 4
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 13
+    ), corpus AS (
+      SELECT DISTINCT doc_id, source, gram FROM grams WHERE doc_id % 100 <> 13
+    ), hits AS (
+      SELECT doc_id, source, CAST(count(*) AS BIGINT) AS shared
+      FROM corpus JOIN bench USING (gram)
+      GROUP BY doc_id, source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+           CAST(sum(shared) AS BIGINT) AS total_shared_grams
+    FROM hits GROUP BY source
+    """,
+)
+def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination
+    (functions.decontam.contaminated_docs_bloom): the benchmark gram set
+    is distilled into a bit filter whose size depends only on filter
+    geometry, the corpus gram scan probes it with codegen shift/mask
+    expressions, and only survivors reach the exact join. Same result as
+    the exact path (no false negatives; FPs die in the join) — the
+    oracle is the plain exact-join SQL — but the broadcast no longer
+    scales with the benchmark set, the constraint that matters when the
+    eval suite is itself millions of documents."""
+    from bearysta_spark.functions.decontam import contaminated_docs_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 13)
+    corpus = d.filter(F.col("doc_id") % 100 != 13)
+    hits = contaminated_docs_bloom(corpus, bench, n=4)
+    return hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_contaminated"),
+        F.sum("shared_grams").cast("long").alias("total_shared_grams"),
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
     WITH toks AS (
@@ -2908,6 +3023,83 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").agg(
         davg(T.quality_score("text")).alias("avg_quality")
     )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "norm_dedup_stats",
+    oracle=f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS exact_unique,
+           CAST(count(DISTINCT md5({_NORM_SQL})) AS BIGINT) AS norm_unique
+    FROM documents GROUP BY source
+    """,
+)
+def norm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (functions.text.normalize_text):
+    dedup keys are digests of the case/punctuation/whitespace-normalized
+    text, catching trivially-edited duplicates byte-exact dedup misses.
+    Same 100 TB shape as dedup_exact_stats — the shuffle carries 16-byte
+    digests of the normalized form, normalization itself is scan-side
+    codegen."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("exact_unique"),
+        F.countDistinct(F.md5(T.normalize_text("text")))
+        .cast("long")
+        .alias("norm_unique"),
+    )
+
+
+_QSCORE_SQL = (
+    "(CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)"
+    " / length(text))"
+    " * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 20.0, 1.0)"
+)
+
+
+@query(
+    "quality_decile_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QSCORE_SQL} AS q FROM documents
+    ),
+    b AS (
+      SELECT source, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile
+      FROM scored
+    )
+    SELECT CAST(decile AS INT) AS decile, CAST(count(*) AS BIGINT) AS n,
+           round(min(q), 6) AS min_q, round(max(q), 6) AS max_q,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM b GROUP BY decile
+    """,
+)
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality bucketing: ntile(10) over the quality score
+    (ties broken by doc_id for cross-engine determinism) — the standard
+    prelude to quality-stratified sampling or curriculum ordering.
+
+    Scale note: a single un-partitioned ntile window is a one-partition
+    sort — correct here for the driver gate, but the at-scale form is
+    approx quantile boundaries (approxQuantile / QuantileSummaries)
+    joined back as range predicates; see SCALING.md."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", T.quality_score("text").alias("q"))
+    b = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("q", "doc_id"))
+    )
+    return b.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    ).select(F.col("decile").cast("int").alias("decile"), "n", "min_q", "max_q", "n_sources")
 
 
 @query(
@@ -3745,6 +3937,11 @@ _DRIVER_PRIORITY = [
     "events_ttl_sessions",
     "events_stream_dedup",
     "knn_pq_adc",
+    "bloom_decontam",
+    "norm_dedup_stats",
+    "quality_decile_stats",
+    "events_salted_segment_join",
+    "events_value_band_join",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "events_json_extract",
     "events_asof_join",
     "events_forward_fill",
+    "events_salted_segment_join",
+    "events_value_band_join",
     "cube_rollup",
     "rolling_revenue",
     "quality_filter_pipeline",
@@ -77,6 +79,9 @@ BENCH_QUERIES = [
     "corpus_manifest",
     "sequence_packing",
     "contamination_4gram",
+    "bloom_decontam",
+    "norm_dedup_stats",
+    "quality_decile_stats",
     "source_overlap_matrix",
     "repetition_filter",
     "dedup_exact_keepfirst",
@@ -215,6 +220,9 @@ def main() -> None:
     # r3-new queries get short stable keys (no prior-round key to match);
     # r01/r02 keys are kept verbatim for cross-round comparison
     short = {
+        "events_salted_segment_join": "salted_join",
+        "events_value_band_join": "band_join",
+        "quality_decile_stats": "q_deciles",
         "events_ttl_sessions": "ttl_sessions",
         "events_stream_dedup": "stream_dedup",
         "events_sliding_windows": "sliding_win",

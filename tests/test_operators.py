@@ -267,3 +267,48 @@ def test_median_scale_guard_env_switch(spark, monkeypatch):
     monkeypatch.setenv("BEARYSTA_SPARK_MEDIAN", "approx")
     approx = df.agg(agg_expr("median", "v", "m")).collect()[0]["m"]
     assert approx == pytest.approx(2.0)  # t-digest exact on tiny input
+
+
+def test_banded_range_join_equals_naive(spark):
+    from bearysta_spark.operators.rangejoin import banded_range_join
+
+    probe = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 1.9, 2.0, 5.5, 7.99, 8.0, 42.0])],
+        ["pid", "v"],
+    )
+    iv = spark.createDataFrame(
+        [(0, 0.0, 2.0), (1, 1.5, 6.0), (2, 5.0, 9.0), (3, 40.0, 41.0)],
+        ["band_id", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["band_id"])
+        for r in banded_range_join(probe, iv, "v", width=3.0).collect()
+    }
+    naive = {
+        (r["pid"], r["band_id"])
+        for r in probe.join(
+            iv, (probe.v >= iv.lo) & (probe.v < iv.hi)
+        ).collect()
+    }
+    assert got == naive
+    # boundary semantics: lo inclusive, hi exclusive
+    assert (0, 0) in got and (2, 0) not in got
+
+
+def test_banded_range_join_plan_is_equi_join(spark):
+    # the point of the operator: NO BroadcastNestedLoopJoin in the plan
+    import contextlib, io
+
+    from bearysta_spark.operators.rangejoin import banded_range_join
+
+    probe = spark.range(100).select(F.col("id").alias("pid"), (F.col("id") * 1.0).alias("v"))
+    iv = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 15.0).alias("hi"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded_range_join(probe, iv, "v", width=15.0).explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan

@@ -46,3 +46,60 @@ def test_lang_id_votes(spark):
     )
     got = [r[0] for r in df.select(T.lang_id("t")).collect()]
     assert got == ["en", "de", "unk"]
+
+
+def test_bloom_decontam_equals_exact_path(spark, documents):
+    from bearysta_spark.functions.decontam import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+
+    bench = documents.filter(F.col("doc_id") % 50 == 3)
+    corpus = documents.filter(F.col("doc_id") % 50 != 3)
+    exact = sorted(map(tuple, contaminated_docs(corpus, bench, n=4).collect()))
+    bloom = sorted(
+        map(tuple, contaminated_docs_bloom(corpus, bench, n=4).collect())
+    )
+    assert bloom == exact
+    assert len(exact) > 0  # nontrivial comparison
+
+
+def test_bloom_prefilter_actually_prunes(spark, documents):
+    # the Bloom survivor set must be far smaller than the raw gram count
+    # (that's the whole point); with no false negatives every benchmark
+    # gram that occurs in the corpus still survives
+    from bearysta_spark.functions.decontam import (
+        bloom_contains,
+        build_gram_bloom,
+        gram_rows,
+    )
+
+    bench = documents.filter(F.col("doc_id") % 50 == 3)
+    corpus = documents.filter(F.col("doc_id") % 50 != 3)
+    bench_grams = gram_rows(bench, 4, "text", ()).distinct()
+    words = build_gram_bloom(bench_grams, nbits=1 << 17, num_hashes=4)
+    arr, cond = bloom_contains(words, 1 << 17, 4)
+    doc_grams = gram_rows(corpus, 4, "text", ("doc_id",))
+    total = doc_grams.count()
+    survivors = doc_grams.withColumn("__bloom", arr).filter(cond).drop("__bloom")
+    n_surv = survivors.count()
+    assert n_surv < total  # pruning happened
+    true_hits = doc_grams.join(bench_grams, "gram").count()
+    surv_hits = survivors.join(bench_grams, "gram").count()
+    assert surv_hits == true_hits  # no false negatives
+
+
+def test_normalize_text_catches_trivial_variants(spark):
+    from bearysta_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO   WORLD."),
+         (4, "goodbye world")],
+        ["doc_id", "text"],
+    )
+    out = df.select("doc_id", normalize_text("text").alias("n"))
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["n"], []).append(r["doc_id"])
+    assert sorted(groups["hello world"]) == [1, 2, 3]
+    assert groups["goodbye world"] == [4]
