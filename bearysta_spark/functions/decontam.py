@@ -62,9 +62,16 @@ def build_gram_bloom(
     Returns the packed word list (index w holds bits [64w, 64w+64)).
     """
     nwords = nbits // 64
+    # Kirsch-Mitzenmacher double hashing: position_i = h1 + i·h2 (mod
+    # nbits) — two xxhash64 evaluations give all num_hashes positions
+    # with Bloom FP guarantees intact; Java long overflow wraps
+    # identically on build and probe.
     g = grams.select(
         *[
-            F.pmod(F.xxhash64(F.lit(i), F.col(gram_col)), F.lit(nbits)).alias(f"p{i}")
+            F.expr(
+                f"pmod(pmod(xxhash64(0, {gram_col}), {nbits})"
+                f" + {i} * pmod(xxhash64(1, {gram_col}), {nbits}), {nbits})"
+            ).alias(f"p{i}")
             for i in range(num_hashes)
         ]
     )
@@ -93,14 +100,22 @@ def bloom_contains(
     follows in contaminated_docs_bloom."""
 
     def bit_test(i: int) -> str:
-        p = f"pmod(xxhash64({i}, {gram_col}), {nbits})"
+        p = (
+            f"pmod(pmod(xxhash64(0, {gram_col}), {nbits})"
+            f" + {i} * pmod(xxhash64(1, {gram_col}), {nbits}), {nbits})"
+        )
         return (
             f"((shiftright(element_at(__bloom, cast({p} div 64 as int) + 1), "
             f"cast({p} % 64 as int)) & 1) = 1)"
         )
 
     cond = F.expr(" AND ".join(bit_test(i) for i in range(num_hashes)))
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    # single literal (one py4j call): building the word array from
+    # per-element F.lit costs thousands of driver round-trips per plan
+    # construction — measured ~2 s at 2048 words
+    import numpy as np
+
+    arr = F.lit(np.asarray(words, dtype=np.int64))
     return arr, cond
 
 
@@ -126,7 +141,9 @@ def contaminated_docs_bloom(
     without moving corpus-scale data, because the surviving side is
     small. Result is IDENTICAL to contaminated_docs (no false
     negatives; FPs die in the exact join)."""
-    bench_grams = gram_rows(bench, n, text_col, ()).distinct()
+    # cached: materialized once by the Bloom build, reused by the exact
+    # verify join (otherwise the benchmark gram explode runs twice)
+    bench_grams = gram_rows(bench, n, text_col, ()).distinct().cache()
     words = build_gram_bloom(bench_grams, nbits, num_hashes)
     arr, cond = bloom_contains(words, nbits, num_hashes)
     doc_grams = gram_rows(_spread(corpus), n, text_col, (id_col, *keep_cols))

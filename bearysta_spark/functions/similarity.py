@@ -407,6 +407,52 @@ def pq_code_rows(
     return coded.select(id_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
 
 
+def pq_code_rows_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched PQ encoding: one `batch_sub @ codebook.T` dgemm per
+    subspace per Arrow batch, stable argmax (ties → lowest cell id).
+
+    Same IVF lesson as assign_cells_arrow: the literal-expression
+    encoder builds m·ksub·dsub literals into the plan, exceeds the
+    codegen method-size limit and runs interpreted (measured ~2.5 s vs
+    ~0.4 s at sf0.1). Exactness: dgemm accumulation can differ from the
+    sequential fold by ~1 ulp; argmax cells are unaffected away from
+    exact score ties (asserted equal to the expression encoder in
+    tests), and downstream ADC sums round at 4dp in DECIMAL where a
+    1e-17 delta is measure-negligible — the same kernel-equivalence
+    budget the driver-checked knn_ivf already relies on.
+    Output matches pq_code_rows: (id, j, cell) rows."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = C.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)  # (n, d)
+        out = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            scores = M[:, j * dsub : (j + 1) * dsub] @ C[j].T  # (n, ksub)
+            out[:, j] = np.argmax(scores, axis=1)  # first max = lowest cell
+        return pd.Series(list(out))
+
+    return (
+        df.select(F.col(id_col), codes(F.col(vec_col)).alias("__codes"))
+        .select(
+            id_col,
+            F.posexplode("__codes").alias("j", "cell"),
+        )
+        .select(id_col, F.col("j").cast("int"), F.col("cell").cast("int"))
+    )
+
+
 def pq_lut_rows(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
@@ -432,6 +478,48 @@ def pq_lut_rows(
     return queries.select(
         F.col(id_col).alias("qid"), F.explode(F.array(*entries)).alias("e")
     ).select("qid", "e.j", "e.cell", "e.s")
+
+
+def pq_lut_rows_arrow(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched ADC LUT: same output as pq_lut_rows, computed as
+    one dgemm per subspace instead of m·ksub literal fold expressions
+    (which cost ~600 driver py4j calls per plan build and push the
+    query-side projection out of codegen)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = C.shape
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def luts(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        out = np.empty((len(M), m * ksub), dtype=np.float64)
+        for j in range(m):
+            out[:, j * ksub : (j + 1) * ksub] = (
+                M[:, j * dsub : (j + 1) * dsub] @ C[j].T
+            )
+        return pd.Series(list(out))
+
+    return (
+        queries.select(
+            F.col(id_col).alias("qid"), luts(F.col(vec_col)).alias("__lut")
+        )
+        .select("qid", F.posexplode("__lut").alias("idx", "s"))
+        .select(
+            "qid",
+            (F.col("idx") / ksub).cast("int").alias("j"),
+            (F.col("idx") % ksub).cast("int").alias("cell"),
+            "s",
+        )
+    )
 
 
 def pq_adc_topk(

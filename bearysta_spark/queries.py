@@ -2018,6 +2018,52 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
+@query(
+    "embedding_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p
+      UNION SELECT id_a, id_a FROM p
+      UNION SELECT id_b, id_b FROM p
+    ),
+    reach AS (
+      SELECT a AS n, b AS r FROM edges
+      UNION
+      SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT n AS vec_id, min(r) AS component FROM reach GROUP BY n)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS size
+    FROM comp GROUP BY component
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate CLUSTERS: the blocked-BLAS all-pairs
+    kernel feeds min-label connected components — semantic dedup's
+    application step (pairs alone don't say what to drop; clusters with
+    a canonical member do). Component id = min vec_id = the vector a
+    dedup pass keeps. Oracle replays pairs + recursive transitive
+    closure in SQL."""
+    from bearysta_spark.functions.components import connected_components
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(e, threshold=0.3)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.count("*").cast("long").alias("size")
+    )
+
+
 def _make_km_init() -> list[list[float]]:
     # must equal kmeans_fit's internal init (seed 42, k=4, d=64)
     import numpy as np
@@ -2278,6 +2324,47 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = stratified_sample(d, ["source"], 5)
     return out.select("doc_id", "source", "lang")
+
+
+@query(
+    "mixture_alpha_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sqrt(count(*)) AS w
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(round(sum(CAST(w AS DECIMAL(25,10))), 10) AS DOUBLE) AS tot
+      FROM s
+    )
+    SELECT source, n_docs, round(w / tot, 6) AS p_sample
+    FROM s, t
+    """,
+)
+def mixture_alpha_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual alpha-scaling
+    recipe): sampling weight ∝ n_docs^alpha with alpha = 0.5, which
+    up-weights small sources relative to proportional sampling. alpha is
+    fixed at 0.5 so the power is sqrt — IEEE-exact in every engine,
+    where pow(x, 0.3) is libm-dependent and would break cross-engine
+    hashing. The normalizer is a 1-row broadcast aggregate (the TPC-H
+    Q11 scalar pattern); the weight sum uses DECIMAL accumulation for
+    order-independence."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    s = s.withColumn("w", F.sqrt(F.col("n_docs")))
+    tot = s.agg(
+        F.round(F.sum(F.col("w").cast(_DEC)), 10).cast("double").alias("tot")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("w") / F.col("tot"), 6).alias("p_sample"),
+        )
+    )
 
 
 def _mix_weights() -> dict[str, float]:
@@ -2914,8 +3001,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan agree bit-for-bit; ranks tie-break by nid."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    codes = S.pq_code_rows(e, _PQ_CODEBOOKS).withColumnRenamed("vec_id", "nid")
-    lut = S.pq_lut_rows(q, _PQ_CODEBOOKS)
+    codes = S.pq_code_rows_arrow(e, _PQ_CODEBOOKS).withColumnRenamed(
+        "vec_id", "nid"
+    )
+    lut = S.pq_lut_rows_arrow(q, _PQ_CODEBOOKS)
     scored = (
         codes.join(F.broadcast(lut), ["j", "cell"])
         .filter(F.col("qid") != F.col("nid"))
@@ -3271,16 +3360,18 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window appearing in ≥2 distinct documents is a repeated span; per
     source, count such spans and the documents they touch. One window
     explode + one hash-agg on the window key + per-source rollup — at
-    100 TB the window key should be the md5 of the span so the dedup
-    shuffle carries 16-byte digests, not text (counts are identical;
+    100 TB the window key is a fixed-width hash of the span so the dedup
+    shuffle carries 8-byte keys, not text (counts are identical;
     the oracle keeps the raw span for readability)."""
     d = _t(spark, sf_dir, "documents")
     # hash scan-side, BEFORE the distinct: the dedup shuffle then carries
-    # 32-char digests instead of 50-char raw spans (shingle_df would
-    # distinct on the raw span first — the r03 plan audit's one weak spot)
+    # 8-byte xxhash64 keys instead of 50-char raw spans (shingle_df would
+    # distinct on the raw span first — the r03 plan audit's one weak
+    # spot). The oracle counts distinct RAW spans, so any injective key
+    # gives identical counts — no md5 parity tax needed here.
     p = (
         D.shingle_rows(d, "text", "doc_id", k=50)
-        .select("doc_id", F.md5("shingle").alias("h"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
         .distinct()
     )
     dup = (
@@ -3942,6 +4033,8 @@ _DRIVER_PRIORITY = [
     "quality_decile_stats",
     "events_salted_segment_join",
     "events_value_band_join",
+    "embedding_dup_clusters",
+    "mixture_alpha_weights",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -327,3 +327,26 @@ def test_pq_adc_approximates_exact_ip_ranking(spark, embeddings):
     n = embeddings.count()
     assert len(codes1) == n * 8
     assert all(0 <= c < 8 for _, _, c in codes1)
+
+
+def test_pq_arrow_codes_equal_expression_codes(spark, embeddings):
+    # the Arrow dgemm encoder and the literal-expression encoder must
+    # produce identical code tables (same argmax, same tie direction)
+    cb = S.make_pq_codebooks(dim=64, m=8, ksub=8, seed=11)
+    expr_codes = sorted(map(tuple, S.pq_code_rows(embeddings, cb).collect()))
+    arrow_codes = sorted(
+        map(tuple, S.pq_code_rows_arrow(embeddings, cb).collect())
+    )
+    assert expr_codes == arrow_codes
+
+
+def test_pq_arrow_lut_equals_expression_lut(spark, embeddings):
+    # keys identical; values agree to <=1 ulp (BLAS dgemm vs sequential
+    # fold accumulation order) — the registered query rounds the ADC sum
+    # at 4dp in DECIMAL, where a 1e-17 difference is measure-negligible
+    cb = S.make_pq_codebooks(dim=64, m=8, ksub=8, seed=11)
+    q = embeddings.filter(F.col("vec_id") < 3)
+    a = {tuple(r[:3]): r[3] for r in S.pq_lut_rows(q, cb).collect()}
+    b = {tuple(r[:3]): r[3] for r in S.pq_lut_rows_arrow(q, cb).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)

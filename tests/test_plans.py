@@ -176,3 +176,31 @@ def test_chunked_lines_offsets_broadcast(spark, tmp_path):
     # broadcast — the file's rows must never hit a window/sort exchange
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_bloom_decontam_probe_is_jvm_side(spark):
+    # the Bloom probe must be codegen shift/mask — no Python evaluation
+    # anywhere in the corpus scan path
+    p = plan_of(spark, "bloom_decontam")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "xxhash64" in p.lower()  # probe hashes visible in the plan
+
+
+def test_knn_pq_adc_no_nested_loop_and_partial_agg(spark):
+    p = plan_of(spark, "knn_pq_adc")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # ADC sum map-side combines on (qid, nid)
+    assert "partial" in p.lower()
+
+
+def test_value_band_join_is_equi_join(spark):
+    p = plan_of(spark, "events_value_band_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_mixture_alpha_single_broadcast_scalar(spark):
+    p = plan_of(spark, "mixture_alpha_weights")
+    # the normalizer is a broadcast 1-row aggregate, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
