@@ -1695,6 +1695,28 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_lifetime_totals",
+    oracle=f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           {_dsum_sql("value", 4)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the running-totals stateful stream operator
+    (streaming.stateful.running_user_totals): per-user lifetime event
+    count and value sum — the state each key converges to once the
+    backlog drains (the streaming pytest asserts that convergence).
+    Completes driver coverage of all three applyInPandasWithState
+    operators (running totals, TTL sessions, stream dedup)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        dsum(F.col("value"), 4).alias("total_value"),
+    )
+
+
+@query(
     "events_json_extract",
     oracle=f"""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
@@ -2632,6 +2654,93 @@ def contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 100 == 7)
     corpus = d.filter(F.col("doc_id") % 100 != 7)
     return contaminated_docs(corpus, bench, n=4)
+
+
+@query(
+    "cdc_chunk_stats",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             unnest([substr(text, i, 16)
+                     for i in range(1, greatest(length(text) - 14, 1))]) AS win
+      FROM documents WHERE length(text) >= 16
+    ),
+    b AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS boundaries
+      FROM w WHERE ('0x' || substr(md5(win), 1, 15))::BIGINT % 64 = 0
+      GROUP BY source
+    ),
+    d AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, d.docs,
+           CAST(coalesce(b.boundaries, 0) AS BIGINT) AS boundaries,
+           CAST(d.docs + coalesce(b.boundaries, 0) AS BIGINT) AS chunks,
+           round(d.chars / (d.docs + coalesce(b.boundaries, 0)), 4)
+             AS avg_chunk_len
+    FROM d LEFT JOIN b USING (source)
+    """,
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash scheme used
+    for chunk-level dedup of near-identical files): a chunk boundary
+    falls wherever the 16-char window hash ≡ 0 (mod 64) — boundaries
+    depend only on LOCAL content, so an insertion reshifts at most one
+    chunk instead of rechunking the document, which is the property
+    fixed-size chunking lacks. Per source: docs, boundary count, chunk
+    count (each doc's tail is a chunk) and mean chunk length. Pure
+    scan-side explode + hash-agg; the md5-derived 60-bit int matches
+    DuckDB's ('0x'||substr(md5,1,15))::BIGINT (the simhash oracle
+    machinery)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        D._spread(d)
+        .filter(F.length("text") >= 16)
+        .select(
+            "source",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(15))
+            ).alias("__i"),
+        )
+        .select(
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.col("text").substr(F.col("__i"), F.lit(16))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    b = (
+        w.filter(F.col("h") % 64 == 0)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("boundaries"))
+    )
+    dd = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    out = dd.join(b, "source", "left").select(
+        "source",
+        "docs",
+        F.coalesce("boundaries", F.lit(0)).cast("long").alias("boundaries"),
+        (F.col("docs") + F.coalesce("boundaries", F.lit(0)))
+        .cast("long")
+        .alias("chunks"),
+        F.round(
+            F.col("chars")
+            / (F.col("docs") + F.coalesce("boundaries", F.lit(0))),
+            4,
+        ).alias("avg_chunk_len"),
+    )
+    return out
 
 
 @query(
@@ -4035,6 +4144,8 @@ _DRIVER_PRIORITY = [
     "events_value_band_join",
     "embedding_dup_clusters",
     "mixture_alpha_weights",
+    "events_lifetime_totals",
+    "cdc_chunk_stats",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -57,6 +57,25 @@ def to_orc(
     w.orc(path)
 
 
+def to_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — the interchange format most training-data
+    pipelines consume; distributed write, optional directory partitions
+    and codec (e.g. 'gzip', 'zstd'). Round-trips through
+    engine/sources.scan_json."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def _fmt_number(x, number_format, max_val=None):
     """F1: number formatting — str → str.format template; int →
     precision digits minus order of magnitude (aggregate.py:929-961)."""

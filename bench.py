@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "events_forward_fill",
     "events_salted_segment_join",
     "events_value_band_join",
+    "events_lifetime_totals",
     "cube_rollup",
     "rolling_revenue",
     "quality_filter_pipeline",
@@ -78,6 +79,7 @@ BENCH_QUERIES = [
     "hash_split_docs",
     "per_group_sample_docs",
     "chunk_documents_32",
+    "cdc_chunk_stats",
     "corpus_manifest",
     "sequence_packing",
     "contamination_4gram",
@@ -242,6 +244,8 @@ def main() -> None:
         "per_group_sample_docs": "grp_sample",
         "hash_split_docs": "hash_split",
         "chunk_documents_32": "chunk32",
+        "cdc_chunk_stats": "cdc_chunks",
+        "events_lifetime_totals": "ev_lifetime",
         "token_count_by_source": "tok_by_src",
         "quality_by_source": "qual_by_src",
         "quality_filter_pipeline": "qual_pipeline",

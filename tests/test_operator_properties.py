@@ -142,3 +142,42 @@ def test_chunked_reader_equals_wholetext(spark, tmp_path_factory, n_lines, line_
         ).collect()
     )
     assert chunked == whole
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1, max_size=12,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.floats(min_value=-5.0, max_value=95.0, allow_nan=False),
+            st.floats(min_value=0.1, max_value=30.0, allow_nan=False),
+        ),
+        min_size=1, max_size=6,
+    ),
+    width=st.sampled_from([1.0, 5.0, 17.0]),
+)
+def test_banded_range_join_equals_naive_property(spark, values, intervals, width):
+    # bucketized interval join ≡ naive BETWEEN join for arbitrary
+    # overlapping intervals and any bucket width
+    from bearysta_spark.operators.rangejoin import banded_range_join
+
+    probe = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], ["pid", "v"]
+    )
+    iv = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(intervals)],
+        ["band_id", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["band_id"])
+        for r in banded_range_join(probe, iv, "v", width=width).collect()
+    }
+    naive = {
+        (r["pid"], r["band_id"])
+        for r in probe.join(iv, (probe.v >= iv.lo) & (probe.v < iv.hi)).collect()
+    }
+    assert got == naive

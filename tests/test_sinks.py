@@ -234,3 +234,19 @@ def test_to_excel_data_sheet_written_without_raw(tmp_path, spark):
     sinks.to_excel([((), df)], str(out), data_df=df)
     wb = openpyxl.load_workbook(str(out))
     assert "data" in wb.sheetnames and "raw" not in wb.sheetnames
+
+
+def test_jsonl_roundtrip_with_scan_json(spark, tmp_path):
+    from bearysta_spark.engine.sources import scan_json
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5), ("a", 3, 3.5)], ["k", "i", "v"]
+    )
+    out = str(tmp_path / "jl")
+    sinks.to_jsonl(df, out, partition_by=["k"])
+    import os
+
+    assert os.path.isdir(f"{out}/k=a")
+    back = scan_json(spark, [out])
+    assert back.count() == 3
+    assert {"Path", "File", "Directory"} <= set(back.columns)
