@@ -4112,6 +4112,751 @@ def token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unigram_surprise",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq
+    ), perdoc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(sum(f.cnt) AS BIGINT) AS sum_cnt,
+             CAST(min(f.cnt) AS BIGINT) AS min_cnt
+      FROM toks t JOIN freq f USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT p.doc_id, d.source, p.n_toks,
+           round(CAST(p.sum_cnt AS DOUBLE) / (p.n_toks * tot.total), 10)
+             AS mean_tok_prob,
+           round(CAST(p.min_cnt AS DOUBLE) / tot.total, 10) AS rarest_tok_prob
+    FROM perdoc p CROSS JOIN tot JOIN documents d USING (doc_id)
+    ORDER BY mean_tok_prob, doc_id LIMIT 25
+    """,
+)
+def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM outlier scoring without logs: train a unigram model
+    (token → corpus count) and rank documents by mean token probability
+    — the 25 lowest are the 'most surprising' docs (noise, wrong
+    language, encoding damage), the standard perplexity-filter signal
+    with the libm-portability problem removed. mean_p = Σcnt(tok) /
+    (n_toks·total) is integer until one final division, so the ordering
+    is bit-identical across engines. Scale shape: the frequency table is
+    vocabulary-sized (≪ corpus, Heaps' law) → broadcast back onto the
+    token stream; everything else is map-side partial aggregation and a
+    top-k (no global sort — Spark's TakeOrdered)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "tok"
+        ),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    perdoc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("cnt").cast("long").alias("sum_cnt"),
+            F.min("cnt").cast("long").alias("min_cnt"),
+        )
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(total))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.round(
+                F.col("sum_cnt").cast("double")
+                / (F.col("n_toks") * F.col("total")),
+                10,
+            ).alias("mean_tok_prob"),
+            F.round(F.col("min_cnt").cast("double") / F.col("total"), 10).alias(
+                "rarest_tok_prob"
+            ),
+        )
+        .orderBy("mean_tok_prob", "doc_id")
+        .limit(25)
+    )
+
+
+@query(
+    "source_tv_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+      FROM documents
+    ), sfreq AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS scnt
+      FROM toks GROUP BY source, tok
+    ), cfreq AS (
+      SELECT tok, CAST(sum(scnt) AS BIGINT) AS ccnt FROM sfreq GROUP BY tok
+    ), stot AS (
+      SELECT source, CAST(sum(scnt) AS BIGINT) AS stotal FROM sfreq GROUP BY source
+    ), ctot AS (
+      SELECT CAST(sum(ccnt) AS BIGINT) AS ctotal FROM cfreq
+    ), terms AS (
+      SELECT s.source,
+             abs(CAST(s.scnt AS DOUBLE) / st.stotal
+                 - CAST(c.ccnt AS DOUBLE) / ct.ctotal) AS adiff,
+             CAST(c.ccnt AS DOUBLE) / ct.ctotal AS cprob
+      FROM sfreq s
+      JOIN cfreq c USING (tok)
+      JOIN stot st USING (source)
+      CROSS JOIN ctot ct
+    )
+    SELECT source,
+           round(0.5 * (CAST(sum(CAST(adiff AS DECIMAL(25,12))) AS DOUBLE)
+                        + 1.0 - CAST(sum(CAST(cprob AS DECIMAL(25,12))) AS DOUBLE)),
+                 6) AS tv_distance
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift: total-variation distance between
+    each source's unigram distribution and the corpus distribution —
+    the log-free alternative to KL for mixture design (which sources
+    are 'off-distribution' and by how much). Absent-token mass is folded
+    in closed form: TV = ½(Σ_{tok∈s}|p_s−p_c| + 1 − Σ_{tok∈s}p_c), so
+    only source-present tokens are ever materialized. Each |diff| addend
+    is an exact IEEE op on two exact single-division doubles; the sums
+    are DECIMAL(25,12)-accumulated (order-independent) per the repo's
+    dsum convention. Scale: per-source freq is the only corpus-sized
+    shuffle; corpus freq and totals are vocab-sized / scalar →
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "tok"
+        ),
+    )
+    sfreq = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("scnt")
+    )
+    cfreq = sfreq.groupBy("tok").agg(F.sum("scnt").cast("long").alias("ccnt"))
+    stot = sfreq.groupBy("source").agg(F.sum("scnt").cast("long").alias("stotal"))
+    ctot = cfreq.agg(F.sum("ccnt").cast("long").alias("ctotal"))
+    dec = "decimal(25,12)"
+    terms = (
+        sfreq.join(F.broadcast(cfreq), "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            F.abs(
+                F.col("scnt").cast("double") / F.col("stotal")
+                - F.col("ccnt").cast("double") / F.col("ctotal")
+            ).alias("adiff"),
+            (F.col("ccnt").cast("double") / F.col("ctotal")).alias("cprob"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                0.5
+                * (
+                    F.sum(F.col("adiff").cast(dec)).cast("double")
+                    + F.lit(1.0)
+                    - F.sum(F.col("cprob").cast(dec)).cast("double")
+                ),
+                6,
+            ).alias("tv_distance")
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "zipf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tok, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+      FROM freq
+    )
+    SELECT rank, tok, cnt, CAST(rank * cnt AS BIGINT) AS zipf_product
+    FROM ranked WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank–frequency head of the corpus vocabulary with the Zipf
+    constant rank·freq per row — a flat product column means the corpus
+    is Zipfian (natural text); a collapsing one means templated/
+    synthetic data. Integer-exact end to end. The global row_number
+    window runs on the *aggregated* vocab table (≪ corpus even at
+    100 TB), never on the token stream; the token-level work is one
+    explode + map-side-combining count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "tok"
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            (F.col("rank") * F.col("cnt")).cast("long").alias("zipf_product"),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "events_trending",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT day, event_type, cnt,
+             CAST(row_number() OVER (
+               PARTITION BY day ORDER BY cnt DESC, event_type) AS BIGINT) AS rank,
+             CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS day_total
+      FROM daily
+    )
+    SELECT day, rank, event_type, cnt,
+           round(CAST(cnt AS DOUBLE) / day_total, 6) AS share
+    FROM ranked WHERE rank <= 3 ORDER BY day, rank
+    """,
+)
+def events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day top-3 trending event types with their share of the day's
+    traffic — the batch shape of a 'trending now' dashboard. One
+    day×type aggregate (map-side combine collapses the stream to
+    days×types rows), then rank and share from windows *partitioned by
+    day* — at 1000 executors every day's handful of type rows is one
+    tiny partition, no global sort. Integer counts, one rounded
+    division."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wrank = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    wtot = Window.partitionBy("day")
+    return (
+        daily.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .withColumn("day_total", F.sum("cnt").over(wtot).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "day",
+            "rank",
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("day_total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("day", "rank")
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id,
+             {_QSCORE_SQL} AS q,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS toks
+      FROM documents
+    ), cum AS (
+      SELECT source, doc_id, toks,
+             CAST(coalesce(sum(toks) OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before,
+             CAST(sum(toks) OVER (PARTITION BY source) AS BIGINT) AS total_toks
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN 5 * cum_before < 2 * total_toks THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN 5 * cum_before < 2 * total_toks THEN toks ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(max(total_toks) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CASE WHEN 5 * cum_before < 2 * total_toks
+                               THEN toks ELSE 0 END) AS DOUBLE)
+                 / max(total_toks), 6) AS kept_frac
+    FROM cum GROUP BY source ORDER BY source
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection (nucleus/top-p over a
+    corpus): within each source, take documents in descending quality
+    order until 40% of the source's token mass is consumed — the
+    data-mixing primitive for 'keep the best N tokens per source'.
+    The keep rule is integer cross-multiplied (5·cum_before < 2·total),
+    never a double quotient, so the cut point is bit-identical across
+    engines; quality ties break on doc_id. Scale: one window partitioned
+    by source (state ∝ docs per source per partition — at 1000 executors
+    each source's running sum is a single streaming pass), one aggregate;
+    token counts are scan-side codegen."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        T.quality_score("text").alias("q"),
+        T.token_count("text").alias("toks"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("source")
+    cum = scored.select(
+        "source",
+        "toks",
+        F.coalesce(F.sum("toks").over(w_cum), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("toks").over(w_tot).cast("long").alias("total_toks"),
+    )
+    keep = (F.lit(5) * F.col("cum_before")) < (F.lit(2) * F.col("total_toks"))
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.max("total_toks").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(keep, F.col("toks")).otherwise(0)).cast("double")
+                / F.max("total_toks"),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "join_key_skew",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cnt
+    ), top AS (
+      SELECT user_id, n_events,
+             CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS BIGINT)
+               AS rank
+      FROM cnt
+    )
+    SELECT rank, user_id, n_events,
+           round(CAST(n_events AS DOUBLE) / total, 6) AS share,
+           round(CAST(sum(n_events) OVER (ORDER BY rank) AS DOUBLE) / total, 6)
+             AS cum_share
+    FROM top CROSS JOIN tot WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic: the top-10 heaviest join keys with
+    their share and cumulative share of total rows — the report you
+    read before deciding between a plain shuffle join, AQE skew split,
+    or explicit salting (operators the engine already has:
+    events_salted_segment_join). Per-key counts map-side combine; the
+    top-k is TakeOrdered on the key-count table (never a global sort of
+    the fact table); rank/cum-share windows run on 10 rows driver-side
+    equivalent. Integer counts, rounded single divisions."""
+    e = _t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+    total = cnt.agg(F.sum("n_events").cast("long").alias("total"))
+    top = cnt.orderBy(F.col("n_events").desc(), "user_id").limit(10)
+    w_rank = Window.orderBy(F.col("n_events").desc(), "user_id")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "share", F.round(F.col("n_events").cast("double") / F.col("total"), 6)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_events").over(w_cum).cast("double") / F.col("total"), 6
+            ),
+        )
+        .select("rank", "user_id", "n_events", "share", "cum_share")
+        .orderBy("rank")
+    )
+
+
+@query(
+    "prefix_jaccard_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                     || ' ' || w[CAST(i AS INT) + 2]
+                     for i in range(1, greatest(len(w) - 1, 1))]) AS shingle
+      FROM words WHERE len(w) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM raw
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY shingle
+    ), ordered AS (
+      SELECT s.doc_id, s.shingle,
+             CAST(row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.doc_freq, s.shingle) AS BIGINT)
+               AS rn,
+             z.n
+      FROM sh s JOIN df d USING (shingle) JOIN sizes z USING (doc_id)
+    ), prefix AS (
+      SELECT doc_id, shingle FROM ordered
+      WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter_size
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_size,
+           CAST(za.n + zb.n - i.inter_size AS BIGINT) AS union_size,
+           round(CAST(i.inter_size AS DOUBLE) / (za.n + zb.n - i.inter_size), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE 3 * i.inter_size >= za.n + zb.n
+    ORDER BY doc_a, doc_b
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall set-similarity self-join via prefix filtering
+    (Chaudhuri/Vernica-style, the deterministic alternative to MinHash
+    LSH): order each doc's word-trigram shingles by ascending global
+    document frequency, keep the first n − ceil(t·n) + 1 as its prefix
+    — any pair with Jaccard ≥ t=0.5 must share a prefix shingle — then
+    equi-join prefixes for candidates and verify with exact Jaccard by
+    integer cross-multiplication (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ ½; no double
+    threshold). Shingle granularity is load-bearing: char-5 shingles on
+    this templated low-vocabulary corpus leave even the rarest prefix
+    tokens with huge document frequency (measured: 11.4M of 12.5M
+    possible pairs survive the filter at sf0.1 — prefix filtering
+    degenerates); word trigrams are distinctive (409k candidates,
+    3.3%). 100 TB shape: the df table is shingle-vocabulary-sized
+    (broadcast); per-doc ordering is a doc_id-partitioned window; the
+    candidate join carries only rare-shingle prefixes (rarest-first
+    ordering minimizes fan-out — a shingle with df=1 generates zero
+    join partners), and the quadratic verify surface is confined to
+    candidates, exactly like functions.dedup.minhash_dedup_verified
+    but with guaranteed recall instead of probabilistic."""
+    d = _t(spark, sf_dir, "documents")
+    # the distinct shingle table feeds four consumers (sizes, df, the
+    # ordered prefix, and both sides of the verify join) — cache it so
+    # the explode+distinct shuffle runs once; bench/driver clearCache()
+    # afterwards
+    words = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("w"),
+    ).filter(F.size("w") >= 3)
+    sh = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    df_tbl = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
+    w = Window.partitionBy("doc_id").orderBy("doc_freq", "shingle")
+    ordered = (
+        sh.join(F.broadcast(df_tbl), "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    prefix = ordered.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")).cast("long") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        F.broadcast(cand)
+        .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter_size"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(
+            F.lit(3) * F.col("inter_size") >= F.col("na") + F.col("nb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            (F.col("na") + F.col("nb") - F.col("inter_size"))
+            .cast("long")
+            .alias("union_size"),
+            F.round(
+                F.col("inter_size").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_size")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM c), 6) AS click_to_purchase
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step conversion funnel (view → click → purchase):
+    a user advances a step only with a strictly-later event of the next
+    type — the sequential-pattern query behind product funnels, here as
+    three per-user min-aggregates chained by equi-join (each stage's
+    frame shrinks monotonically). At 100 TB each stage is one shuffle
+    on user_id and AQE reuses the partitioning; no windows over the raw
+    stream, no cross joins. The three stage counts are scalar aggregates
+    combined via broadcast cross-join (1-row frames)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_view"))
+    nc = c.agg(F.count("*").cast("long").alias("n_click"))
+    np_ = p.agg(F.count("*").cast("long").alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_click").cast("double") / F.col("n_view"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase").cast("double") / F.col("n_click"), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+             value
+      FROM events
+    ), tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+      FROM events GROUP BY event_type
+    )
+    SELECT b.event_type, b.bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE) / max(t.n_type), 6) AS share
+    FROM binned b JOIN tot t USING (event_type)
+    GROUP BY b.event_type, b.bin
+    ORDER BY event_type, bin
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (10 bins of width 50,
+    top bin open-ended): the distribution profile read before choosing
+    range-partition bounds or band-join widths. Binning is
+    floor(value/50) — one exact IEEE division and floor, engine-
+    portable, no percentile state; counts map-side combine on
+    (type, bin), so the shuffle carries ≤ types×bins rows regardless of
+    corpus size."""
+    e = _t(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    tot = e.groupBy("event_type").agg(F.count("*").cast("long").alias("n_type"))
+    return (
+        binned.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.count("*").cast("double") / F.max("n_type"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+@query(
+    "value_trend_by_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) - 1600000000 AS x,
+             value AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(25,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 86400.0, 8) AS slope_per_day,
+           round(sy / n, 4) AS avg_value
+    FROM sums ORDER BY event_type
+    """,
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of event value over time (is the
+    metric drifting?), computed from exact sufficient statistics:
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), scaled to per-day. The only
+    order-sensitive operations are the four sums — Σx/Σx² are integer-
+    exact, Σy/Σxy are DECIMAL-accumulated per the repo's dsum
+    convention — after which the closed form is scalar double
+    arithmetic, identical IEEE ops on identical operands in both
+    engines. This is the distributed-regression pattern: sufficient
+    statistics map-side combine (5 numbers per group), never a solver
+    over raw points; x is anchored to a constant epoch so no per-group
+    pre-pass is needed."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.lit(1600000000)).cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            * 86400.0,
+            8,
+        ).alias("slope_per_day"),
+        F.round(F.col("sy") / F.col("n"), 4).alias("avg_value"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -4146,6 +4891,16 @@ _DRIVER_PRIORITY = [
     "mixture_alpha_weights",
     "events_lifetime_totals",
     "cdc_chunk_stats",
+    "unigram_surprise",
+    "source_tv_divergence",
+    "zipf_topk",
+    "events_trending",
+    "token_budget_selection",
+    "join_key_skew",
+    "prefix_jaccard_pairs",
+    "event_funnel",
+    "value_histogram",
+    "value_trend_by_type",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -114,6 +114,16 @@ BENCH_QUERIES = [
     "vocab_stats",
     "simpson_diversity",
     "token_commonness",
+    "unigram_surprise",
+    "source_tv_divergence",
+    "zipf_topk",
+    "events_trending",
+    "token_budget_selection",
+    "join_key_skew",
+    "prefix_jaccard_pairs",
+    "event_funnel",
+    "value_histogram",
+    "value_trend_by_type",
 ]
 
 
@@ -284,6 +294,16 @@ def main() -> None:
         "ratio_of_base": "ratio_base",
         "recipe_pipeline": "recipe_pipe",
         "window_analytics": "window_fns",
+        "unigram_surprise": "unigram",
+        "source_tv_divergence": "tv_div",
+        "zipf_topk": "zipf",
+        "events_trending": "trending",
+        "token_budget_selection": "tok_budget",
+        "join_key_skew": "key_skew",
+        "prefix_jaccard_pairs": "prefix_jacc",
+        "event_funnel": "funnel",
+        "value_histogram": "val_hist",
+        "value_trend_by_type": "val_trend",
         "rolling_revenue": "rolling_rev",
         "corpus_manifest": "manifest",
     }
