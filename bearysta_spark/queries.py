@@ -4619,34 +4619,54 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn")
         <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")).cast("long") + 1
     ).select("doc_id", "shingle")
+    # candidate generation with the length filter folded in: if
+    # 2·min(|A|,|B|) < max(|A|,|B|) then J ≤ min/max < ½ — prune before
+    # the distinct so impossible pairs never shuffle
+    pn = prefix.join(sizes, "doc_id")
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        pn.alias("a")
+        .join(pn.alias("b"), "shingle")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.lit(2) * F.col("a.n") >= F.col("b.n"))
+            & (F.lit(2) * F.col("b.n") >= F.col("a.n"))
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    inter = (
-        F.broadcast(cand)
-        .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter_size"))
+    # verify via broadcast array-intersect: one sorted shingle-hash
+    # array per doc (docs-sized table, ≪ candidate expansion), joined
+    # onto the candidate pairs twice — the intersection is per-row
+    # codegen, so nothing pair×shingle-sized ever shuffles (the
+    # join+groupBy verify shape moves |cand|·|shingles/doc| rows;
+    # measured 7.2 s → 2.6 s at sf0.1). Intersecting xxhash64 values
+    # instead of the ~20-char strings is another 2× (long equality vs
+    # string); a 64-bit in-doc collision (P≈n²/2⁶⁴ ≈ 4e-9 here) is the
+    # only way results could differ from the string intersection.
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("shs"),
+        F.count("*").cast("long").alias("n"),
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
     return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
-        .filter(
-            F.lit(3) * F.col("inter_size") >= F.col("na") + F.col("nb")
+        cand.join(F.broadcast(aa), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
+        .withColumn(
+            "inter_size",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long"),
         )
+        .filter(F.lit(3) * F.col("inter_size") >= F.col("na") + F.col("nb"))
         .select(
             "doc_a",
             "doc_b",
