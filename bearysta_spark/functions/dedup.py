@@ -604,3 +604,139 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def word_ngram_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs of word n-grams (space-joined runs of
+    `[a-z0-9]+` tokens). Word n-grams, not char k-grams, are the right
+    granularity for prefix-filtered similarity joins on templated
+    corpora: char shingles from a small vocabulary are near-universal
+    (every doc shares them), so DF-ordered prefixes stop pruning (see
+    prefix_jaccard_join). Docs with fewer than n tokens produce no rows.
+    """
+    words = df.select(
+        id_col,
+        F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0).alias("_w"),
+    ).filter(F.size("_w") >= n)
+    parts = [F.col("_w")[F.col("_i") + j] for j in range(1, n)]
+    return (
+        words.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("_i"),
+            "_w",
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.col("_w")[F.col("_i")], *parts
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (1, 2),
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact-recall set-similarity self-join via prefix filtering
+    (Chaudhuri et al. / Vernica et al.): returns all pairs whose
+    word-ngram Jaccard ≥ threshold (a rational p/q so every comparison
+    is integer cross-multiplied — no double thresholds anywhere).
+
+    Algorithm: order each doc's shingles by ascending global document
+    frequency (rarest first; ties on the shingle value — any total
+    order preserves exact recall), keep the first n − ceil(t·n) + 1 as
+    its prefix; any pair with J ≥ t must share a prefix shingle, so the
+    prefix equi-join generates a candidate superset. A length filter
+    (q_minus_p·cross rule: pairs with min/max size ratio < t cannot
+    reach t) prunes before the distinct. Verification intersects
+    per-doc sorted xxhash64 arrays broadcast onto the candidate pairs —
+    per-row codegen, nothing pair×shingle-sized shuffles.
+
+    100 TB shape: DF table is shingle-vocabulary-sized (broadcast);
+    per-doc ordering is an id-partitioned window; candidates are the
+    only quadratic surface and carry ids only. Compare
+    minhash_dedup_verified: probabilistic recall, no DF pass; this
+    operator: guaranteed recall, one extra vocab-sized aggregate.
+
+    Output columns: doc_a, doc_b, inter_size, union_size, jaccard.
+    """
+    from pyspark.sql import Window
+
+    p, q = threshold
+    sh = word_ngram_shingles(df, text_col, id_col, ngram).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("doc_freq"))
+    w = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+    ordered = (
+        sh.join(F.broadcast(df_tbl), "shingle")
+        .join(sizes, id_col)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(p) * F.col("n") / F.lit(q)).cast("long") + 1
+    )
+    prefix = ordered.filter(F.col("rn") <= prefix_len).select(id_col, "shingle")
+    pn = prefix.join(sizes, id_col)
+    # length filter: J ≤ min/max, so q·min < p·max ⟹ J < p/q — prune
+    # impossible pairs before the distinct
+    cand = (
+        pn.alias("a")
+        .join(pn.alias("b"), "shingle")
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.lit(q) * F.col("a.n") >= F.lit(p) * F.col("b.n"))
+            & (F.lit(q) * F.col("b.n") >= F.lit(p) * F.col("a.n"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    arrs = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("shs"),
+        F.count("*").cast("long").alias("n"),
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("na"),
+    )
+    bb = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("nb"),
+    )
+    # J ≥ p/q ⟺ (p+q)·inter ≥ p·(na+nb), integer-exact
+    return (
+        cand.join(F.broadcast(aa), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
+        .withColumn(
+            "inter_size",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long"),
+        )
+        .filter(
+            F.lit(p + q) * F.col("inter_size")
+            >= F.lit(p) * (F.col("na") + F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            (F.col("na") + F.col("nb") - F.col("inter_size"))
+            .cast("long")
+            .alias("union_size"),
+            F.round(
+                F.col("inter_size").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter_size")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

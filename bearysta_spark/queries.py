@@ -4563,125 +4563,23 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-recall set-similarity self-join via prefix filtering
-    (Chaudhuri/Vernica-style, the deterministic alternative to MinHash
-    LSH): order each doc's word-trigram shingles by ascending global
-    document frequency, keep the first n − ceil(t·n) + 1 as its prefix
-    — any pair with Jaccard ≥ t=0.5 must share a prefix shingle — then
-    equi-join prefixes for candidates and verify with exact Jaccard by
-    integer cross-multiplication (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ ½; no double
-    threshold). Shingle granularity is load-bearing: char-5 shingles on
-    this templated low-vocabulary corpus leave even the rarest prefix
-    tokens with huge document frequency (measured: 11.4M of 12.5M
-    possible pairs survive the filter at sf0.1 — prefix filtering
-    degenerates); word trigrams are distinctive (409k candidates,
-    3.3%). 100 TB shape: the df table is shingle-vocabulary-sized
-    (broadcast); per-doc ordering is a doc_id-partitioned window; the
-    candidate join carries only rare-shingle prefixes (rarest-first
-    ordering minimizes fan-out — a shingle with df=1 generates zero
-    join partners), and the quadratic verify surface is confined to
-    candidates, exactly like functions.dedup.minhash_dedup_verified
-    but with guaranteed recall instead of probabilistic."""
+    (functions.dedup.prefix_jaccard_join — Chaudhuri/Vernica-style, the
+    deterministic alternative to MinHash LSH): word-trigram shingles
+    ordered by ascending global DF, prefix length n − ceil(t·n) + 1,
+    candidate equi-join on prefixes (+ length filter), exact-Jaccard
+    verify by integer cross-multiplication (3·|A∩B| ≥ |A|+|B| ⟺ J ≥ ½)
+    over broadcast sorted-hash-array intersections. Shingle granularity
+    is load-bearing: char-5 shingles on this templated low-vocabulary
+    corpus leave even the rarest prefix tokens with huge document
+    frequency (measured: 11.4M of 12.5M possible pairs survive the
+    filter at sf0.1 — prefix filtering degenerates); word trigrams are
+    distinctive (409k candidates, 3.3%). Recall guarantee
+    property-tested against brute force in
+    tests/test_operator_properties.py."""
     d = _t(spark, sf_dir, "documents")
-    # the distinct shingle table feeds four consumers (sizes, df, the
-    # ordered prefix, and both sides of the verify join) — cache it so
-    # the explode+distinct shuffle runs once; bench/driver clearCache()
-    # afterwards
-    words = d.select(
-        "doc_id",
-        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("w"),
-    ).filter(F.size("w") >= 3)
-    sh = (
-        words.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.col("w")[i], F.col("w")[i + 1], F.col("w")[i + 2]
-                    ),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-        .cache()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    df_tbl = sh.groupBy("shingle").agg(
-        F.count("*").cast("long").alias("doc_freq")
-    )
-    w = Window.partitionBy("doc_id").orderBy("doc_freq", "shingle")
-    ordered = (
-        sh.join(F.broadcast(df_tbl), "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-    )
-    prefix = ordered.filter(
-        F.col("rn")
-        <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")).cast("long") + 1
-    ).select("doc_id", "shingle")
-    # candidate generation with the length filter folded in: if
-    # 2·min(|A|,|B|) < max(|A|,|B|) then J ≤ min/max < ½ — prune before
-    # the distinct so impossible pairs never shuffle
-    pn = prefix.join(sizes, "doc_id")
-    cand = (
-        pn.alias("a")
-        .join(pn.alias("b"), "shingle")
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.lit(2) * F.col("a.n") >= F.col("b.n"))
-            & (F.lit(2) * F.col("b.n") >= F.col("a.n"))
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # verify via broadcast array-intersect: one sorted shingle-hash
-    # array per doc (docs-sized table, ≪ candidate expansion), joined
-    # onto the candidate pairs twice — the intersection is per-row
-    # codegen, so nothing pair×shingle-sized ever shuffles (the
-    # join+groupBy verify shape moves |cand|·|shingles/doc| rows;
-    # measured 7.2 s → 2.6 s at sf0.1). Intersecting xxhash64 values
-    # instead of the ~20-char strings is another 2× (long equality vs
-    # string); a 64-bit in-doc collision (P≈n²/2⁶⁴ ≈ 4e-9 here) is the
-    # only way results could differ from the string intersection.
-    arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias("shs"),
-        F.count("*").cast("long").alias("n"),
-    )
-    aa = arrs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n").alias("na"),
-    )
-    bb = arrs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n").alias("nb"),
-    )
-    return (
-        cand.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
-        .withColumn(
-            "inter_size",
-            F.size(F.array_intersect("shs_a", "shs_b")).cast("long"),
-        )
-        .filter(F.lit(3) * F.col("inter_size") >= F.col("na") + F.col("nb"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter_size",
-            (F.col("na") + F.col("nb") - F.col("inter_size"))
-            .cast("long")
-            .alias("union_size"),
-            F.round(
-                F.col("inter_size").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter_size")),
-                6,
-            ).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return D.prefix_jaccard_join(
+        d, "text", "doc_id", threshold=(1, 2), ngram=3
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -181,3 +181,58 @@ def test_banded_range_join_equals_naive_property(spark, values, intervals, width
         for r in probe.join(iv, (probe.v >= iv.lo) & (probe.v < iv.hi)).collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter set-similarity join: exact recall AND precision vs brute
+# force. The filter's correctness argument (any pair with J ≥ t shares a
+# DF-ordered prefix shingle) is the kind of off-by-one-prone math that
+# property testing earns its keep on: small vocab + short docs maximize
+# shared shingles, boundary sizes, and exact-threshold ties.
+# ---------------------------------------------------------------------------
+
+_PJ_VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+def _brute_jaccard_pairs(docs, p, q, n=3):
+    out = {}
+    sets = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        if len(toks) >= n:
+            sets[doc_id] = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if q * inter >= p * union:  # J >= p/q, integer-exact
+                out[(a, b)] = (inter, union)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_PJ_VOCAB), min_size=1, max_size=10).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    thr=st.sampled_from([(1, 2), (4, 5), (1, 3)]),
+)
+def test_prefix_jaccard_join_equals_bruteforce(spark, texts, thr):
+    from bearysta_spark.functions.dedup import prefix_jaccard_join
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"])
+        for r in prefix_jaccard_join(df, "text", "doc_id", thr, 3).collect()
+    }
+    want = _brute_jaccard_pairs(docs, *thr)
+    assert got == want
