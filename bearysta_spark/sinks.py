@@ -76,6 +76,61 @@ def to_jsonl(
     w.json(path)
 
 
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-corpus writer: directory-partitioned, shard-size-bounded,
+    optionally clustered, with a read-back manifest.
+
+    - `partition_by`: hive-style directory partitions (the axis
+      downstream scans prune on — source, language, date).
+    - `cluster_by`: sortWithinPartitions on these columns before the
+      write, so each file covers a narrow key range — parquet min/max
+      stats then let engines skip whole files on point/range predicates
+      (poor-man's Z-order; one extra local sort, no shuffle).
+    - `max_records_per_file`: bounds shard size so a 100 TB write
+      produces uniformly-sized files instead of one giant file per
+      task (Spark splits task output at the bound; readers and
+      shufflers get even units of work).
+
+    Returns a manifest DataFrame (file, n_rows) aggregated from the
+    written dataset via input_file_name() — computed distributed, one
+    row per shard, the integrity record a training run stores next to
+    the data.
+    """
+    w = df
+    if cluster_by:
+        # sort by (partition cols, cluster cols): the dynamic-partition
+        # writer requires task rows ordered by partition columns and
+        # inserts its own (unstable) sort if they aren't — which would
+        # destroy the cluster order. Pre-satisfying the requirement
+        # keeps one local sort total and the cluster order intact.
+        w = w.sortWithinPartitions(*(partition_by or []), *cluster_by)
+    writer = w.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.format(fmt).save(path)
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    back = spark.read.format(fmt).load(path)
+    return (
+        back.select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy("file")
+    )
+
+
 def _fmt_number(x, number_format, max_val=None):
     """F1: number formatting — str → str.format template; int →
     precision digits minus order of magnitude (aggregate.py:929-961)."""
