@@ -4775,6 +4775,108 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "value_percentile_bands",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantile bands per event type — the spread
+    profile behind SLO thresholds and band-join widths (Spark
+    `percentile` and DuckDB `quantile_cont` share linear-interpolation
+    semantics, same parity base as agg_median). Exact percentile sorts
+    each group's values; at 100 TB swap to `approx_percentile` — the
+    accuracy contract for that swap is property-tested in
+    tests/test_operator_properties.py::test_approx_variants_accuracy_contract."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+      WHERE doc_id % 4 <> 0
+    ), new AS (
+      SELECT doc_id, source, md5(text) AS digest FROM documents
+      WHERE doc_id % 4 <> 1
+    ), j AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  ELSE 'kept' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff: full-outer join two snapshots on doc_id and
+    classify each document added / removed / kept — the audit report a
+    daily-refreshed 100 TB corpus produces per release (here the two
+    snapshots are deterministic doc_id-residue slices of the one test
+    table). Scale shape: the join carries (doc_id, source, 16-byte
+    digest), never text; at 100 TB both sides hash-partition on doc_id
+    and the per-source report is a map-side-combined aggregate. The
+    digest column is how a real pipeline would also flag
+    'changed-in-place' docs; the synthetic slices share text, so the
+    statuses here reduce to membership."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.md5("text").alias("digest"))
+    old = base.filter(F.col("doc_id") % 4 != 0)
+    new = base.filter(F.col("doc_id") % 4 != 1)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -4819,6 +4921,8 @@ _DRIVER_PRIORITY = [
     "event_funnel",
     "value_histogram",
     "value_trend_by_type",
+    "value_percentile_bands",
+    "snapshot_diff",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

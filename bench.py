@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "event_funnel",
     "value_histogram",
     "value_trend_by_type",
+    "value_percentile_bands",
+    "snapshot_diff",
 ]
 
 
@@ -239,7 +241,7 @@ def main() -> None:
     short = {
         "events_hourly": "ev_hourly",
         "events_sliding_windows": "sliding_win",
-        "events_sessionize": "ev_sessionize",
+        "events_sessionize": "sessionize",
         "events_ttl_sessions": "ttl_sessions",
         "events_stream_dedup": "stream_dedup",
         "events_json_extract": "ev_json",
@@ -258,9 +260,9 @@ def main() -> None:
         "events_lifetime_totals": "ev_lifetime",
         "token_count_by_source": "tok_by_src",
         "quality_by_source": "qual_by_src",
-        "quality_filter_pipeline": "qual_pipeline",
+        "quality_filter_pipeline": "qual_pipe",
         "quality_decile_stats": "q_deciles",
-        "dedup_exact_keepfirst": "dedup_keepfirst",
+        "dedup_exact_keepfirst": "keepfirst",
         "source_overlap_matrix": "src_overlap",
         "contamination_4gram": "contam4",
         "bloom_decontam": "bloom",
@@ -269,10 +271,10 @@ def main() -> None:
         "embedding_near_dup": "emb_near_dup",
         "embedding_dup_clusters": "emb_clusters",
         "embedding_norms": "emb_norms",
-        "expected_fill_combos": "expected_fill",
+        "expected_fill_combos": "exp_fill",
         "top_orders_per_priority": "top_orders",
         "supplier_nation_balance": "supp_nation",
-        "nation_acctbal_rollup": "acctbal_rollup",
+        "nation_acctbal_rollup": "acct_roll",
         "minhash_lsh_candidates": "minhash_lsh",
         "token_doc_frequency": "tok_docfreq",
         "bigram_frequency": "bigrams",
@@ -294,6 +296,9 @@ def main() -> None:
         "ratio_of_base": "ratio_base",
         "recipe_pipeline": "recipe_pipe",
         "window_analytics": "window_fns",
+        "simhash_pairs": "simhash",
+        "shingle_stats": "shingles",
+        "part_type_stats": "part_stats",
         "unigram_surprise": "unigram",
         "source_tv_divergence": "tv_div",
         "zipf_topk": "zipf",
@@ -304,6 +309,8 @@ def main() -> None:
         "event_funnel": "funnel",
         "value_histogram": "val_hist",
         "value_trend_by_type": "val_trend",
+        "value_percentile_bands": "val_bands",
+        "snapshot_diff": "snap_diff",
         "rolling_revenue": "rolling_rev",
         "corpus_manifest": "manifest",
     }
