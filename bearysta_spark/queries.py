@@ -4877,6 +4877,299 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_cohort_retention",
+    oracle="""
+    WITH firstwk AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), j AS (
+      SELECT f.cohort,
+             CAST((floor(epoch(a.wk)) - floor(epoch(f.cohort))) / 604800
+                  AS BIGINT) AS week_offset,
+             a.user_id
+      FROM act a JOIN firstwk f USING (user_id)
+    ), m AS (
+      SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_active
+      FROM j GROUP BY cohort, week_offset
+    ), base AS (
+      SELECT cohort, n_active AS cohort_size FROM m WHERE week_offset = 0
+    )
+    SELECT CAST(m.cohort AS DATE) AS cohort_week, m.week_offset, m.n_active,
+           round(CAST(m.n_active AS DOUBLE) / b.cohort_size, 6) AS retention
+    FROM m JOIN base b ON m.cohort = b.cohort
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    activity tracked as week offsets, retention = active/cohort-size —
+    the standard product-analytics triangle. Week offsets are integer
+    divisions of week-aligned UTC epochs (both engines truncate weeks
+    to Monday; the session TZ is pinned UTC so epochs align exactly).
+    Scale: two user_id shuffles (first-seen agg, distinct activity) and
+    one small cohort×offset aggregate; the cohort-size join is on the
+    tiny matrix, broadcastable."""
+    e = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firstwk = e.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = e.select("user_id", wk.alias("wk")).distinct()
+    j = act.join(firstwk, "user_id").select(
+        "cohort",
+        (
+            (F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
+            / F.lit(604800)
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    m = j.groupBy("cohort", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    base = m.filter(F.col("week_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        m.join(F.broadcast(base), "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "token_lift_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents
+    ), uni AS (
+      SELECT unnest(w) AS tok FROM toks
+    ), ucnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), utot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t FROM ucnt
+    ), bi AS (
+      SELECT w[CAST(i AS INT)] AS tok_a, w[CAST(i AS INT) + 1] AS tok_b
+      FROM toks, unnest(range(1, greatest(len(w), 1))) AS r(i)
+    ), bcnt AS (
+      SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM bi GROUP BY tok_a, tok_b
+    ), btot AS (
+      SELECT CAST(sum(c_ab) AS BIGINT) AS tb FROM bcnt
+    ), scored AS (
+      SELECT b.tok_a, b.tok_b, b.c_ab,
+             CAST(b.c_ab AS DOUBLE) * ut.t * ut.t
+               / (bt.tb * CAST(ca.c AS DOUBLE) * cb.c) AS lift
+      FROM bcnt b
+      JOIN ucnt ca ON ca.tok = b.tok_a
+      JOIN ucnt cb ON cb.tok = b.tok_b
+      CROSS JOIN utot ut CROSS JOIN btot bt
+      WHERE b.c_ab >= 5
+    )
+    SELECT tok_a, tok_b, c_ab, round(lift, 6) AS lift
+    FROM scored ORDER BY lift DESC, tok_a, tok_b LIMIT 20
+    """,
+)
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token association mining by lift — P(ab)/(P(a)P(b)) as
+    the log-free PMI: collocations score ≫1, anti-collocations ≪1. The
+    score is one double expression over five exact integers (joint
+    count, two marginals, two totals) in a fixed evaluation order, so
+    ranking is engine-exact without logs; ties break on the token pair.
+    Min-support c_ab ≥ 5 prunes noise pairs before the join. Scale: the
+    unigram table is vocab-sized (broadcast onto bigram counts); bigram
+    counts are the one corpus-sized shuffle; top-k is TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("w"),
+    )
+    uni = toks.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("long").alias("t"))
+    bi = toks.filter(F.size("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.col("w")[i].alias("tok_a"),
+                    F.col("w")[i + 1].alias("tok_b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    bcnt = bi.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    btot = bcnt.agg(F.sum("c_ab").cast("long").alias("tb"))
+    ca = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    scored = (
+        bcnt.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "lift",
+            F.col("c_ab").cast("double")
+            * F.col("t")
+            * F.col("t")
+            / (F.col("tb") * F.col("c_a").cast("double") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(20)
+        .select("tok_a", "tok_b", "c_ab", F.round("lift", 6).alias("lift"))
+    )
+
+
+@query(
+    "daily_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), roll AS (
+      SELECT day, event_type, cnt,
+             CAST(count(cnt) OVER w AS BIGINT) AS n_prev,
+             CAST(sum(cnt) OVER w AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, cnt,
+           round(CAST(s1 AS DOUBLE) / n_prev, 4) AS exp_mean,
+           round((cnt - CAST(s1 AS DOUBLE) / n_prev)
+                 / sqrt(CAST(s2 AS DOUBLE) / n_prev
+                        - (CAST(s1 AS DOUBLE) / n_prev)
+                          * (CAST(s1 AS DOUBLE) / n_prev)), 4) AS zscore
+    FROM roll
+    WHERE n_prev >= 3
+      AND CAST(s2 AS DOUBLE) * n_prev > CAST(s1 AS DOUBLE) * s1
+    ORDER BY event_type, day
+    """,
+)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score per event type: each day's count
+    against the mean/std of the preceding ≤7 days (frame excludes the
+    current row — no self-contamination). The sufficient statistics
+    (n, Σ, Σ²) are integer-exact inside the window frame, the z-score
+    is one fixed double expression (IEEE sqrt is correctly rounded —
+    portable, unlike log), and zero-variance windows are excluded by an
+    integer cross-multiplication (n·Σ² > Σ²̂), not a double epsilon.
+    Scale: one day×type pre-aggregate collapses the stream; the rolling
+    window runs per type over days — hundreds of rows per partition at
+    any corpus size."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    roll = daily.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.count("cnt").over(w).cast("long").alias("n_prev"),
+        F.sum("cnt").over(w).cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_prev")
+    var = F.col("s2").cast("double") / F.col("n_prev") - mean * mean
+    return (
+        roll.filter(
+            (F.col("n_prev") >= 3)
+            & (
+                F.col("s2").cast("double") * F.col("n_prev")
+                > F.col("s1").cast("double") * F.col("s1")
+            )
+        )
+        .select(
+            "day",
+            "event_type",
+            "cnt",
+            F.round(mean, 4).alias("exp_mean"),
+            F.round((F.col("cnt") - mean) / F.sqrt(var), 4).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 4) AS mean_raw,
+           round(CAST(sum(CAST(greatest(b.p01, least(e.value, b.p99))
+                               AS DECIMAL(25,10))) AS DOUBLE)
+                 / count(*), 4) AS mean_winsorized,
+           CAST(sum(CASE WHEN e.value < b.p01 OR e.value > b.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust cleaning: clip each type's values at its own
+    p01/p99 (exact interpolated percentiles, same parity base as
+    agg_median) and report raw vs winsorized means plus the clip count
+    — the standard pre-aggregation guard for fat-tailed metrics. The
+    clip itself is least/greatest on identical doubles; both means are
+    DECIMAL-accumulated. Scale: bounds are a types-sized table
+    (broadcast back); exact percentile sorts per group — swap to
+    approx_percentile at 100 TB (accuracy contract property-tested)."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.greatest(F.col("p01"), F.least(F.col("value"), F.col("p99")))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            davg(F.col("value")).alias("mean_raw"),
+            davg(clipped).alias("mean_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -4923,6 +5216,10 @@ _DRIVER_PRIORITY = [
     "value_trend_by_type",
     "value_percentile_bands",
     "snapshot_diff",
+    "user_cohort_retention",
+    "token_lift_pairs",
+    "daily_anomaly_zscore",
+    "winsorized_value_stats",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

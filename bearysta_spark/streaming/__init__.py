@@ -7,6 +7,7 @@ watermarks for late data.
 """
 
 from bearysta_spark.streaming.events import (
+    daily_type_counts_stream,
     enriched_stream,
     events_stream,
     hourly_rollup_stream,

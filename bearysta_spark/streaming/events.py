@@ -125,6 +125,26 @@ def sliding_rollup_stream(
     )
 
 
+def daily_type_counts_stream(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling 1-day window counts per event_type — the stateful half
+    of a streaming 'trending now' board. Top-k ranking is NOT a
+    streaming-supported operator (no rank over an open window); the
+    intended composition is this watermarked aggregate feeding a
+    complete/update sink, with the k-row rank applied per refresh on
+    the materialized days×types table (tiny) — exactly what the batch
+    events_trending query does, and what its parity test asserts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.col("w.start").cast("date").alias("day"), "event_type", "cnt"
+        )
+    )
+
+
 def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (session_window) — the streaming
     equivalent of the batch lag-gap sessionization."""

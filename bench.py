@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "value_trend_by_type",
     "value_percentile_bands",
     "snapshot_diff",
+    "user_cohort_retention",
+    "token_lift_pairs",
+    "daily_anomaly_zscore",
+    "winsorized_value_stats",
 ]
 
 
@@ -311,6 +315,10 @@ def main() -> None:
         "value_trend_by_type": "val_trend",
         "value_percentile_bands": "val_bands",
         "snapshot_diff": "snap_diff",
+        "user_cohort_retention": "cohorts",
+        "token_lift_pairs": "tok_lift",
+        "daily_anomaly_zscore": "anomaly_z",
+        "winsorized_value_stats": "winsorize",
         "rolling_revenue": "rolling_rev",
         "corpus_manifest": "manifest",
     }

@@ -483,3 +483,44 @@ def test_expiring_sessions_match_batch_session_split(spark, sf_dir):
             assert sorted(sessions) == sorted(batch_by_user[uid])
             full += 1
     assert full > 0
+
+
+def test_streaming_trending_matches_batch_query(spark, sf_dir):
+    """The streaming daily-counts aggregate + a per-refresh batch rank
+    reproduces the registered events_trending query exactly — the
+    composition a streaming 'trending now' board runs per trigger."""
+    from pyspark.sql import Window
+
+    from bearysta_spark.queries import QUERIES
+    from bearysta_spark.streaming import (
+        daily_type_counts_stream,
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    daily = run_stream_to_memory(
+        spark, daily_type_counts_stream(stream), "trend_daily"
+    )
+    wrank = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    wtot = Window.partitionBy("day")
+    got = (
+        daily.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .withColumn("day_total", F.sum("cnt").over(wtot).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "day",
+            "rank",
+            "event_type",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("day_total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+    want = QUERIES["events_trending"](spark, sf_dir)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
