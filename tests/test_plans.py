@@ -204,3 +204,41 @@ def test_mixture_alpha_single_broadcast_scalar(spark):
     p = plan_of(spark, "mixture_alpha_weights")
     # the normalizer is a broadcast 1-row aggregate, not a shuffle join
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_prefix_jaccard_broadcasts_and_no_cartesian(spark):
+    # df table + verify arrays broadcast; the only joins are equi-joins
+    # (prefix shingle, candidate ids) — a cartesian product would mean
+    # the filter degenerated
+    p = plan_of(spark, "prefix_jaccard_pairs")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_lift_marginals_broadcast(spark):
+    # unigram marginals and scalar totals broadcast onto bigram counts;
+    # the bigram aggregate is the only corpus-sized shuffle
+    p = plan_of(spark, "token_lift_pairs")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # top-k must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_winsorize_bounds_broadcast(spark):
+    p = plan_of(spark, "winsorized_value_stats")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_unigram_surprise_takeordered(spark):
+    p = plan_of(spark, "unigram_surprise")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_cohort_retention_no_global_sort_before_agg(spark):
+    p = plan_of(spark, "user_cohort_retention")
+    # the cohort-size join is on the tiny matrix → broadcast
+    assert "BroadcastHashJoin" in p
