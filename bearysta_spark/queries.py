@@ -3643,6 +3643,207 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jaccard_band_histogram",
+    oracle=f"""
+    WITH {_SH_CTE}, {_CAND_CTE},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    j AS (
+      SELECT CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) AS jaccard
+      FROM inter i
+      JOIN sz x ON i.id_a = x.doc_id
+      JOIN sz y ON i.id_b = y.doc_id
+    )
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band10,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(jaccard), 4) AS min_j,
+           round(max(jaccard), 4) AS max_j
+    FROM j GROUP BY 1
+    """,
+)
+def jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning: the exact-Jaccard distribution of ALL LSH
+    candidate pairs, bucketed into 0.1-wide similarity bands. A pipeline
+    runs this once per corpus to pick the near-dup cut — a bimodal
+    histogram (background band vs planted-dup band) justifies the 0.5
+    threshold used by near_dup_pairs; a smeared one says the shingle size
+    or banding needs work. One pass over the candidate set: the
+    quadratic surface stays confined to LSH survivors, and the histogram
+    is a tiny groupBy on an integer band key.
+
+    min/max per band (not avg) keeps the aggregate order-independent —
+    double summation order differs between engines, extrema don't."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.0)
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("band10")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.min("jaccard"), 4).alias("min_j"),
+        F.round(F.max("jaccard"), 4).alias("max_j"),
+    )
+
+
+@query(
+    "blocklist_scrub_stats",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                             t -> t = 'slow' OR t = 'dup')) AS n_hit
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN CAST(n_hit AS DOUBLE) / n_tok > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_hit) AS BIGINT) AS total_hits,
+           round(CAST(sum(n_hit) AS DOUBLE) / sum(n_tok), 6) AS hit_rate
+    FROM per GROUP BY source
+    """,
+)
+def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-based document scrubbing (the C4-style badwords pass):
+    per-document blocklist-token density, a flag where density exceeds
+    5%, and per-source aggregate scrub rates. Pure codegen expressions —
+    split / higher-order filter / size run JVM-side per row, the only
+    shuffle is the final per-source aggregate, so the pass is a single
+    scan at any corpus size.
+
+    The per-source ratio divides exact integer token sums once (no
+    double accumulation), keeping the result engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per = d.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(
+            F.filter(toks, lambda t: (t == "slow") | (t == "dup"))
+        ).alias("n_hit"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("n_hit") / F.col("n_tok") > 0.05).cast("int")
+        ).cast("long").alias("n_flagged"),
+        F.sum("n_hit").cast("long").alias("total_hits"),
+        F.round(F.sum("n_hit") / F.sum("n_tok"), 6).alias("hit_rate"),
+    )
+
+
+_CMS_W = 64
+_CMS_D = 4
+
+
+def _cms_bucket(us, i):
+    """md5-derived CMS row hash: 60-bit int mod _CMS_W, identical to the
+    DuckDB ('0x'||substr(md5,1,15))::BIGINT arithmetic."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(us, F.lit(":cms"), i.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+_CMS_BUCKET_SQL = (
+    "('0x' || substr(md5({us} || ':cms' || CAST({i} AS VARCHAR)), 1, 15))"
+    f"::BIGINT % {_CMS_W}"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, CAST(user_id AS VARCHAR) AS us, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT i.i,
+             {_CMS_BUCKET_SQL.format(us="e.us", i="i.i")} AS bucket,
+             e.n
+      FROM exact e, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) i
+    ),
+    sketch AS (SELECT i, bucket, sum(n) AS cnt FROM b GROUP BY 1, 2),
+    top AS (SELECT user_id, us, n FROM exact ORDER BY n DESC, user_id LIMIT 20),
+    est AS (
+      SELECT t.user_id, t.n, min(s.cnt) AS est
+      FROM top t JOIN sketch s
+        ON s.bucket = {_CMS_BUCKET_SQL.format(us="t.us", i="s.i")}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS exact_n, CAST(est AS BIGINT) AS est_n,
+           CAST(est - n AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a 4-row × 64-column CMS over event
+    user activity, with the top-20 exact users' estimates and their
+    overcount (always ≥ 0 — CMS never undercounts). The deliberately
+    small width keeps collisions visible so the query doubles as the
+    sketch's accuracy report.
+
+    Scale shape: the sketch is built from the per-key aggregate
+    (identical totals, far fewer rows than raw events) and is d×w
+    integers no matter the corpus — THE streaming/mergeable summary for
+    100 TB frequency estimation; partial sketches combine by cell-wise
+    sum, so map-side combine applies. Integer-only arithmetic end to
+    end: the md5 bucket hashes and count sums replay exactly in DuckDB.
+    """
+    ev = _t(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("us", F.col("user_id").cast("string"))
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
+    b = exact.select("us", "n", idx).select(
+        "n",
+        F.col("i"),
+        _cms_bucket(F.col("us"), F.col("i")).alias("bucket"),
+    )
+    sketch = b.groupBy("i", "bucket").agg(F.sum("n").alias("cnt"))
+    top = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("user_id"))),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("user_id", "us", "n", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"))
+        .select(
+            "user_id",
+            "n",
+            F.col("i"),
+            _cms_bucket(F.col("us"), F.col("i")).alias("bucket"),
+        )
+    )
+    est = (
+        top.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est").cast("long").alias("est_n"),
+        (F.col("est") - F.col("n")).cast("long").alias("overcount"),
+    )
+
+
+@query(
     "dedup_increment_candidates",
     oracle=f"""
     WITH {_SH_CTE}, {_BUCKETS_CTE},
@@ -3881,6 +4082,80 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     out = S.brute_force_topk(e, q, k=5)
     return out.select("qid", "nid", F.round("sim", 4).alias("sim"), F.col("rank").cast("int").alias("rank"))
+
+
+_COSINE_SQL = (
+    "list_dot_product(q.qvec, c.v)"
+    " / (sqrt(list_dot_product(q.qvec, q.qvec))"
+    " * sqrt(list_dot_product(c.v, c.v)))"
+)
+
+
+@query(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+           {_LSH_SIG_SQL} AS sig
+      FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qvec, sig FROM sig WHERE vec_id < 25),
+    lsh AS (
+      SELECT qid, nid FROM (
+        SELECT q.qid, c.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_COSINE_SQL} DESC, c.vec_id ASC) AS rank
+        FROM q JOIN sig c ON q.sig = c.sig AND q.qid != c.vec_id
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT qid, nid FROM (
+        SELECT q.qid, c.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_COSINE_SQL} DESC, c.vec_id ASC) AS rank
+        FROM q, e c WHERE c.vec_id != q.qid
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT x.qid, count(*) AS n
+      FROM exact x JOIN lsh USING (qid, nid)
+      GROUP BY 1
+    )
+    SELECT q.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n, 0) / 5.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (qid)
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@5 of the hyperplane-LSH index
+    against the exact brute-force neighbors, per query point. This is the
+    gate a pipeline runs before trusting an approximate index at scale —
+    recall is measured on a query sample (here 25 points), never the full
+    corpus, so the exact side stays a bounded broadcast crossJoin while
+    the index side is the production bucket equi-join.
+
+    Deterministic: both sides rank by exact cosine with id tie-breaks,
+    and the recall denominator is k (missing bucket-mates count against
+    the index)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 25)
+    exact = S.brute_force_topk(e, q, k=5).select("qid", "nid")
+    approx = S.lsh_topk(e, q, _LSH_PLANES, k=5).select("qid", "nid")
+    hits = (
+        exact.join(approx, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("qid"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n", F.lit(0)) / F.lit(5.0), 4).alias("recall"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5220,6 +5495,10 @@ _DRIVER_PRIORITY = [
     "token_lift_pairs",
     "daily_anomaly_zscore",
     "winsorized_value_stats",
+    "ann_lsh_recall",
+    "jaccard_band_histogram",
+    "blocklist_scrub_stats",
+    "cms_heavy_hitters",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "token_lift_pairs",
     "daily_anomaly_zscore",
     "winsorized_value_stats",
+    "ann_lsh_recall",
+    "jaccard_band_histogram",
+    "blocklist_scrub_stats",
+    "cms_heavy_hitters",
 ]
 
 
@@ -243,84 +247,102 @@ def main() -> None:
     # under the window. THIS dict is the r03→r04 key mapping for
     # cross-round comparison.
     short = {
-        "events_hourly": "ev_hourly",
-        "events_sliding_windows": "sliding_win",
-        "events_sessionize": "sessionize",
-        "events_ttl_sessions": "ttl_sessions",
-        "events_stream_dedup": "stream_dedup",
-        "events_json_extract": "ev_json",
-        "events_asof_join": "ev_asof",
-        "events_forward_fill": "ev_ffill",
-        "events_user_reach": "ev_reach",
-        "events_salted_segment_join": "salted_join",
-        "events_value_band_join": "band_join",
-        "mixture_weighted_sample": "mix_sample",
-        "mixture_alpha_weights": "alpha_weights",
-        "stratified_sample_docs": "strat_sample",
-        "per_group_sample_docs": "grp_sample",
-        "hash_split_docs": "hash_split",
-        "chunk_documents_32": "chunk32",
-        "cdc_chunk_stats": "cdc_chunks",
-        "events_lifetime_totals": "ev_lifetime",
-        "token_count_by_source": "tok_by_src",
-        "quality_by_source": "qual_by_src",
-        "quality_filter_pipeline": "qual_pipe",
-        "quality_decile_stats": "q_deciles",
-        "dedup_exact_keepfirst": "keepfirst",
-        "source_overlap_matrix": "src_overlap",
-        "contamination_4gram": "contam4",
-        "bloom_decontam": "bloom",
-        "norm_dedup_stats": "norm_dedup",
-        "grouping_sets_revenue": "grouping_sets",
-        "embedding_near_dup": "emb_near_dup",
-        "embedding_dup_clusters": "emb_clusters",
-        "embedding_norms": "emb_norms",
-        "expected_fill_combos": "exp_fill",
-        "top_orders_per_priority": "top_orders",
-        "supplier_nation_balance": "supp_nation",
-        "nation_acctbal_rollup": "acct_roll",
-        "minhash_lsh_candidates": "minhash_lsh",
-        "token_doc_frequency": "tok_docfreq",
-        "bigram_frequency": "bigrams",
-        "sequence_packing": "seq_packing",
-        "repetition_filter": "rep_filter",
-        "simpson_diversity": "simpson",
-        "token_commonness": "tok_common",
-        "kmeans_centroids": "kmeans",
-        "knn_ivf_trained": "ivf_trained",
-        "cross_doc_repeated_spans": "xdoc_spans",
-        "dedup_increment_candidates": "incr_dedup",
-        "winnowing_fingerprints": "winnow",
-        "quantize_embeddings_int8": "quant_int8",
-        "label_centroids": "label_cents",
-        "dedup_exact_stats": "dedup_stats",
-        "knn_bruteforce": "knn_bf",
-        "near_dup_pairs": "near_dups",
-        "tfidf_top_terms": "tfidf",
-        "ratio_of_base": "ratio_base",
-        "recipe_pipeline": "recipe_pipe",
-        "window_analytics": "window_fns",
-        "simhash_pairs": "simhash",
-        "shingle_stats": "shingles",
-        "part_type_stats": "part_stats",
-        "unigram_surprise": "unigram",
-        "source_tv_divergence": "tv_div",
-        "zipf_topk": "zipf",
-        "events_trending": "trending",
-        "token_budget_selection": "tok_budget",
-        "join_key_skew": "key_skew",
-        "prefix_jaccard_pairs": "prefix_jacc",
+        "events_hourly": "hourly",
+        "events_sliding_windows": "slide",
+        "events_sessionize": "sess",
+        "events_ttl_sessions": "ttl",
+        "events_stream_dedup": "sdedup",
+        "events_json_extract": "evjson",
+        "events_asof_join": "asof",
+        "events_forward_fill": "ffill",
+        "events_user_reach": "reach",
+        "events_salted_segment_join": "salted",
+        "events_value_band_join": "band",
+        "events_lifetime_totals": "evlife",
+        "events_trending": "trend",
         "event_funnel": "funnel",
-        "value_histogram": "val_hist",
-        "value_trend_by_type": "val_trend",
-        "value_percentile_bands": "val_bands",
-        "snapshot_diff": "snap_diff",
-        "user_cohort_retention": "cohorts",
-        "token_lift_pairs": "tok_lift",
-        "daily_anomaly_zscore": "anomaly_z",
-        "winsorized_value_stats": "winsorize",
-        "rolling_revenue": "rolling_rev",
-        "corpus_manifest": "manifest",
+        "mixture_weighted_sample": "mixs",
+        "mixture_alpha_weights": "alpha",
+        "stratified_sample_docs": "strat",
+        "per_group_sample_docs": "gsamp",
+        "hash_split_docs": "hsplit",
+        "chunk_documents_32": "chunk",
+        "cdc_chunk_stats": "cdc",
+        "token_count_by_source": "toksrc",
+        "quality_by_source": "qsrc",
+        "quality_filter_pipeline": "qpipe",
+        "quality_decile_stats": "decile",
+        "dedup_exact_keepfirst": "keep1",
+        "dedup_exact_stats": "dstats",
+        "dedup_increment_candidates": "incr",
+        "source_overlap_matrix": "ovlap",
+        "contamination_4gram": "contam",
+        "bloom_decontam": "bloom",
+        "norm_dedup_stats": "ndedup",
+        "grouping_sets_revenue": "gsets",
+        "embedding_near_dup": "endup",
+        "embedding_dup_clusters": "eclust",
+        "embedding_norms": "enorm",
+        "expected_fill_combos": "efill",
+        "top_orders_per_priority": "topord",
+        "supplier_nation_balance": "snat",
+        "nation_acctbal_rollup": "acct",
+        "minhash_lsh_candidates": "mhlsh",
+        "token_doc_frequency": "docfrq",
+        "bigram_frequency": "bigram",
+        "sequence_packing": "spack",
+        "repetition_filter": "repf",
+        "simpson_diversity": "simps",
+        "token_commonness": "tokcom",
+        "kmeans_centroids": "kmeans",
+        "knn_ivf_trained": "ivftr",
+        "knn_pq_adc": "pq",
+        "knn_int8": "int8",
+        "knn_bruteforce": "knnbf",
+        "knn_lsh": "knnlsh",
+        "knn_ivf": "knnivf",
+        "cross_doc_repeated_spans": "xspans",
+        "winnowing_fingerprints": "winnow",
+        "quantize_embeddings_int8": "qint8",
+        "label_centroids": "labc",
+        "near_dup_pairs": "ndup",
+        "tfidf_top_terms": "tfidf",
+        "ratio_of_base": "ratio",
+        "recipe_pipeline": "recp",
+        "recipe_ratio": "recr",
+        "window_analytics": "winfns",
+        "simhash_pairs": "simh",
+        "shingle_stats": "shing",
+        "part_type_stats": "parts",
+        "unigram_surprise": "unigrm",
+        "source_tv_divergence": "tvdiv",
+        "zipf_topk": "zipf",
+        "token_budget_selection": "budget",
+        "join_key_skew": "skew",
+        "prefix_jaccard_pairs": "pjacc",
+        "value_histogram": "vhist",
+        "value_trend_by_type": "vtrend",
+        "value_percentile_bands": "vbands",
+        "snapshot_diff": "snap",
+        "user_cohort_retention": "cohort",
+        "token_lift_pairs": "lift",
+        "daily_anomaly_zscore": "anomz",
+        "winsorized_value_stats": "winsor",
+        "rolling_revenue": "rollrv",
+        "corpus_manifest": "manif",
+        "agg_mean_dims": "aggmu",
+        "agg_geomean": "geomu",
+        "agg_median": "median",
+        "cube_rollup": "cube",
+        "vocab_stats": "vocab",
+        "text_stats": "tstats",
+        "pack_melt": "pack",
+        "unpack_pivot": "unpack",
+        "filter_in_out": "filtio",
+        "ann_lsh_recall": "recall",
+        "jaccard_band_histogram": "jhist",
+        "blocklist_scrub_stats": "block",
+        "cms_heavy_hitters": "cms",
     }
     compact = {
         short.get(

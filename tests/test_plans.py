@@ -242,3 +242,27 @@ def test_cohort_retention_no_global_sort_before_agg(spark):
     p = plan_of(spark, "user_cohort_retention")
     # the cohort-size join is on the tiny matrix → broadcast
     assert "BroadcastHashJoin" in p
+
+
+def test_blocklist_scrub_single_scan_no_join(spark):
+    p = plan_of(spark, "blocklist_scrub_stats")
+    # pure scan → project → partial agg → exchange → final agg
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" not in read_schema  # only text+source read
+
+
+def test_ann_lsh_recall_no_unbounded_cross(spark):
+    p = plan_of(spark, "ann_lsh_recall")
+    # the only nested-loop is the bounded 25-query exact baseline side;
+    # it must be broadcast (sample side), never a shuffled cartesian
+    assert "CartesianProduct" not in p
+    if "BroadcastNestedLoopJoin" in p:
+        assert "BroadcastExchange" in p
+
+
+def test_jaccard_band_histogram_broadcast_candidates(spark):
+    p = plan_of(spark, "jaccard_band_histogram")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # candidate pairs broadcast to verify

@@ -103,3 +103,83 @@ def test_normalize_text_catches_trivial_variants(spark):
         groups.setdefault(r["n"], []).append(r["doc_id"])
     assert sorted(groups["hello world"]) == [1, 2, 3]
     assert groups["goodbye world"] == [4]
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_per_class(spark):
+    from bearysta_spark.functions import pii as P
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or admin@host.io today"),
+            (2, "server at 10.0.255.3 answered; backup 192.168.1.1 did not"),
+            (3, "call +1 (415) 555-0134 re: ssn 078-05-1120"),
+            (4, "card 4111 1111 1111 1111 declined"),
+            (5, "no identifiers here just words"),
+        ],
+        ["id", "t"],
+    )
+    rows = {r["id"]: r for r in df.select("id", *P.pii_counts("t")).collect()}
+    assert rows[1]["email_n"] == 2
+    assert rows[2]["ipv4_n"] == 2
+    assert rows[3]["phone_n"] >= 1 and rows[3]["ssn_n"] == 1
+    assert rows[4]["credit_card_n"] == 1
+    assert rows[5]["pii_total"] == 0
+    assert rows[1]["pii_total"] >= 2
+
+
+def test_pii_redaction_removes_all_matches(spark):
+    from bearysta_spark.functions import pii as P
+
+    df = spark.createDataFrame(
+        [
+            ("mail a@b.com ip 1.2.3.4 ssn 078-05-1120 card 4111-1111-1111-1111 tel +14155550134",),
+        ],
+        ["t"],
+    )
+    red = df.select(P.redact_pii("t").alias("r"))
+    text = red.collect()[0]["r"]
+    assert "a@b.com" not in text and "1.2.3.4" not in text
+    assert "078-05-1120" not in text and "4111" not in text
+    assert "[PII]" in text
+    # idempotent: a second pass over redacted text changes nothing
+    again = red.select(P.redact_pii("r").alias("r2")).collect()[0]["r2"]
+    assert again == text
+    # every class now counts zero on the redacted text
+    counts = red.select(*P.pii_counts("r")).collect()[0]
+    assert counts["pii_total"] == 0
+
+
+def test_pii_stats_grouped(spark):
+    from bearysta_spark.functions import pii as P
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a@b.com and c@d.org"),
+            ("s1", "clean doc"),
+            ("s2", "host 8.8.8.8"),
+        ],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in P.pii_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["n_docs_with_pii"] == 1
+    assert out["s1"]["email_total"] == 2
+    assert out["s2"]["ipv4_total"] == 1
+
+
+def test_bundled_corpus_is_pii_free(spark, documents):
+    from bearysta_spark.functions import pii as P
+
+    total = (
+        documents.select(*P.pii_counts("text"))
+        .agg(F.sum("pii_total"))
+        .collect()[0][0]
+    )
+    # locks the docstring claim that the driver corpus contains no PII
+    # (and with it the decision to test via fixtures, not a driver query)
+    assert total == 0
