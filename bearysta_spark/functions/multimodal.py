@@ -14,7 +14,8 @@ NotImplementedError with an actionable message when it is not — this
 container ships no image libs, so the PIL paths are exercised only
 where the optional dep exists (tests skip accordingly). Video frame
 sampling decodes YUV4MPEG2 payloads with zero dependencies (pure byte
-parsing); compressed containers need an upstream ffmpeg transcode.
+parsing), and audio metadata/features decode RIFF/WAVE PCM the same way
+(_parse_wav); compressed containers need an upstream ffmpeg transcode.
 """
 
 from __future__ import annotations
@@ -266,3 +267,136 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV (RIFF/PCM) — zero-dependency byte parsing, like _parse_y4m
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits int, "
+    "n_samples long, duration_s double"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_windows int, rms array<float>, zcr array<float>"
+)
+
+
+def _parse_wav(b: bytes):
+    """Parse a RIFF/WAVE payload without any audio library: walk the
+    chunk list for fmt (PCM int code 1 / IEEE float code 3) and data,
+    return (sample_rate, channels, bits, samples ndarray [n, channels]
+    as float64 in [-1, 1]). Raises ValueError on non-WAV or compressed
+    codecs — those need an upstream ffmpeg transcode, same contract as
+    the video path."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, channels, rate, _, _, bits = fmt
+    if code == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif code == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif code == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif code == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV codec (format={code}, bits={bits}); "
+            "transcode with ffmpeg to PCM upstream"
+        )
+    n = len(x) // channels
+    return rate, channels, bits, x[: n * channels].reshape(n, channels)
+
+
+def audio_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Header-only audio probe (mapInPandas): sample rate, channels, bit
+    depth, frame count, duration. Parses chunk headers, not samples —
+    at scale this is the cheap pass that routes payloads to the right
+    decode stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                rate, ch, bits, samples = _parse_wav(bytes(p))
+                rows.append(
+                    (i, rate, ch, bits, len(samples), len(samples) / rate)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_s",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame,
+    window: int = 1024,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Windowed audio features (mapInPandas, numpy-vectorized): per
+    non-overlapping window of `window` mono samples, RMS energy and
+    zero-crossing rate — the classic cheap VAD/quality signals. The
+    payload is dropped on exit (downstream shuffles carry two small
+    float arrays, not audio bytes). fake=True keeps a deterministic
+    hash-derived output with the same schema for payload-free testing."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, rms_col, zcr_col = [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                if fake:
+                    d = hashlib.sha256(b).digest()
+                    k = max(len(b) // (2 * window), 1)
+                    rms = [d[j % len(d)] / 255.0 for j in range(k)]
+                    zcr = [d[(j + 7) % len(d)] / 255.0 for j in range(k)]
+                else:
+                    rate, ch, bits, samples = _parse_wav(b)
+                    mono = samples.mean(axis=1)
+                    k = len(mono) // window
+                    if k == 0:
+                        ids.append(i); nw.append(0)
+                        rms_col.append([]); zcr_col.append([])
+                        continue
+                    w = mono[: k * window].reshape(k, window)
+                    rms = np.sqrt((w * w).mean(axis=1)).astype(np.float32).tolist()
+                    sgn = np.signbit(w)
+                    zcr = (
+                        (sgn[:, 1:] != sgn[:, :-1]).mean(axis=1)
+                        .astype(np.float32)
+                        .tolist()
+                    )
+                    k = len(rms)
+                ids.append(i); nw.append(k)
+                rms_col.append(rms); zcr_col.append(zcr)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_windows": nw, "rms": rms_col, "zcr": zcr_col}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

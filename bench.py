@@ -134,6 +134,16 @@ BENCH_QUERIES = [
     "jaccard_band_histogram",
     "blocklist_scrub_stats",
     "cms_heavy_hitters",
+    "dedup_exact_stats",
+    "multimodal_meta",
+    "lang_id_eval",
+    "filter_in_out",
+    "percent_diff_base",
+    # NOT benched (documented, not silent): dedup_clusters and
+    # dedup_canonical_corpus — iterative connected-components queries
+    # whose localCheckpoint materialization makes per-run timings
+    # bimodal; their cost story is covered by near_dup_pairs (the
+    # pair-generation stage dominates) and the replica timings.
 ]
 
 
@@ -343,6 +353,9 @@ def main() -> None:
         "jaccard_band_histogram": "jhist",
         "blocklist_scrub_stats": "block",
         "cms_heavy_hitters": "cms",
+        "multimodal_meta": "mmeta",
+        "lang_id_eval": "langid",
+        "percent_diff_base": "pctdif",
     }
     compact = {
         short.get(

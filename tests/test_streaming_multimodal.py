@@ -524,3 +524,88 @@ def test_streaming_trending_matches_batch_query(spark, sf_dir):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV) — real stdlib-generated payloads through the decode path
+# ---------------------------------------------------------------------------
+
+
+def _make_wav(freq_hz=440, rate=8000, seconds=0.5, channels=1, amp=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        frames = bytearray()
+        for i in range(n):
+            v = int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / rate))
+            frames += struct.pack("<h", v) * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_audio_metadata_real_wav(spark):
+    from bearysta_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_wav(rate=8000, seconds=0.5))),
+         (2, bytearray(_make_wav(rate=16000, seconds=0.25, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in M.audio_metadata(df).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["channels"] == 1
+    assert out[1]["bits"] == 16 and out[1]["n_samples"] == 4000
+    assert abs(out[1]["duration_s"] - 0.5) < 1e-9
+    assert out[2]["sample_rate"] == 16000 and out[2]["channels"] == 2
+    assert out[2]["n_samples"] == 4000
+
+
+def test_audio_features_sine_physics(spark):
+    from bearysta_spark.functions import multimodal as M
+
+    # 440 Hz sine at amplitude 0.5: RMS = amp/sqrt(2); ZCR = 2f/rate
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_wav(freq_hz=440, rate=8000, seconds=1.0, amp=0.5)))],
+        "doc_id long, payload binary",
+    )
+    row = M.audio_features(df, window=1024).collect()[0]
+    assert row["n_windows"] == 8000 // 1024
+    for r in row["rms"]:
+        assert abs(r - 0.5 / 2 ** 0.5) < 0.01
+    for z in row["zcr"]:
+        assert abs(z - 2 * 440 / 8000) < 0.02
+
+
+def test_audio_bad_payload_raises(spark):
+    from bearysta_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(9, bytearray(b"ID3\x04 this is an mp3, not wav"))],
+        "doc_id long, payload binary",
+    )
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        M.audio_metadata(df).collect()
+    assert "RIFF" in str(ei.value) or "PythonException" in type(ei.value).__name__
+
+
+def test_audio_features_fake_schema_parity(spark):
+    from bearysta_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01" * 4096))], "doc_id long, payload binary"
+    )
+    real_schema = M.audio_features(df, window=1024).schema
+    fake = M.audio_features(df, window=1024, fake=True)
+    assert fake.schema == real_schema
+    row = fake.collect()[0]
+    assert row["n_windows"] == len(row["rms"]) == len(row["zcr"]) == 2
