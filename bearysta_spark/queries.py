@@ -3903,6 +3903,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES}
+    SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as dedup_clusters, computed by the
+    web-scale large-star/small-star alternation
+    (functions.components.connected_components_star, O(log² n) rounds
+    independent of component diameter) — checked against the identical
+    recursive-CTE transitive-closure oracle, so BOTH component
+    algorithms carry an exact cross-engine fixpoint check."""
+    from bearysta_spark.functions.components import connected_components_star
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.5)
+    labels = connected_components_star(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@query(
     "dedup_canonical_corpus",
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
@@ -5499,6 +5525,7 @@ _DRIVER_PRIORITY = [
     "jaccard_band_histogram",
     "blocklist_scrub_stats",
     "cms_heavy_hitters",
+    "dedup_clusters_star",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

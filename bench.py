@@ -139,11 +139,12 @@ BENCH_QUERIES = [
     "lang_id_eval",
     "filter_in_out",
     "percent_diff_base",
-    # NOT benched (documented, not silent): dedup_clusters and
-    # dedup_canonical_corpus — iterative connected-components queries
-    # whose localCheckpoint materialization makes per-run timings
-    # bimodal; their cost story is covered by near_dup_pairs (the
-    # pair-generation stage dominates) and the replica timings.
+    # NOT benched (documented, not silent): dedup_clusters,
+    # dedup_clusters_star and dedup_canonical_corpus — iterative
+    # connected-components queries whose localCheckpoint
+    # materialization makes per-run timings bimodal; their cost story
+    # is covered by near_dup_pairs (the pair-generation stage
+    # dominates) and the replica timings.
 ]
 
 
