@@ -558,3 +558,31 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "adc", "rank")
     )
+
+
+# -- Random projection (Johnson-Lindenstrauss) ------------------------------
+
+
+def rp_project(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: d → len(planes) dims
+    by dotting each vector against fixed Gaussian directions (the
+    Johnson-Lindenstrauss transform). The cheap preprocessing stage in
+    front of clustering / ANN when d is large: pairwise geometry is
+    preserved within ~sqrt(log n / k) distortion, and every downstream
+    shuffle carries k floats instead of d.
+
+    Expression-built (one zip_with/aggregate fold per output dim) so the
+    arithmetic is a sequential JVM fold — bit-reproducible against a SQL
+    engine's list_dot_product, which is what lets a driver oracle replay
+    the projection exactly. Past a few dozen output dims the literal
+    plan outgrows codegen (the IVF lesson) — switch to the Arrow dgemm
+    kernel (ivf_assign-style) and give up bit parity for throughput."""
+    plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    proj = F.array(*[dot(F.col(vec_col), pc) for pc in plane_cols])
+    return df.select(F.col(id_col), proj.alias(out_col))

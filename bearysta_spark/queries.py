@@ -4184,6 +4184,74 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_PLANES = S.make_planes(dim=64, bits=8, seed=99)
+
+_RP_PV_SQL = (
+    "["
+    + ", ".join(f"list_dot_product(v, {_sql_vec(p)})" for p in _RP_PLANES)
+    + "]"
+)
+
+
+def _cos2_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+@query(
+    "rp_distance_preservation",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id, v, {_RP_PV_SQL} AS pv FROM e),
+    a AS (SELECT vec_id AS id_a, v AS va, pv AS pa FROM p WHERE vec_id < 5),
+    b AS (SELECT vec_id AS id_b, v AS vb, pv AS pb FROM p
+          WHERE vec_id >= 5 AND vec_id < 15)
+    SELECT id_a, id_b,
+           round({_cos2_sql("va", "vb")}, 4) AS cos_full,
+           round({_cos2_sql("pa", "pb")}, 4) AS cos_proj,
+           round(abs({_cos2_sql("va", "vb")} - {_cos2_sql("pa", "pb")}), 4)
+             AS abs_err
+    FROM a, b
+    """,
+)
+def rp_distance_preservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection preprocessing with its quality report: project
+    64-d embeddings to 8 dims (functions.similarity.rp_project, fixed
+    Gaussian directions) and measure pairwise cosine distortion on a
+    5×10 evaluation grid — the Johnson-Lindenstrauss check a pipeline
+    runs before routing clustering/ANN through the cheap projected
+    space. The projection fold is bit-reproducible against DuckDB's
+    list_dot_product, so the oracle replays projection AND both cosines
+    exactly; the reported abs_err column IS the distortion (large here,
+    by design of the tiny k — the report is the point)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pr = S.rp_project(e, _RP_PLANES)
+    j = e.join(pr, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("proj").alias("pa"),
+    ).filter(F.col("id_a") < 5)
+    b = j.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("proj").alias("pb"),
+    ).filter((F.col("id_b") >= 5) & (F.col("id_b") < 15))
+    out = F.broadcast(a).crossJoin(b)
+    cf = S.cosine(F.col("va"), F.col("vb"))
+    cp = S.cosine(F.col("pa"), F.col("pb"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(cf, 4).alias("cos_full"),
+        F.round(cp, 4).alias("cos_proj"),
+        F.round(F.abs(cf - cp), 4).alias("abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Recipe-engine end-to-end (the reference's full pipeline, over parquet)
 # ---------------------------------------------------------------------------
@@ -5526,6 +5594,7 @@ _DRIVER_PRIORITY = [
     "blocklist_scrub_stats",
     "cms_heavy_hitters",
     "dedup_clusters_star",
+    "rp_distance_preservation",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

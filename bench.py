@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "lang_id_eval",
     "filter_in_out",
     "percent_diff_base",
+    "rp_distance_preservation",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star and dedup_canonical_corpus — iterative
     # connected-components queries whose localCheckpoint
@@ -354,6 +355,7 @@ def main() -> None:
         "jaccard_band_histogram": "jhist",
         "blocklist_scrub_stats": "block",
         "cms_heavy_hitters": "cms",
+        "rp_distance_preservation": "rpdist",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",
