@@ -3741,22 +3741,6 @@ def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_W = 64
 _CMS_D = 4
 
-
-def _cms_bucket(us, i):
-    """md5-derived CMS row hash: 60-bit int mod _CMS_W, identical to the
-    DuckDB ('0x'||substr(md5,1,15))::BIGINT arithmetic."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(us, F.lit(":cms"), i.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_W
-    )
-
-
 _CMS_BUCKET_SQL = (
     "('0x' || substr(md5({us} || ':cms' || CAST({i} AS VARCHAR)), 1, 15))"
     f"::BIGINT % {_CMS_W}"
@@ -3803,39 +3787,23 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, so map-side combine applies. Integer-only arithmetic end to
     end: the md5 bucket hashes and count sums replay exactly in DuckDB.
     """
+    from bearysta_spark.functions import sketch as K
+
     ev = _t(spark, sf_dir, "events")
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("n"))
-        .withColumn("us", F.col("user_id").cast("string"))
-    )
-    idx = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i")
-    b = exact.select("us", "n", idx).select(
-        "n",
-        F.col("i"),
-        _cms_bucket(F.col("us"), F.col("i")).alias("bucket"),
-    )
-    sketch = b.groupBy("i", "bucket").agg(F.sum("n").alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    cells = K.cms_cells(exact, "user_id", weight_col="n", d=_CMS_D, w=_CMS_W)
     top = (
         exact.withColumn(
             "rk",
             F.row_number().over(Window.orderBy(F.desc("n"), F.asc("user_id"))),
         )
         .filter(F.col("rk") <= 20)
-        .select("user_id", "us", "n", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("i"))
-        .select(
-            "user_id",
-            "n",
-            F.col("i"),
-            _cms_bucket(F.col("us"), F.col("i")).alias("bucket"),
-        )
+        .select("user_id", "n")
     )
-    est = (
-        top.join(F.broadcast(sketch), ["i", "bucket"])
-        .groupBy("user_id", "n")
-        .agg(F.min("cnt").alias("est"))
+    est = K.cms_estimate(
+        cells, top.select("user_id"), "user_id", d=_CMS_D, w=_CMS_W
     )
-    return est.select(
+    return top.join(est, "user_id").select(
         "user_id",
         F.col("n").cast("long").alias("exact_n"),
         F.col("est").cast("long").alias("est_n"),

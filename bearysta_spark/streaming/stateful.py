@@ -160,3 +160,43 @@ def stream_dedup(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMS_OUT_SCHEMA = "i int, bucket long, cnt long"
+CMS_STATE_SCHEMA = "cnt long"
+
+
+def _update_cms(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    cnt = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        cnt += int(pdf["__w"].sum())
+    state.update((cnt,))
+    yield pd.DataFrame({"i": [key[0]], "bucket": [key[1]], "cnt": [cnt]})
+
+
+def streaming_cms_cells(
+    events: DataFrame, key_col: str = "user_id", d: int = 4, w: int = 64
+) -> DataFrame:
+    """Streaming count-min sketch: each micro-batch row lands in its d
+    (i, bucket) cells (functions.sketch.cms_cell_rows, scan-side
+    codegen) and each CELL is a stateful counter — the sketch lives as
+    ≤ d×w keyed states, so total state is fixed no matter how long the
+    stream runs or how many distinct keys it carries. This is the
+    bounded-state alternative to running_user_totals when the key space
+    is open-ended; estimates never undercount and overcount ≤ the CMS
+    ε·N bound. Emits the updated cells per batch; the live sketch is the
+    latest row per (i, bucket), and batch/streaming sketches built from
+    the same rows are identical cell-for-cell (tested)."""
+    from bearysta_spark.functions.sketch import cms_cell_rows
+
+    return (
+        cms_cell_rows(events, key_col, d=d, w=w)
+        .groupBy("i", "bucket")
+        .applyInPandasWithState(
+            _update_cms,
+            outputStructType=CMS_OUT_SCHEMA,
+            stateStructType=CMS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -609,3 +609,52 @@ def test_audio_features_fake_schema_parity(spark):
     assert fake.schema == real_schema
     row = fake.collect()[0]
     assert row["n_windows"] == len(row["rms"]) == len(row["zcr"]) == 2
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    # the streaming sketch's final cells must equal the batch sketch
+    # over the union of all micro-batches — cell-wise, exactly
+    from bearysta_spark.functions.sketch import cms_cells
+    from bearysta_spark.streaming.stateful import streaming_cms_cells
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    schema = "user_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_cms_cells(stream, d=4, w=16)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cms_mb_test")
+        .start()
+    )
+    batch1 = [(u, 1.0) for u in [1, 2, 3, 1, 1, 2]]
+    batch2 = [(u, 1.0) for u in [2, 4, 4, 1, 5]]
+    try:
+        feed(batch1)
+        q.processAllAvailable()
+        feed(batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # live sketch = max cnt per cell across the update log (monotone)
+    got = {}
+    for r in spark.sql("SELECT * FROM cms_mb_test").collect():
+        k = (r["i"], r["bucket"])
+        got[k] = max(got.get(k, 0), r["cnt"])
+    want = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in cms_cells(
+            spark.createDataFrame(batch1 + batch2, schema), "user_id", d=4, w=16
+        ).collect()
+    }
+    assert got == want
+    # bounded state: never more than d*w cells
+    assert len(got) <= 4 * 16
