@@ -266,3 +266,20 @@ def test_jaccard_band_histogram_broadcast_candidates(spark):
     p = plan_of(spark, "jaccard_band_histogram")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # candidate pairs broadcast to verify
+
+
+def test_cms_estimate_broadcasts_cells(spark):
+    p = plan_of(spark, "cms_heavy_hitters")
+    # the d*w cell table must broadcast to the probe side, and nothing
+    # may cartesian
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rp_projection_stays_scan_side(spark):
+    p = plan_of(spark, "rp_distance_preservation")
+    # the only join is the broadcast 5x10 evaluation grid; the
+    # projection itself must add no exchange beyond it
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
