@@ -3051,6 +3051,66 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_source_profile",
+    oracle=f"""
+    WITH cm(cell, c) AS (VALUES
+      {_IVF_CM_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (
+      SELECT e.vec_id, CAST(cm.cell AS INT) AS cell,
+             list_dot_product(e.v, cm.c) AS score
+      FROM e, cm
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, cell ASC) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    )
+    SELECT a.cell, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+    FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def semantic_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus profiling: assign each document's EMBEDDING to
+    its nearest IVF cell (semantic neighborhood), join back to the
+    DOCUMENT row on id, and report per-(cell, source) composition —
+    the "which sources feed which semantic clusters" report a mixture
+    designer reads before reweighting. Scale shape: cell assignment is
+    the Arrow dgemm scan (no shuffle), the docs⋈embeddings join is a
+    plain equi-join on the shared id, and the profile is one small
+    aggregate; nothing quadratic anywhere. Assignment determinism is
+    knn_ivf's (stable argsort, ties by ascending cell)."""
+    from bearysta_spark.functions.similarity import assign_cells_arrow
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    assigned = e.select(
+        "vec_id",
+        assign_cells_arrow(_IVF_CENTROIDS, 1)(F.col("embedding"))[0].alias(
+            "cell"
+        ),
+    )
+    j = assigned.join(
+        d.select(
+            F.col("doc_id").alias("vec_id"), "source", "n_chars", "lang"
+        ),
+        "vec_id",
+    )
+    return j.groupBy("cell", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
 _PQ_CB_SQL = ",\n      ".join(
     f"({j}, {c}, {_sql_vec(vec)})"
     for j, book in enumerate(_PQ_CODEBOOKS)
@@ -5563,6 +5623,7 @@ _DRIVER_PRIORITY = [
     "cms_heavy_hitters",
     "dedup_clusters_star",
     "rp_distance_preservation",
+    "semantic_source_profile",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "filter_in_out",
     "percent_diff_base",
     "rp_distance_preservation",
+    "semantic_source_profile",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star and dedup_canonical_corpus — iterative
     # connected-components queries whose localCheckpoint
@@ -356,6 +357,7 @@ def main() -> None:
         "blocklist_scrub_stats": "block",
         "cms_heavy_hitters": "cms",
         "rp_distance_preservation": "rpdist",
+        "semantic_source_profile": "semprof",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",
