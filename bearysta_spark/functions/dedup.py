@@ -740,3 +740,88 @@ def prefix_jaccard_join(
             ).alias("jaccard"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    band_chars: int = 64,
+    head_chars: int = 96,
+    max_dist: int = 24,
+    max_block_size: int | None = None,
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance, with equality blocking.
+
+    Classic record-linkage shape: block on cheap exact keys
+    (block_cols..., floor(length/band_chars) — true near-dups can't
+    differ much in length — and optionally the first prefix_chars
+    characters), then verify candidates with levenshtein(head, head)
+    over the first head_chars characters. Returns
+    (doc_a, doc_b, edit_dist) with doc_a < doc_b and
+    edit_dist <= max_dist.
+
+    Scale shape: the self-join is an equi-join on the block key, so the
+    quadratic surface is per-block, and block sizes are the whole cost
+    model. prefix_chars is the big lever — (lang, band) blocks grow
+    linearly with the corpus, so the pair count inside them is
+    quadratic in corpus size; a prefix key keeps blocks
+    vocabulary-bounded at the cost of missing pairs that differ inside
+    the prefix (run multiple passes with different keys for recall, the
+    standard record-linkage practice). The levenshtein is thresholded
+    (banded O(head·max_dist) DP with early exit, returning -1 above
+    max_dist) so verification cost tracks the cutoff, not head².
+    max_block_size drops degenerate blocks with a logged count (same
+    backstop rationale as cap_buckets: a block that hot carries no
+    discriminative signal, and templated corpora should be
+    exact-deduped first). AQE skew-join splitting handles the
+    merely-hot blocks underneath the cap.
+    """
+    keys = [*block_cols, "len_band"] + (
+        ["__prefix"] if prefix_chars is not None else []
+    )
+    k = df.select(
+        F.col(id_col),
+        *block_cols,
+        F.floor(F.length(text_col) / F.lit(band_chars))
+        .cast("int")
+        .alias("len_band"),
+        *(
+            [F.substring(text_col, 1, prefix_chars).alias("__prefix")]
+            if prefix_chars is not None
+            else []
+        ),
+        F.substring(text_col, 1, head_chars).alias("__head"),
+    )
+    if max_block_size is not None:
+        sizes = k.groupBy(*keys).agg(F.count("*").alias("sz"))
+        hot = sizes.filter(F.col("sz") > max_block_size).cache()
+        stats = hot.agg(
+            F.count("*").alias("n_blocks"), F.sum("sz").alias("n_rows")
+        ).collect()[0]
+        if stats["n_blocks"]:
+            logger.warning(
+                "edit_distance_pairs: dropping %d oversized blocks (>%d "
+                "members, %d rows total)",
+                stats["n_blocks"],
+                max_block_size,
+                stats["n_rows"],
+            )
+        k = k.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    a, b = k.alias("a"), k.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in keys:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.levenshtein(
+                F.col("a.__head"), F.col("b.__head"), threshold=max_dist
+            ).alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

@@ -10,7 +10,7 @@ scale linearly with input bytes. Patterns stick to character classes
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[A-Za-z0-9]+"
@@ -196,3 +196,74 @@ def winnow_fingerprints(
         .filter(F.col("n_in") == w)  # only complete windows fingerprint
     )
     return sel.select(id_col, F.col("m").alias("fp")).distinct()
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-terms query, with a
+    log-free idf.
+
+    Keyword retrieval over a corpus is how training-data pipelines mine
+    task-relevant documents (and how dedup teams spot-check clusters).
+    Score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)) with
+    idf(t) = (N - df + 0.5)/(df + 0.5) — the Robertson idf minus the
+    log. The log is rank-monotone per term, so dropping it changes
+    inter-term weighting slightly but keeps every per-term ordering,
+    and removes the one libm call that would make scores differ across
+    engines in the last ulp.
+
+    Scale shape: the term postings (tf) frame is filtered to |terms|
+    query terms BEFORE the per-doc aggregate, so its size is ∝ matching
+    docs, not corpus tokens; df and the corpus stats are tiny broadcast
+    frames; everything else is map-side expression work. Returns
+    (id_col, bm25, n_terms_hit).
+    """
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+        ).alias("tok"),
+    )
+    dlen = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    stats = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    avgdl = dlen.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "idf",
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+        .withColumn(
+            "score_term",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("score_term").cast("decimal(25,10)")).cast("double"), 6
+        ).alias("bm25"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )

@@ -200,3 +200,45 @@ def streaming_cms_cells(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HLL_OUT_SCHEMA = "bucket string, m int"
+HLL_STATE_SCHEMA = "m int"
+
+
+def _update_hll(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    m = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        if len(pdf):
+            m = max(m, int(pdf["rank"].max()))
+    state.update((m,))
+    yield pd.DataFrame({"bucket": [key[0]], "m": [m]})
+
+
+def streaming_hll_registers(
+    events: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming HyperLogLog: the distinct-count sketch as ≤ 256 keyed
+    register states. Each row maps scan-side to its (bucket, rank)
+    (functions.sketch.hll_bucket_rank, pure codegen) and each REGISTER
+    is a stateful max — registers only ratchet upward, so the update
+    log's latest row per bucket IS the live sketch, and the stream
+    sketch equals the batch sketch over the union of all micro-batches
+    register-for-register (tested). Bounded state regardless of stream
+    length or key cardinality — the streaming complement to exact
+    dropDuplicates distinct counting, and register frames from stream
+    checkpoints merge with historical batch sketches by max(m).
+    Feed the output to functions.sketch.hll_estimate."""
+    from pyspark.sql import functions as F
+
+    from bearysta_spark.functions.sketch import hll_bucket_rank
+
+    bucket, rank = hll_bucket_rank(F.col(key_col))
+    rows = events.select(bucket.alias("bucket"), rank.alias("rank"))
+    return rows.groupBy("bucket").applyInPandasWithState(
+        _update_hll,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

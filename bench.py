@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     "percent_diff_base",
     "rp_distance_preservation",
     "semantic_source_profile",
+    "hll_distinct_users",
+    "embedding_dim_stats",
+    "fuzzy_dup_pairs",
+    "bm25_keyword_topk",
+    "hist_quantile_values",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star and dedup_canonical_corpus — iterative
     # connected-components queries whose localCheckpoint
@@ -358,6 +363,11 @@ def main() -> None:
         "cms_heavy_hitters": "cms",
         "rp_distance_preservation": "rpdist",
         "semantic_source_profile": "semprof",
+        "hll_distinct_users": "hll",
+        "embedding_dim_stats": "dimst",
+        "fuzzy_dup_pairs": "fuzzy",
+        "bm25_keyword_topk": "bm25",
+        "hist_quantile_values": "histq",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

@@ -283,3 +283,28 @@ def test_rp_projection_stays_scan_side(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_bm25_broadcasts_small_frames(spark):
+    # df table / corpus stats / avgdl are tiny: all must broadcast, and
+    # the only wide ops are the token aggregates + TakeOrdered top-k
+    p = plan_of(spark, "bm25_keyword_topk")
+    assert p.count("BroadcastExchange") >= 3
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_fuzzy_dup_pairs_equi_join_not_nested_loop(spark):
+    # the blocked self-join must plan as an equi-join on the block key;
+    # a nested-loop/cartesian plan would be the O(n^2) scale killer
+    p = plan_of(spark, "fuzzy_dup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hll_shuffles_registers_not_keys(spark):
+    # the sketch aggregate partially aggregates map-side into <=256
+    # cells per group: the exchange key is (event_type, bucket)
+    p = plan_of(spark, "hll_distinct_users")
+    assert "hashpartitioning(event_type" in p
+    assert "md5" in p

@@ -658,3 +658,53 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     assert got == want
     # bounded state: never more than d*w cells
     assert len(got) <= 4 * 16
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    # the streaming sketch's final registers must equal the batch
+    # registers over the union of all micro-batches — and the estimate
+    # derived from them must be the batch estimate exactly
+    from bearysta_spark.functions.sketch import hll_estimate, hll_registers
+    from bearysta_spark.streaming.stateful import streaming_hll_registers
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    schema = "user_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_hll_registers(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_mb_test")
+        .start()
+    )
+    batch1 = [(u, 1.0) for u in range(0, 40)]
+    batch2 = [(u, 1.0) for u in range(20, 70)]
+    try:
+        feed(batch1)
+        q.processAllAvailable()
+        feed(batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {}
+    for r in spark.sql("SELECT * FROM hll_mb_test").collect():
+        got[r["bucket"]] = max(got.get(r["bucket"], 0), r["m"])
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    want = {r["bucket"]: r["m"] for r in hll_registers(union, "user_id").collect()}
+    assert got == want
+    assert len(got) <= 256  # bounded state
+    # estimate from streamed registers == batch estimate
+    regs = spark.createDataFrame(
+        [(b, m) for b, m in got.items()], "bucket string, m int"
+    )
+    est_stream = hll_estimate(regs).first()["est_hll"]
+    est_batch = hll_estimate(hll_registers(union, "user_id")).first()["est_hll"]
+    assert est_stream == est_batch

@@ -156,3 +156,151 @@ def test_chunk_documents_coverage_and_overlap(documents):
     assert all(per_doc_last[r["doc_id"]] == r["chunk_id"] for r in bad)
     with pytest.raises(ValueError):
         chunk_documents(documents, chunk_size=8, stride=9)
+
+
+# --- HyperLogLog sketch ----------------------------------------------------
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Sketches over disjoint slices merged with max(m) == the sketch
+    over the union — the mergeability that makes HLL the bounded-state
+    distinct counter for cross-day unions and streaming state."""
+    from bearysta_spark.functions.sketch import hll_registers
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = {
+        (r["bucket"],): r["m"] for r in hll_registers(e, "user_id").collect()
+    }
+    halves = [
+        hll_registers(e.filter(F.col("event_id") % 2 == i), "user_id")
+        for i in (0, 1)
+    ]
+    merged = {
+        (r["bucket"],): r["m"]
+        for r in halves[0]
+        .unionByName(halves[1])
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy_small_range(spark, sf_dir):
+    """Few distinct users -> the linear-counting branch (raw HLL
+    overestimates badly below 2.5m); the LUT correction should land
+    within 25% (deterministic — md5 hashing)."""
+    from bearysta_spark.functions.sketch import hll_estimate, hll_registers
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = hll_estimate(hll_registers(e, "user_id")).first()["est_hll"]
+    exact = e.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.25
+
+
+def test_hll_estimate_accuracy_large_range(spark):
+    """5000 distinct keys >> 2.5m = 640 -> the raw-estimator branch;
+    256 registers give ~6.5% typical error, assert a loose 20% gate."""
+    from bearysta_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.range(5000)
+    r = hll_estimate(hll_registers(df, "id")).first()
+    assert r["empty_buckets"] == 0 or r["est_hll"] > 640
+    assert abs(r["est_hll"] - 5000) / 5000 < 0.20
+
+
+# --- edit-distance blocking ------------------------------------------------
+
+
+def test_edit_distance_pairs_blocking_and_cap(spark):
+    from bearysta_spark.functions.dedup import edit_distance_pairs
+
+    rows = [(i, "en", "aaaa bbbb cccc") for i in range(10)] + [
+        (100, "de", "xxxx yyyy zzzz"),
+        (101, "de", "xxxx yyyy zzzz"),
+        (102, "fr", "totally different length band padding " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    pairs = edit_distance_pairs(df, max_dist=5).collect()
+    # cross-language / cross-band rows never pair
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (100, 101) in ids
+    assert all(not (a < 100 <= b) for a, b in ids)
+    # the 10-member 'en' block is quadratic: C(10,2) pairs without a cap
+    assert len([p for p in ids if p[1] < 100]) == 45
+    capped = edit_distance_pairs(df, max_dist=5, max_block_size=5).collect()
+    capped_ids = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert capped_ids == {(100, 101)}  # oversized block dropped, logged
+
+
+# --- BM25 ------------------------------------------------------------------
+
+
+def test_bm25_scores_ranking(spark):
+    from bearysta_spark.functions.text import bm25_scores
+
+    rows = [
+        (1, "spark window hash stream spark window"),
+        (2, "nothing relevant here at all"),
+        (3, "spark and only spark " + "filler " * 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in bm25_scores(
+            df, ["spark", "window", "hash", "stream"]
+        ).collect()
+    }
+    assert 2 not in out  # no matching term -> no postings row
+    assert out[1]["n_terms_hit"] == 4
+    assert out[3]["n_terms_hit"] == 1
+    assert out[1]["bm25"] > out[3]["bm25"]
+
+
+def test_hist_bins_merge_by_sum(spark, sf_dir):
+    """Histogram sketches over disjoint slices merged by cnt-sum == the
+    sketch over the union (the same mergeability as CMS cells)."""
+    from bearysta_spark.functions.sketch import hist_bins
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    whole = {r["bin"]: r["cnt"] for r in hist_bins(e).collect()}
+    halves = [hist_bins(e.filter(F.col("event_id") % 2 == i)) for i in (0, 1)]
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in halves[0]
+        .unionByName(halves[1])
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The sketch's accuracy contract: the histogram estimate lands in
+    the same bin as the ceil(q*n)-th order statistic it approximates, so
+    it is within one bin width (4.0) of that value. (The query's
+    exact_pct column is the R-7 interpolated percentile — a *different*
+    rank definition whose distance from the estimate additionally
+    depends on tail sparsity, so it is reported, not asserted.)"""
+    import math
+
+    from bearysta_spark.functions.sketch import hist_bins, hist_quantiles
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bins = hist_bins(e, "value", ("event_type",))
+    est = {
+        (r["event_type"], r["q_label"]): r["est"]
+        for r in hist_quantiles(
+            bins, {"p50": 0.5, "p90": 0.9, "p99": 0.99}, ("event_type",)
+        ).collect()
+    }
+    assert len(est) >= 3
+    vals: dict[str, list[float]] = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for (et, label), e_val in est.items():
+        xs = sorted(vals[et])
+        q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[label]
+        order_stat = xs[min(math.ceil(q * len(xs)), len(xs)) - 1]
+        assert abs(e_val - order_stat) <= 4.0, (et, label, e_val, order_stat)
