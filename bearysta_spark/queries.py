@@ -5872,6 +5872,127 @@ def hist_quantile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leak_split_case() -> str:
+    from bearysta_spark.functions.sampling import hash_split_case_sql
+
+    return hash_split_case_sql(
+        {"train": 0.9, "val": 0.1}, "CAST(doc_id AS VARCHAR)", salt="leak"
+    )
+
+
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, source, text, {_leak_split_case()} AS split
+      FROM documents
+    ), arrs AS (
+      SELECT doc_id, source, split, regexp_extract_all(text, '[a-z0-9]+') AS a
+      FROM split
+    ), grams AS (
+      SELECT doc_id, source, split,
+             unnest([array_to_string(a[i:i+7], ' ')
+                     for i in range(1, len(a) - 6)]) AS gram
+      FROM arrs WHERE len(a) >= 8
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE split = 'val'
+    ), leaked AS (
+      SELECT g.doc_id, g.source,
+             CAST(count(DISTINCT g.gram) AS BIGINT) AS shared_grams
+      FROM grams g JOIN bench USING (gram) WHERE g.split = 'train'
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_leaked_docs,
+           CAST(sum(shared_grams) AS BIGINT) AS sum_shared_grams
+    FROM leaked GROUP BY source ORDER BY source
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val leakage audit — the check every pipeline should run
+    AFTER splitting: hash-split the corpus 90/10 (deterministic md5
+    threshold, scan-side), then flag train documents sharing any word
+    8-gram with any val document (benchmark-decontamination machinery
+    pointed at the pipeline's own split). Per-source leaked-doc counts;
+    near-dup pairs that straddle the split boundary are exactly what
+    inflates eval scores. Scale shape: the val side is the small side by
+    construction (10%) — its distinct grams broadcast, the train-side
+    scan never shuffles (functions/decontam.py:contaminated_docs), and
+    the split itself is zero-shuffle."""
+    from bearysta_spark.functions.decontam import contaminated_docs
+    from bearysta_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, {"train": 0.9, "val": 0.1}, salt="leak")
+    train = s.filter(F.col("split") == "train")
+    val = s.filter(F.col("split") == "val")
+    leaked = contaminated_docs(train, val, n=8)
+    return (
+        leaked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_leaked_docs"),
+            F.sum("shared_grams").cast("long").alias("sum_shared_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_cluster_purity",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
+    comp AS (
+      SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc
+    ), cl AS (
+      SELECT c.component,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+      FROM comp c JOIN documents d USING (doc_id)
+      GROUP BY c.component
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           CAST(max(n_docs) AS BIGINT) AS max_cluster_docs,
+           CAST(sum(n_docs) AS BIGINT) AS clustered_docs
+    FROM cl
+    """,
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster composition audit: how much duplication crosses
+    source boundaries (syndicated/mirrored content — the clusters where
+    per-source dedup would silently miss) vs stays within one source.
+    Detection → clustering (min-label components) → per-cluster source
+    count → one global report row (n_clusters, cross-source clusters,
+    max cluster size, clustered docs). Oracle replays the full chain
+    through the shared recursive-CTE transitive closure. Scale shape:
+    everything after pair generation operates on the pair/cluster
+    frames (≪ corpus); the per-cluster aggregate shuffles only
+    clustered doc ids."""
+    from bearysta_spark.functions.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+        {"node": "doc_id"}
+    )
+    cl = (
+        labels.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+        )
+    )
+    return cl.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.max("n_docs").cast("long").alias("max_cluster_docs"),
+        F.sum("n_docs").cast("long").alias("clustered_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -5934,6 +6055,12 @@ _DRIVER_PRIORITY = [
     "fuzzy_dup_pairs",
     "bm25_keyword_topk",
     "hist_quantile_values",
+    "split_leakage_check",
+    # 51st unchecked query — one past the driver's 50-query window, so it
+    # waits a round by design; lowest-risk choice because it shares its
+    # entire pair/cluster machinery AND recursive-CTE oracle chain with
+    # the driver-green dedup_clusters (local sf0.001 replay covers it).
+    "dedup_cluster_purity",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

@@ -242,3 +242,49 @@ def streaming_hll_registers(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HIST_OUT_SCHEMA = "bin int, cnt long"
+HIST_STATE_SCHEMA = "cnt long"
+
+
+def _update_hist(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    cnt = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        cnt += int(len(pdf))
+    state.update((cnt,))
+    yield pd.DataFrame({"bin": [key[0]], "cnt": [cnt]})
+
+
+def streaming_hist_bins(
+    events: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 4.0,
+    nbins: int = 256,
+) -> DataFrame:
+    """Streaming histogram sketch: each row maps scan-side to its bin
+    (same clamp-floor arithmetic as functions.sketch.hist_bins) and each
+    BIN is a stateful counter — ≤ nbins keyed states total, so quantile
+    tracking over an unbounded stream costs fixed state, with the live
+    sketch being the latest row per bin. Completes the stream/batch
+    symmetry of the sketch family (CMS cells = sum, HLL registers = max,
+    histogram bins = sum); stream == batch bin-for-bin over the union of
+    micro-batches (tested). Feed functions.sketch.hist_quantiles for
+    estimates."""
+    from pyspark.sql import functions as F
+
+    b = (
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(0)),
+            F.lit(nbins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return events.select(b).groupBy("bin").applyInPandasWithState(
+        _update_hist,
+        outputStructType=HIST_OUT_SCHEMA,
+        stateStructType=HIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

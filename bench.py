@@ -146,8 +146,10 @@ BENCH_QUERIES = [
     "fuzzy_dup_pairs",
     "bm25_keyword_topk",
     "hist_quantile_values",
+    "split_leakage_check",
     # NOT benched (documented, not silent): dedup_clusters,
-    # dedup_clusters_star and dedup_canonical_corpus — iterative
+    # dedup_clusters_star, dedup_canonical_corpus and
+    # dedup_cluster_purity — iterative
     # connected-components queries whose localCheckpoint
     # materialization makes per-run timings bimodal; their cost story
     # is covered by near_dup_pairs (the pair-generation stage
@@ -368,6 +370,7 @@ def main() -> None:
         "fuzzy_dup_pairs": "fuzzy",
         "bm25_keyword_topk": "bm25",
         "hist_quantile_values": "histq",
+        "split_leakage_check": "leak",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

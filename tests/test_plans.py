@@ -308,3 +308,11 @@ def test_hll_shuffles_registers_not_keys(spark):
     p = plan_of(spark, "hll_distinct_users")
     assert "hashpartitioning(event_type" in p
     assert "md5" in p
+
+
+def test_split_leakage_broadcasts_val_grams(spark):
+    # the val side (10% split) must broadcast; the train-side gram scan
+    # must never shuffle before the join
+    p = plan_of(spark, "split_leakage_check")
+    assert "BroadcastExchange" in p
+    assert "BroadcastHashJoin" in p

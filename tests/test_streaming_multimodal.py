@@ -708,3 +708,47 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
     est_stream = hll_estimate(regs).first()["est_hll"]
     est_batch = hll_estimate(hll_registers(union, "user_id")).first()["est_hll"]
     assert est_stream == est_batch
+
+
+def test_streaming_hist_matches_batch_bins(spark, tmp_path):
+    # stream histogram's final bins == batch histogram over the union
+    from bearysta_spark.functions.sketch import hist_bins
+    from bearysta_spark.streaming.stateful import streaming_hist_bins
+
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    schema = "user_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_hist_bins(stream, bin_width=4.0, nbins=16)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hist_mb_test")
+        .start()
+    )
+    batch1 = [(1, float(v)) for v in [0.5, 3.9, 4.0, 17.2, 100.0]]
+    batch2 = [(2, float(v)) for v in [-3.0, 4.1, 63.9, 64.0, 1000.0]]
+    try:
+        feed(batch1)
+        q.processAllAvailable()
+        feed(batch2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {}
+    for r in spark.sql("SELECT * FROM hist_mb_test").collect():
+        got[r["bin"]] = max(got.get(r["bin"], 0), r["cnt"])
+    union = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r["bin"]: r["cnt"]
+        for r in hist_bins(union, "value", bin_width=4.0, nbins=16).collect()
+    }
+    assert got == want
+    assert min(got) == 0 and max(got) == 15  # clamped under/overflow
