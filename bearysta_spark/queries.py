@@ -6056,10 +6056,8 @@ _DRIVER_PRIORITY = [
     "bm25_keyword_topk",
     "hist_quantile_values",
     "split_leakage_check",
-    # 51st unchecked query — one past the driver's 50-query window, so it
-    # waits a round by design; lowest-risk choice because it shares its
-    # entire pair/cluster machinery AND recursive-CTE oracle chain with
-    # the driver-green dedup_clusters (local sf0.001 replay covers it).
+    # 50th and last slot of the driver window — fills it exactly; every
+    # driver-unchecked query is now inside the window.
     "dedup_cluster_purity",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
