@@ -586,3 +586,64 @@ def rp_project(
     plane_cols = [F.array(*[F.lit(float(x)) for x in p]) for p in planes]
     proj = F.array(*[dot(F.col(vec_col), pc) for pc in plane_cols])
     return df.select(F.col(id_col), proj.alias(out_col))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed billion-scale ANN layout
+    (FAISS IndexIVFPQ): the coarse quantizer (IVF cells) prunes WHICH
+    vectors are scored, product quantization compresses HOW they are
+    scored. Corpus vectors are stored as (ivf_cell, m subspace codes) —
+    the raw vectors never participate in search; queries probe their
+    `probes` nearest cells and rank candidates by the LUT-sum
+    asymmetric distance.
+
+    100 TB shape: the scan reads cell id + m bytes per vector (32×
+    smaller than d=64 floats); the candidate join is an equi-join on
+    ivf_cell against a broadcast probe list; the LUT is broadcast; the
+    only wide op is the map-side-combined per-(qid, nid) sum over m
+    rows. Candidate volume ≈ corpus·probes/|cells| — tuned exactly like
+    FAISS nprobe — and nothing quadratic or vector-width-wide ever
+    shuffles. adc_agg overrides the score aggregate (the oracle-checked
+    query passes a DECIMAL-rounded sum; default raw double sum)."""
+    if adc_agg is None:
+        adc_agg = F.sum
+    cells = corpus.select(
+        F.col(id_col).alias("nid"),
+        assign_cells_arrow(centroids, 1)(F.col(vec_col))[0].alias("ivf_cell"),
+    )
+    probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(assign_cells_arrow(centroids, probes)(F.col(vec_col))).alias(
+            "ivf_cell"
+        ),
+    )
+    codes = pq_code_rows_arrow(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "nid"
+    )
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    # corpus-side pre-join (co-partitioned on nid), then both small
+    # frames broadcast: the corpus never shuffles
+    scored = (
+        codes.join(cells, "nid")
+        .join(F.broadcast(probe), "ivf_cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .join(F.broadcast(lut), ["qid", "j", "cell"])
+        .groupBy("qid", "nid")
+        .agg(adc_agg(F.col("s")).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "adc", "rank")
+    )

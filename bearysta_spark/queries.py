@@ -5993,6 +5993,91 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_pq",
+    oracle=f"""
+    WITH cm(cell, c) AS (VALUES
+      {_IVF_CM_SQL}),
+    cb(j, cell, c) AS (VALUES
+      {_PQ_CB_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (
+      SELECT e.vec_id, CAST(cm.cell AS INT) AS ivf_cell,
+             list_dot_product(e.v, cm.c) AS score
+      FROM e, cm
+    ),
+    rankedc AS (
+      SELECT vec_id, ivf_cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, ivf_cell ASC) AS rn
+      FROM sc
+    ),
+    cells AS (SELECT vec_id AS nid, ivf_cell FROM rankedc WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, ivf_cell
+              FROM rankedc WHERE rn <= 2 AND vec_id < 5),
+    sub AS (
+      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
+      FROM e, cb
+    ),
+    rankedp AS (
+      SELECT vec_id, j, cell,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY score DESC, cell ASC) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id AS nid, j, cell FROM rankedp WHERE rn = 1),
+    lut AS (
+      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
+             CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
+      FROM probe p
+      JOIN cells ce USING (ivf_cell)
+      JOIN codes c ON c.nid = ce.nid AND ce.nid != p.qid
+      JOIN lut l ON l.qid = p.qid AND l.j = c.j AND l.cell = c.cell
+      GROUP BY p.qid, c.nid
+    )
+    SELECT qid, nid, adc, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, adc,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (FAISS IndexIVFPQ) — the composed layout actual
+    billion-vector deployments run, now as one query: the IVF coarse
+    quantizer decides WHICH vectors are scored (probe-2 cells, the
+    knn_ivf machinery) and product quantization decides HOW (LUT-sum
+    asymmetric distance over m=8 codes, the knn_pq_adc machinery).
+    After indexing, search reads cell id + 8 codes per vector — never a
+    raw float — so the 100 TB scan is 32× smaller and the only wide op
+    is the per-(qid, nid) map-side-combined ADC sum. Oracle replays
+    both quantizers and the composed search from the shared centroid /
+    codebook literals; DECIMAL-rounded ADC keeps the sum
+    order-independent. See functions/similarity.py:ivf_pq_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = S.ivf_pq_topk(
+        e,
+        q,
+        _IVF_CENTROIDS,
+        _PQ_CODEBOOKS,
+        k=5,
+        probes=2,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+    return out.select(
+        "qid", "nid", "adc", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -6056,8 +6141,12 @@ _DRIVER_PRIORITY = [
     "bm25_keyword_topk",
     "hist_quantile_values",
     "split_leakage_check",
-    # 50th and last slot of the driver window — fills it exactly; every
-    # driver-unchecked query is now inside the window.
+    # 50th and last slot of the driver's correctness window
+    "knn_ivf_pq",
+    # 51st — one past the window, waits a round by design; lowest-risk
+    # choice because it shares its entire pair/cluster machinery AND
+    # recursive-CTE oracle chain with the driver-green dedup_clusters
+    # (the local sf0.001 oracle replay still covers it every round).
     "dedup_cluster_purity",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "knn_int8",
     "knn_lsh",
     "knn_pq_adc",
+    "knn_ivf_pq",
     "embedding_norms",
     "label_centroids",
     "kmeans_centroids",
@@ -317,6 +318,7 @@ def main() -> None:
         "kmeans_centroids": "kmeans",
         "knn_ivf_trained": "ivftr",
         "knn_pq_adc": "pq",
+        "knn_ivf_pq": "ivfpq",
         "knn_int8": "int8",
         "knn_bruteforce": "knnbf",
         "knn_lsh": "knnlsh",

@@ -316,3 +316,12 @@ def test_split_leakage_broadcasts_val_grams(spark):
     p = plan_of(spark, "split_leakage_check")
     assert "BroadcastExchange" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_ivf_pq_broadcasts_probe_and_lut_no_cartesian(spark):
+    # composed IVF-PQ search: probe list and ADC LUT broadcast, corpus
+    # side equi-joins on cell/code keys — never a cartesian/nested-loop
+    p = plan_of(spark, "knn_ivf_pq")
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
