@@ -192,8 +192,14 @@ def hll_estimate(
     is the precomputed HLL_LC lookup: the estimate is independent of
     partition count and bit-identical across engines. Adds
     (empty_buckets, est_hll)."""
+    # coalesce: a zero-group aggregate over an EMPTY register frame
+    # yields one row with a NULL sum; 0 routes it through the V = m
+    # linear-counting branch, whose LUT entry m·ln(m/m) = 0 is the
+    # correct distinct count of an empty input.
     agg = regs.groupBy(*group_cols).agg(
-        F.sum(F.expr(f"shiftleft(1L, {HLL_RANK_CAP} - m)"))
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RANK_CAP} - m)")), F.lit(0)
+        )
         .cast("long")
         .alias("__s_obs"),
         F.count("*").cast("long").alias("__observed"),

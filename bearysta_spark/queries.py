@@ -6078,6 +6078,118 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_est_sql(src: str) -> str:
+    """Estimate-from-registers SQL over a CTE `src(week, bucket, m)` —
+    the same exact-integer harmonic sum + linear-counting LUT as
+    functions.sketch.hll_estimate, shared by both estimate paths of the
+    hll_weekly_rollup oracle."""
+    lut = ",".join(repr(x) for x in K.HLL_LC)
+    return f"""
+      SELECT week,
+             CAST(CASE WHEN ({K.HLL_M} - observed) > 0
+                  AND CAST({K.HLL_NUM!r} AS DOUBLE)
+                      / CAST(s_obs + ({K.HLL_M} - observed)
+                             * {1 << K.HLL_RANK_CAP} AS DOUBLE)
+                      <= {K.HLL_SMALL_RANGE!r}
+                  THEN ([{lut}])[{K.HLL_M} - observed]
+                  ELSE round(CAST({K.HLL_NUM!r} AS DOUBLE)
+                       / CAST(s_obs + ({K.HLL_M} - observed)
+                              * {1 << K.HLL_RANK_CAP} AS DOUBLE), 4)
+             END AS DOUBLE) AS est
+      FROM (
+        SELECT week,
+               CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS s_obs,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM {src} GROUP BY week
+      )
+    """
+
+
+@query(
+    "hll_weekly_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS BIGINT)
+               AS week,
+             user_id
+      FROM events
+    ), r AS (
+      SELECT week, day,
+             substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_replace(substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 15),
+                            '^0+', '') AS stripped
+      FROM base
+    ), rk AS (
+      SELECT week, day, bucket, {_HLL_RANK_SQL} AS rank FROM r
+    ), daily AS (
+      SELECT week, day, bucket, max(rank) AS m FROM rk GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT week, bucket, max(m) AS m FROM daily GROUP BY 1, 2
+    ), direct AS (
+      SELECT week, bucket, max(rank) AS m FROM rk GROUP BY 1, 2
+    ), est_m AS ({{EST_M}}), est_d AS ({{EST_D}}),
+    ex AS (
+      SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             CAST(count(DISTINCT day) AS BIGINT) AS n_days
+      FROM base GROUP BY week
+    )
+    SELECT ex.week, ex.n_days, ex.n_exact,
+           m.est AS est_merged, d.est AS est_direct
+    FROM ex JOIN est_m m USING (week) JOIN est_d d USING (week)
+    ORDER BY week
+    """.replace("{EST_M}", "__EST_M__").replace("{EST_D}", "__EST_D__"),
+)
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation across time — the property that makes HLL
+    the production distinct counter: persist DAILY register frames
+    (tiny: ≤ 256 rows/day), answer WEEKLY distinct-user questions by
+    max-merging them, never rescanning the raw events. est_merged
+    (from daily sketches) equals est_direct (from a direct weekly
+    sketch) by the max-merge algebra, and the oracle proves the
+    equality cross-engine by computing BOTH paths in SQL. At 100 TB the
+    daily frames are what you checkpoint; any rollup window (week,
+    month, trailing-28-day) is a merge over them, and the streaming
+    operator's state (streaming_hll_registers) merges into the same
+    frames."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.to_date("ts").alias("day"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("week"),
+        "user_id",
+    )
+    daily = K.hll_registers(base, "user_id", ("week", "day"))
+    merged = daily.groupBy("week", "bucket").agg(F.max("m").alias("m"))
+    est_m = K.hll_estimate(merged, ("week",)).select(
+        "week", F.col("est_hll").alias("est_merged")
+    )
+    est_d = K.hll_estimate(
+        K.hll_registers(base, "user_id", ("week",)), ("week",)
+    ).select("week", F.col("est_hll").alias("est_direct"))
+    ex = base.groupBy("week").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+    )
+    return (
+        ex.join(est_m, "week")
+        .join(est_d, "week")
+        .select("week", "n_days", "n_exact", "est_merged", "est_direct")
+        .orderBy("week")
+    )
+
+
+ORACLE["hll_weekly_rollup"] = (
+    ORACLE["hll_weekly_rollup"]
+    .replace("__EST_M__", _hll_est_sql("merged"))
+    .replace("__EST_D__", _hll_est_sql("direct"))
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -6143,11 +6255,12 @@ _DRIVER_PRIORITY = [
     "split_leakage_check",
     # 50th and last slot of the driver's correctness window
     "knn_ivf_pq",
-    # 51st — one past the window, waits a round by design; lowest-risk
-    # choice because it shares its entire pair/cluster machinery AND
-    # recursive-CTE oracle chain with the driver-green dedup_clusters
-    # (the local sf0.001 oracle replay still covers it every round).
+    # 51st/52nd — past the window, wait a round by design; lowest-risk
+    # choices because each shares its entire machinery and oracle chain
+    # with an in-window query (dedup_clusters / hll_distinct_users), and
+    # the local sf0.001 oracle replay still covers both every round.
     "dedup_cluster_purity",
+    "hll_weekly_rollup",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

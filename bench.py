@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "bm25_keyword_topk",
     "hist_quantile_values",
     "split_leakage_check",
+    "hll_weekly_rollup",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -373,6 +374,7 @@ def main() -> None:
         "bm25_keyword_topk": "bm25",
         "hist_quantile_values": "histq",
         "split_leakage_check": "leak",
+        "hll_weekly_rollup": "hllwk",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

@@ -304,3 +304,55 @@ def test_hist_quantile_error_bounded_by_bin_width(spark, sf_dir):
         q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[label]
         order_stat = xs[min(math.ceil(q * len(xs)), len(xs)) - 1]
         assert abs(e_val - order_stat) <= 4.0, (et, label, e_val, order_stat)
+
+
+def test_sketch_ops_empty_and_degenerate_inputs(spark):
+    """Empty frames and no-match inputs flow through the sketch family
+    without errors: 0 rows in -> 0 rows out, never a crash or a bogus
+    estimate row."""
+    from bearysta_spark.functions.dedup import edit_distance_pairs
+    from bearysta_spark.functions.sketch import (
+        hist_bins,
+        hist_quantiles,
+        hll_estimate,
+        hll_registers,
+    )
+    from bearysta_spark.functions.text import bm25_scores
+
+    empty_ev = spark.createDataFrame([], "user_id long, value double")
+    assert hll_registers(empty_ev, "user_id").count() == 0
+    # zero-group estimate over empty input: one global row, estimate 0
+    # (all m registers empty -> linear counting m*ln(m/m) = 0)
+    glob = hll_estimate(hll_registers(empty_ev, "user_id")).collect()
+    assert [r["est_hll"] for r in glob] == [0.0]
+    # grouped estimate over empty input: no groups, no rows
+    assert (
+        hll_estimate(
+            hll_registers(empty_ev, "user_id", ("user_id",)), ("user_id",)
+        ).count()
+        == 0
+    )
+    bins = hist_bins(empty_ev, "value")
+    assert bins.count() == 0
+    assert hist_quantiles(bins, {"p50": 0.5}).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert edit_distance_pairs(empty_docs).count() == 0
+    assert bm25_scores(empty_docs, ["spark"]).count() == 0
+
+    # no term matches at all -> empty postings, empty result (not error)
+    docs = spark.createDataFrame([(1, "nothing here")], ["doc_id", "text"])
+    assert bm25_scores(docs, ["absent"]).count() == 0
+
+    # single-row corpus: no pairs
+    one = spark.createDataFrame([(1, "en", "solo text")], ["doc_id", "lang", "text"])
+    assert edit_distance_pairs(one).count() == 0
+
+
+def test_hll_weekly_merge_equals_direct(spark, sf_dir):
+    """est_merged == est_direct on every week row — the max-merge
+    algebra the rollup query demonstrates."""
+    from bearysta_spark.queries import QUERIES
+
+    for r in QUERIES["hll_weekly_rollup"](spark, sf_dir).collect():
+        assert r["est_merged"] == r["est_direct"], r
