@@ -236,3 +236,84 @@ def test_prefix_jaccard_join_equals_bruteforce(spark, texts, thr):
     }
     want = _brute_jaccard_pairs(docs, *thr)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=1000.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=60,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9, 0.99]),
+)
+def test_hist_quantile_within_bin_of_order_stat(spark, values, q):
+    """Histogram-sketch accuracy contract under arbitrary inputs: the
+    interpolated estimate lands within one bin width of the
+    ceil(q*n)-th order statistic (values above the top bin clamp, so
+    the bound holds only for in-range data — max_value stays inside
+    bin_width*nbins)."""
+    import math
+
+    from bearysta_spark.functions.sketch import hist_bins, hist_quantiles
+
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    bins = hist_bins(df, "value", bin_width=4.0, nbins=256)
+    est = hist_quantiles(bins, {"q": q}, bin_width=4.0).first()["est"]
+    xs = sorted(values)
+    order_stat = xs[min(math.ceil(q * len(xs)), len(xs)) - 1]
+    assert abs(est - order_stat) <= 4.0
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.sampled_from([1, 10, 100, 1000, 3000, 8000]),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_hll_relative_error_bound(spark, n, seed):
+    """HLL accuracy across the cardinality range, both estimator
+    branches: linear counting below 2.5m, raw above. 256 registers give
+    sigma = 1.04/sqrt(256) = 6.5%; assert 4 sigma (md5 is a fixed hash,
+    so each (n, seed) is one deterministic draw — no flakes)."""
+    from bearysta_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.range(n).select(
+        (F.col("id") + seed * 1_000_000).alias("key")
+    )
+    est = hll_estimate(hll_registers(df, "key")).first()["est_hll"]
+    assert abs(est - n) / n <= 0.26
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9999),
+                  st.floats(min_value=0.0, max_value=500.0,
+                            allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    ),
+    nslices=st.sampled_from([2, 3]),
+)
+def test_sketch_merge_laws(spark, rows, nslices):
+    """Merge algebra for HLL (max) and histogram (sum) under arbitrary
+    slicing: sketches built per slice and merged == the sketch over the
+    whole — the invariant that makes daily checkpoints / streaming
+    state / map-side combine all correct."""
+    from bearysta_spark.functions.sketch import hist_bins, hll_registers
+
+    df = spark.createDataFrame(rows, "key long, value double")
+    whole_h = {r["bucket"]: r["m"] for r in hll_registers(df, "key").collect()}
+    whole_b = {r["bin"]: r["cnt"] for r in hist_bins(df, "value").collect()}
+    slices = [df.filter(F.col("key") % nslices == i) for i in range(nslices)]
+    merged_h: dict = {}
+    merged_b: dict = {}
+    for s in slices:
+        for r in hll_registers(s, "key").collect():
+            merged_h[r["bucket"]] = max(merged_h.get(r["bucket"], 0), r["m"])
+        for r in hist_bins(s, "value").collect():
+            merged_b[r["bin"]] = merged_b.get(r["bin"], 0) + r["cnt"]
+    assert merged_h == whole_h
+    assert merged_b == whole_b
