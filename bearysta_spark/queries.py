@@ -6190,6 +6190,85 @@ ORACLE["hll_weekly_rollup"] = (
 )
 
 
+@query(
+    "dedup_method_agreement",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
+    fz_k AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 64) AS INT) AS len_band,
+             substr(text, 1, 4) AS prefix, substr(text, 1, 96) AS head
+      FROM documents
+    ), fz AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fz_k a JOIN fz_k b
+        ON a.lang = b.lang AND a.len_band = b.len_band
+        AND a.prefix = b.prefix AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 24
+    ), j AS (
+      SELECT p.id_a IS NOT NULL AS in_mh, f.id_a IS NOT NULL AS in_fz
+      FROM pairs p FULL OUTER JOIN fz f
+        ON p.id_a = f.id_a AND p.id_b = f.id_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN in_mh AND in_fz THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both,
+      CAST(sum(CASE WHEN in_mh AND NOT in_fz THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_minhash_only,
+      CAST(sum(CASE WHEN in_fz AND NOT in_mh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fuzzy_only
+    FROM j
+    """,
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-audit: do the two fuzzy-dedup families agree? Full-outer
+    join of the MinHash-verified pair list (content-wide Jaccard ≥ 0.5)
+    against the edit-distance pair list (prefix-blocked levenshtein
+    over 96-char heads) → both / minhash-only / fuzzy-only counts. The
+    report a pipeline uses to pick its dedup stack: minhash-only pairs
+    are docs whose similarity lives beyond the head (edit-distance's
+    blocking blind spot), fuzzy-only pairs sit below the Jaccard cut
+    but have near-identical heads. Scale shape: both pair lists are
+    candidate-bounded (LSH buckets / equality blocks), and the outer
+    join runs on id pairs only."""
+    d = _t(spark, sf_dir, "documents")
+    mh = D.minhash_dedup_verified(
+        d, num_hashes=12, bands=3, threshold=0.5
+    ).select("id_a", "id_b", F.lit(True).alias("in_mh"))
+    fz = D.edit_distance_pairs(
+        d,
+        block_cols=("lang",),
+        band_chars=64,
+        head_chars=96,
+        max_dist=24,
+        prefix_chars=4,
+    ).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(True).alias("in_fz"),
+    )
+    j = mh.join(fz, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_fz").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_fz").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_minhash_only"),
+        F.sum(
+            F.when(F.col("in_fz").isNotNull() & F.col("in_mh").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_fuzzy_only"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -6255,12 +6334,14 @@ _DRIVER_PRIORITY = [
     "split_leakage_check",
     # 50th and last slot of the driver's correctness window
     "knn_ivf_pq",
-    # 51st/52nd — past the window, wait a round by design; lowest-risk
+    # 51st-53rd — past the window, wait a round by design; lowest-risk
     # choices because each shares its entire machinery and oracle chain
-    # with an in-window query (dedup_clusters / hll_distinct_users), and
-    # the local sf0.001 oracle replay still covers both every round.
+    # with an in-window or driver-green query (dedup_clusters /
+    # hll_distinct_users / near_dup_pairs + fuzzy_dup_pairs), and the
+    # local sf0.001 oracle replay still covers all three every round.
     "dedup_cluster_purity",
     "hll_weekly_rollup",
+    "dedup_method_agreement",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

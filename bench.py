@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "hist_quantile_values",
     "split_leakage_check",
     "hll_weekly_rollup",
+    "dedup_method_agreement",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -375,6 +376,7 @@ def main() -> None:
         "hist_quantile_values": "histq",
         "split_leakage_check": "leak",
         "hll_weekly_rollup": "hllwk",
+        "dedup_method_agreement": "agree",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",
