@@ -53,3 +53,65 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_lsh_corpus_index_bucketed_increment_join(spark, sf_dir):
+    """The incremental-dedup 100 TB story end-to-end: the corpus LSH
+    bucket table persists BUCKETED BY its band-bucket key, so a daily
+    increment joins against it with the corpus side never reshuffled —
+    only the (small) increment side exchanges. Results must equal the
+    plain unbucketed join."""
+    import contextlib
+    import io
+
+    from bearysta_spark.functions.dedup import band_buckets, minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    incr = d.filter(F.col("doc_id") % 4 == 0)
+
+    def buckets(df):
+        return band_buckets(
+            minhash_signatures(df, "text", "doc_id", 5, 12, True), "doc_id", 12, 3
+        ).withColumn("bb", F.concat_ws(":", "band", "bucket"))
+
+    spark.sql("DROP TABLE IF EXISTS corpus_lsh_idx")
+    (
+        buckets(corpus)
+        .write.mode("overwrite")
+        .bucketBy(8, "bb")
+        .sortBy("bb")
+        .saveAsTable("corpus_lsh_idx")
+    )
+    idx = spark.table("corpus_lsh_idx")
+    inc_b = buckets(incr)
+    joined = (
+        inc_b.alias("i")
+        .join(idx.alias("c"), "bb")
+        .select(
+            F.col("i.doc_id").alias("id_incr"), F.col("c.doc_id").alias("id_corpus")
+        )
+        .distinct()
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    # the persisted index is consumed in place: the ONLY bb-exchange in
+    # the plan is the increment side's
+    assert plan.count("Exchange hashpartitioning(bb") <= 1
+    assert "corpus_lsh_idx" in plan
+    assert "SelectedBucketsCount" in plan  # bucketed read actually engaged
+
+    plain = (
+        buckets(incr)
+        .alias("i")
+        .join(buckets(corpus).alias("c"), "bb")
+        .select(
+            F.col("i.doc_id").alias("id_incr"), F.col("c.doc_id").alias("id_corpus")
+        )
+        .distinct()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS corpus_lsh_idx")
