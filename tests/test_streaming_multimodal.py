@@ -752,3 +752,34 @@ def test_streaming_hist_matches_batch_bins(spark, tmp_path):
     }
     assert got == want
     assert min(got) == 0 and max(got) == 15  # clamped under/overflow
+
+
+def test_image_dimensions_header_parsing(spark):
+    # handcrafted container headers: the parser reads ONLY header bytes
+    from bearysta_spark.functions.multimodal import image_dimensions
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x06"
+    )
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    # JPEG: SOI, APP0 segment (16 bytes), SOF0 with height=600 width=800
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (600).to_bytes(2, "big") + (800).to_bytes(2, "big") + b"\x03"
+    )
+    rows = [(1, png), (2, gif), (3, jpeg), (4, b"not an image"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["img_format"], r["width"], r["height"])
+           for r in image_dimensions(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 800, 600)
+    assert got[4] == (None, None, None)
+    assert got[5] == (None, None, None)
+    # truncated JPEG: container recognized, dimensions unknown -> NULLs
+    trunc = spark.createDataFrame([(6, b"\xff\xd8\xff\xe0")],
+                                  "doc_id long, payload binary")
+    assert image_dimensions(trunc).collect()[0]["img_format"] == "jpeg"
