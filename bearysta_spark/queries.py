@@ -6269,6 +6269,151 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_est_expr(prefix: str) -> str:
+    """Estimate SQL over aggregated columns {prefix}s_obs/{prefix}obs —
+    the same integer harmonic sum + LUT linear counting, inlined so one
+    SELECT can carry several estimates (pairwise overlap needs three)."""
+    lut = ",".join(repr(x) for x in K.HLL_LC)
+    raw = (
+        f"CAST({K.HLL_NUM!r} AS DOUBLE) / CAST({prefix}s_obs"
+        f" + ({K.HLL_M} - {prefix}obs) * {1 << K.HLL_RANK_CAP} AS DOUBLE)"
+    )
+    return (
+        f"CAST(CASE WHEN ({K.HLL_M} - {prefix}obs) > 0"
+        f" AND {raw} <= {K.HLL_SMALL_RANGE!r}"
+        f" THEN ([{lut}])[{K.HLL_M} - {prefix}obs]"
+        f" ELSE round({raw}, 4) END AS DOUBLE)"
+    )
+
+
+@query(
+    "hll_audience_overlap",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_replace(substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 15),
+                            '^0+', '') AS stripped
+      FROM events
+    ), rk AS (
+      SELECT event_type, bucket, {_HLL_RANK_SQL} AS rank FROM r
+    ), regs AS (
+      SELECT event_type, bucket, max(rank) AS m
+      FROM rk GROUP BY event_type, bucket
+    ), types AS (SELECT DISTINCT event_type FROM regs),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), uni AS (
+      SELECT p.type_a, p.type_b, g.bucket, max(g.m) AS m
+      FROM pairs p JOIN regs g
+        ON g.event_type = p.type_a OR g.event_type = p.type_b
+      GROUP BY 1, 2, 3
+    ), agg_u AS (
+      SELECT type_a, type_b,
+             CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS u_s_obs,
+             CAST(count(*) AS BIGINT) AS u_obs
+      FROM uni GROUP BY 1, 2
+    ), agg_t AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS t_s_obs,
+             CAST(count(*) AS BIGINT) AS t_obs
+      FROM regs GROUP BY event_type
+    ), est_t AS (
+      SELECT event_type, {_hll_est_expr("t_")} AS est FROM agg_t
+    ), ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_exact_overlap
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT u.type_a AS type_a, u.type_b AS type_b,
+           round(ea.est + eb.est - {_hll_est_expr("u_")}, 4) AS est_overlap,
+           e.n_exact_overlap
+    FROM agg_u u
+    JOIN est_t ea ON ea.event_type = u.type_a
+    JOIN est_t eb ON eb.event_type = u.type_b
+    JOIN ex e ON e.type_a = u.type_a AND e.type_b = u.type_b
+    ORDER BY u.type_a, u.type_b
+    """,
+)
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap for every event-type pair by inclusion-exclusion
+    on HLL sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union sketch is just the max-merge of the two register frames —
+    the question exact distinct-counting answers only by re-shuffling
+    (user, type-pair) for every pair, a sketch answers from the SAME
+    ≤ 256-row-per-type register table used for single-type counts. The
+    exact overlap (itself a pairwise self-join that wouldn't scale past
+    a handful of types) rides along as the verification baseline.
+    Everything is the engine-portable integer/LUT arithmetic of
+    functions/sketch.py, so the oracle replays all three estimates."""
+    e = _t(spark, sf_dir, "events")
+    regs = K.hll_registers(e, "user_id", ("event_type",))
+    est_t = K.hll_estimate(regs, ("event_type",)).select(
+        "event_type", "est_hll"
+    )
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est_u = K.hll_estimate(uni, ("type_a", "type_b")).select(
+        "type_a", "type_b", F.col("est_hll").alias("est_union")
+    )
+    ex = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count_distinct(F.col("a.user_id")).cast("long").alias("n_exact_overlap"))
+    )
+    ea = est_t.select(
+        F.col("event_type").alias("type_a"), F.col("est_hll").alias("est_a")
+    )
+    eb = est_t.select(
+        F.col("event_type").alias("type_b"), F.col("est_hll").alias("est_b")
+    )
+    return (
+        est_u.join(ea, "type_a")
+        .join(eb, "type_b")
+        .join(ex, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+            "n_exact_overlap",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -6342,6 +6487,7 @@ _DRIVER_PRIORITY = [
     "dedup_cluster_purity",
     "hll_weekly_rollup",
     "dedup_method_agreement",
+    "hll_audience_overlap",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

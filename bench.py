@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "split_leakage_check",
     "hll_weekly_rollup",
     "dedup_method_agreement",
+    "hll_audience_overlap",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -377,6 +378,7 @@ def main() -> None:
         "split_leakage_check": "leak",
         "hll_weekly_rollup": "hllwk",
         "dedup_method_agreement": "agree",
+        "hll_audience_overlap": "ovlhll",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",
