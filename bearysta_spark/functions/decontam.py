@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bearysta_spark.functions.dedup import _spread
+from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT, _gated_broadcast, _spread
 
 
 def gram_rows(
@@ -137,21 +137,33 @@ def contaminated_docs_bloom(
     filter carries the same membership signal at ~10 bits/entry (a
     16 MB literal for 2^27 bits), the scan-side probe drops the ~99%+
     of corpus grams that can't match, and only Bloom survivors reach the
-    exact join — whose broadcast can then be replaced by a shuffle join
-    without moving corpus-scale data, because the surviving side is
-    small. Result is IDENTICAL to contaminated_docs (no false
-    negatives; FPs die in the exact join)."""
+    exact join — which is itself broadcast only while the MEASURED
+    distinct bench-gram count fits the row budget (the count is free:
+    the frame is cached and materialized by the Bloom build) and
+    otherwise shuffles on the gram key, which is affordable precisely
+    because the Bloom probe already shrank the corpus side. Result is
+    IDENTICAL to contaminated_docs (no false negatives; FPs die in the
+    exact join)."""
     # cached: materialized once by the Bloom build, reused by the exact
     # verify join (otherwise the benchmark gram explode runs twice)
     bench_grams = gram_rows(bench, n, text_col, ()).distinct().cache()
     words = build_gram_bloom(bench_grams, nbits, num_hashes)
+    n_grams = bench_grams.count()
     arr, cond = bloom_contains(words, nbits, num_hashes)
     doc_grams = gram_rows(_spread(corpus), n, text_col, (id_col, *keep_cols))
     survivors = (
         doc_grams.withColumn("__bloom", arr).filter(cond).drop("__bloom")
     )
     return (
-        survivors.join(F.broadcast(bench_grams), "gram")
+        survivors.join(
+            _gated_broadcast(
+                bench_grams,
+                n_grams,
+                BROADCAST_ROW_LIMIT,
+                "contaminated_docs_bloom benchmark grams",
+            ),
+            "gram",
+        )
         .groupBy(id_col, *keep_cols)
         .agg(F.count_distinct("gram").cast("long").alias("shared_grams"))
     )
@@ -167,7 +179,14 @@ def contaminated_docs(
 ) -> DataFrame:
     """Corpus docs sharing ≥1 word n-gram with any benchmark doc, with
     the count of distinct shared grams. Returns (id, *keep_cols,
-    shared_grams)."""
+    shared_grams).
+
+    Contract: `bench` must be a genuinely small eval/benchmark set —
+    its distinct gram table is hard-broadcast. When the "benchmark"
+    side is corpus-proportional (e.g. a 10% validation split), use
+    contaminated_docs_bloom: identical results, broadcast gated on a
+    measured count, and a Bloom prefilter so the fallback shuffle only
+    moves surviving grams."""
     bench_grams = gram_rows(bench, n, text_col, ()).distinct()
     doc_grams = gram_rows(_spread(corpus), n, text_col, (id_col, *keep_cols))
     # Join BEFORE any distinct: the broadcast join filters corpus grams

@@ -22,6 +22,35 @@ from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
+#: Row budget for broadcasting mid-plan frames that Catalyst cannot size.
+#: Rows here are (id, shingle)-grain, so ~50-100 bytes each — 2M rows is
+#: ~100-200 MB, inside a sane executor broadcast budget with headroom.
+#: Callers pass an explicit limit to tighten/loosen per deployment.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _gated_broadcast(frame: DataFrame, n_rows: int, limit: int, what: str) -> DataFrame:
+    """Broadcast `frame` only when its *measured* row count fits the
+    budget; otherwise return it unhinted (with a logged notice) so AQE
+    picks a shuffle hash / sort-merge join.
+
+    Why: a hard F.broadcast on a corpus-proportional frame is correct
+    and fast at benchmark scale but forces an executor OOM at 100× —
+    the hint removes Catalyst's freedom to fall back. Gating on a
+    measured count (already computed upstream in every caller) keeps
+    the fast path when it is safe and degrades to a shuffle, loudly,
+    when it is not (no-silent-caps discipline)."""
+    if n_rows <= limit:
+        return F.broadcast(frame)
+    logger.warning(
+        "%s: measured %d rows exceeds broadcast row budget %d; "
+        "dropping the broadcast hint — AQE will pick a shuffle join",
+        what,
+        n_rows,
+        limit,
+    )
+    return frame
+
 
 def content_hash(text: str | Column) -> Column:
     """Canonical exact-dedup key: md5 of the raw text."""
@@ -267,27 +296,28 @@ def cap_buckets(
     docs never reach LSH).
 
     No silent caps: the dropped-bucket count and their total membership
-    are computed (the oversized-key frame is tiny — bounded by
-    rows/max_bucket_size) and logged. The filter itself is a broadcast
-    anti-join on the hot keys; the size pass is one map-side-combined
-    count on the (band, bucket) key.
+    are logged. The oversized-key set is bounded by
+    rows/max_bucket_size, so it is collected driver-side in ONE job and
+    re-broadcast from a local frame for the anti-join — no cached
+    mid-plan frame pinning executor storage for the session (the
+    cache-share-then-never-unpersist pattern this replaces leaked).
     """
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
-    hot = sizes.filter(F.col("sz") > max_bucket_size).cache()
-    stats = hot.agg(
-        F.count("*").alias("n_buckets"), F.sum("sz").alias("n_rows")
-    ).collect()[0]
-    if stats["n_buckets"]:
-        logger.warning(
-            "cap_buckets: dropping %d oversized LSH buckets (>%d members, "
-            "%d rows total) — candidates inside them carry no locality signal",
-            stats["n_buckets"],
-            max_bucket_size,
-            stats["n_rows"],
-        )
-    return buckets.join(
-        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    hot_rows = sizes.filter(F.col("sz") > max_bucket_size).collect()
+    if not hot_rows:
+        return buckets
+    logger.warning(
+        "cap_buckets: dropping %d oversized LSH buckets (>%d members, "
+        "%d rows total) — candidates inside them carry no locality signal",
+        len(hot_rows),
+        max_bucket_size,
+        sum(r["sz"] for r in hot_rows),
     )
+    hot = buckets.sparkSession.createDataFrame(
+        [(r["band"], r["bucket"]) for r in hot_rows],
+        schema=buckets.select("band", "bucket").schema,
+    )
+    return buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
 
 def incremental_lsh_pairs(
@@ -396,6 +426,7 @@ def minhash_dedup_verified(
     threshold: float = 0.5,
     oracle_safe: bool = True,
     max_df_frac: float | None = None,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash+LSH candidate pairs →
     exact n-gram Jaccard verification ≥ threshold.
@@ -409,6 +440,14 @@ def minhash_dedup_verified(
     and the Jaccard verify, so similarity is measured on distinctive
     content (see drop_boilerplate_shingles for why this is the
     robustness lever on templated corpora).
+
+    Broadcast safety: the candidate frame and the candidate×shingle
+    expansion both grow with the corpus (candidates × shingles/doc), so
+    their broadcast hints are gated on measured counts via
+    _gated_broadcast — at benchmark scale both fit and the verify is
+    broadcast-probe fast; past broadcast_row_limit the hint is dropped
+    (logged) and the verify joins shuffle on their equi-keys instead of
+    forcing an OOM.
     """
     # one shingle explode+distinct, cached, shared by signature build,
     # size counts, and both verify joins
@@ -418,18 +457,35 @@ def minhash_dedup_verified(
     sh = sh.cache()
     cand = minhash_lsh_pairs(
         df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh
-    )
+    ).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sz_a = sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"})
+    # measured sizes for the broadcast gates: candidate pair count, and
+    # the exact row count of the candidate×shingle expansion (sum of
+    # a-side shingle counts over candidates). Both run over cached
+    # frames; this is the price of not hard-broadcasting a
+    # corpus-proportional frame.
+    n_cand = cand.count()
+    exp_rows = (
+        cand.join(sz_a, "id_a").agg(F.sum("sz_a")).collect()[0][0] or 0
+    )
 
     a = sh.withColumnsRenamed({id_col: "id_a", "shingle": "sh_a"})
     b = sh.withColumnsRenamed({id_col: "b_id", "shingle": "sh_b"})
-    # candidate set is tiny (LSH pruned) — broadcast it, and broadcast
-    # the (candidates × a-shingles) expansion too: both are orders of
-    # magnitude smaller than the corpus shingle table they probe, but
-    # sit mid-plan where Catalyst has no size statistics. The b-side
-    # join is a composite-key equi-join (id AND shingle) — no per-pair
-    # cross product.
-    expanded = F.broadcast(F.broadcast(cand).join(a, "id_a"))
+    # candidate set is LSH-pruned and the expansion is candidate-bounded
+    # — both orders of magnitude smaller than the corpus shingle table
+    # they probe, but mid-plan where Catalyst has no size statistics, so
+    # hint broadcast iff the measured count fits. The b-side join is a
+    # composite-key equi-join (id AND shingle) — no per-pair cross
+    # product either way.
+    expanded = _gated_broadcast(
+        _gated_broadcast(
+            cand, n_cand, broadcast_row_limit, "minhash_dedup_verified candidates"
+        ).join(a, "id_a"),
+        exp_rows,
+        broadcast_row_limit,
+        "minhash_dedup_verified candidate-shingle expansion",
+    )
     inter = (
         expanded.join(
             b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b"))
@@ -643,6 +699,7 @@ def prefix_jaccard_join(
     id_col: str = "doc_id",
     threshold: tuple[int, int] = (1, 2),
     ngram: int = 3,
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """Exact-recall set-similarity self-join via prefix filtering
     (Chaudhuri et al. / Vernica et al.): returns all pairs whose
@@ -656,7 +713,7 @@ def prefix_jaccard_join(
     prefix equi-join generates a candidate superset. A length filter
     (q_minus_p·cross rule: pairs with min/max size ratio < t cannot
     reach t) prunes before the distinct. Verification intersects
-    per-doc sorted xxhash64 arrays broadcast onto the candidate pairs —
+    per-doc sorted xxhash64 arrays joined onto the candidate pairs —
     per-row codegen, nothing pair×shingle-sized shuffles.
 
     100 TB shape: DF table is shingle-vocabulary-sized (broadcast);
@@ -664,6 +721,11 @@ def prefix_jaccard_join(
     only quadratic surface and carry ids only. Compare
     minhash_dedup_verified: probabilistic recall, no DF pass; this
     operator: guaranteed recall, one extra vocab-sized aggregate.
+    The per-doc sorted-array frames carry every doc's shingle hashes —
+    a corpus-proportional payload — so their broadcast hints are gated
+    on the measured total shingle count (_gated_broadcast): below
+    broadcast_row_limit the verify is a broadcast probe, above it the
+    verify joins shuffle on doc ids with a logged notice.
 
     Output columns: doc_a, doc_b, inter_size, union_size, jaccard.
     """
@@ -671,6 +733,10 @@ def prefix_jaccard_join(
 
     p, q = threshold
     sh = word_ngram_shingles(df, text_col, id_col, ngram).cache()
+    # total (doc, shingle) rows == sum of the per-doc array lengths the
+    # verify side would broadcast — the honest payload measure for the
+    # broadcast gate (doc count alone under-counts array-weighted rows)
+    n_sh = sh.count()
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("doc_freq"))
     w = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
@@ -716,8 +782,18 @@ def prefix_jaccard_join(
     )
     # J ≥ p/q ⟺ (p+q)·inter ≥ p·(na+nb), integer-exact
     return (
-        cand.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
+        cand.join(
+            _gated_broadcast(
+                aa, n_sh, broadcast_row_limit, "prefix_jaccard_join a-side arrays"
+            ),
+            "doc_a",
+        )
+        .join(
+            _gated_broadcast(
+                bb, n_sh, broadcast_row_limit, "prefix_jaccard_join b-side arrays"
+            ),
+            "doc_b",
+        )
         .withColumn(
             "inter_size",
             F.size(F.array_intersect("shs_a", "shs_b")).cast("long"),
@@ -796,20 +872,25 @@ def edit_distance_pairs(
         F.substring(text_col, 1, head_chars).alias("__head"),
     )
     if max_block_size is not None:
+        # oversized-block keys are few by construction (≤ rows /
+        # max_block_size): collect them in one job and anti-join from a
+        # local frame — no cached mid-plan frame left pinned in
+        # executor storage (same fix as cap_buckets)
         sizes = k.groupBy(*keys).agg(F.count("*").alias("sz"))
-        hot = sizes.filter(F.col("sz") > max_block_size).cache()
-        stats = hot.agg(
-            F.count("*").alias("n_blocks"), F.sum("sz").alias("n_rows")
-        ).collect()[0]
-        if stats["n_blocks"]:
+        hot_rows = sizes.filter(F.col("sz") > max_block_size).collect()
+        if hot_rows:
             logger.warning(
                 "edit_distance_pairs: dropping %d oversized blocks (>%d "
                 "members, %d rows total)",
-                stats["n_blocks"],
+                len(hot_rows),
                 max_block_size,
-                stats["n_rows"],
+                sum(r["sz"] for r in hot_rows),
             )
-        k = k.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+            hot = df.sparkSession.createDataFrame(
+                [tuple(r[c] for c in keys) for r in hot_rows],
+                schema=k.select(*keys).schema,
+            )
+            k = k.join(F.broadcast(hot), keys, "left_anti")
     a, b = k.alias("a"), k.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in keys:

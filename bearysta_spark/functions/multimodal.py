@@ -425,26 +425,43 @@ def _parse_image_dims(b: bytes):
         h = int.from_bytes(b[8:10], "little")
         return "gif", w, h
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        n = len(b)
         i = 2
         # SOF markers carry the frame size; skip every other segment by
         # its declared length. C4/C8/CC are huffman/arithmetic tables,
-        # not frames.
+        # not frames. Encoders may pad with 0xFF fill bytes before a
+        # marker, and TEM (0x01) / RSTn (0xD0-D7) / SOI (0xD8) are
+        # standalone markers with NO length field — both must be
+        # handled or the walk desynchronizes and can miss the SOF or
+        # match a spurious FF+SOF pair mid-stream.
         sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
-        while i + 4 <= len(b):
+        while i + 1 < n:
             if b[i] != 0xFF:
                 break
-            marker = b[i + 1]
+            j = i + 1
+            while j < n and b[j] == 0xFF:  # skip fill bytes
+                j += 1
+            if j >= n:
+                break
+            marker = b[j]
             if marker in sof:
-                if i + 9 <= len(b):
-                    h = int.from_bytes(b[i + 5:i + 7], "big")
-                    w = int.from_bytes(b[i + 7:i + 9], "big")
+                if j + 8 <= n:
+                    h = int.from_bytes(b[j + 4:j + 6], "big")
+                    w = int.from_bytes(b[j + 6:j + 8], "big")
                     return "jpeg", w, h
                 break
-            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if marker == 0xD9:  # EOI: no frame header in this payload
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i = j + 1  # standalone marker: 0-byte body, no length
+                continue
+            if j + 3 > n:
+                break
+            seg_len = int.from_bytes(b[j + 1:j + 3], "big")
             if seg_len < 2:
                 break
-            i += 2 + seg_len
+            i = j + 1 + seg_len
         return "jpeg", None, None
     return None, None, None
 

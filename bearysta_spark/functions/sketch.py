@@ -172,10 +172,17 @@ def hll_registers(
     one map-side-combined aggregate — THE bounded-state distinct counter
     for open-ended key spaces (exact count_distinct shuffles every
     distinct key; this shuffles ≤ 256 cells per group). Sketches over
-    disjoint slices merge with groupBy(...).agg(max(m))."""
+    disjoint slices merge with groupBy(...).agg(max(m)).
+
+    NULL keys are filtered first so the sketch counts the same
+    population as count_distinct (which ignores NULLs): without the
+    filter, md5(NULL) yields a NULL-bucket register row that inflates
+    the observed-register count while adding nothing to the harmonic
+    sum, skewing the estimate on nullable key columns."""
     bucket, rank = hll_bucket_rank(F.col(key_col))
     return (
-        df.select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rank.alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("m"))
     )
@@ -269,7 +276,13 @@ def hist_quantiles(
     cumulative count reaches q*n (unique: cum >= target AND
     cum - cnt < target) and interpolate linearly inside it:
     est = bin*w + w*(target - cum_before)/cnt. The bins frame is
-    <= nbins rows per group, so the windows are over tiny partitions."""
+    <= nbins rows per group, so the windows are over tiny partitions.
+
+    q = 0.0 is clamped to an infinitesimal positive rank so it resolves
+    to the first non-empty bin (the minimum estimate) instead of
+    silently returning no row — the raw predicate cum - cnt < q*n is
+    unsatisfiable at target 0. The epsilon is 1e-9 rows, which vanishes
+    under the 4-decimal rounding for every q in (0, 1]."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy("bin")
@@ -286,7 +299,7 @@ def hist_quantiles(
         )
     ).alias("qq")
     x = c.select("*", qcol).select("*", "qq.q_label", "qq.q").drop("qq")
-    target = F.col("q") * F.col("n")
+    target = F.greatest(F.col("q") * F.col("n"), F.lit(1e-9))
     hit = x.filter(
         (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
     )

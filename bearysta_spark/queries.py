@@ -5591,7 +5591,7 @@ CASE WHEN stripped = '' THEN 40 ELSE least(
              substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
              regexp_replace(substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 15),
                             '^0+', '') AS stripped
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), rk AS (
       SELECT event_type, bucket, {_HLL_RANK_SQL} AS rank FROM r
     ), regs AS (
@@ -5914,18 +5914,22 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram with any val document (benchmark-decontamination machinery
     pointed at the pipeline's own split). Per-source leaked-doc counts;
     near-dup pairs that straddle the split boundary are exactly what
-    inflates eval scores. Scale shape: the val side is the small side by
-    construction (10%) — its distinct grams broadcast, the train-side
-    scan never shuffles (functions/decontam.py:contaminated_docs), and
-    the split itself is zero-shuffle."""
-    from bearysta_spark.functions.decontam import contaminated_docs
+    inflates eval scores. Scale shape: the val side is 10% of the
+    CORPUS, so its distinct gram set is corpus-proportional — unlike a
+    fixed benchmark set it cannot be assumed broadcastable, which is
+    why this routes through contaminated_docs_bloom (result-identical
+    to the exact path: Bloom has no false negatives and FPs die in the
+    verify join): the filter literal is geometry-bounded, the probe
+    prunes train grams scan-side, and the verify join's broadcast is
+    gated on the measured gram count with a shuffle fallback."""
+    from bearysta_spark.functions.decontam import contaminated_docs_bloom
     from bearysta_spark.functions.sampling import hash_split
 
     d = _t(spark, sf_dir, "documents")
     s = hash_split(d, {"train": 0.9, "val": 0.1}, salt="leak")
     train = s.filter(F.col("split") == "train")
     val = s.filter(F.col("split") == "val")
-    leaked = contaminated_docs(train, val, n=8)
+    leaked = contaminated_docs_bloom(train, val, n=8)
     return (
         leaked.groupBy("source")
         .agg(
@@ -6119,7 +6123,7 @@ def _hll_est_sql(src: str) -> str:
              substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
              regexp_replace(substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 15),
                             '^0+', '') AS stripped
-      FROM base
+      FROM base WHERE user_id IS NOT NULL
     ), rk AS (
       SELECT week, day, bucket, {_HLL_RANK_SQL} AS rank FROM r
     ), daily AS (
@@ -6294,7 +6298,7 @@ def _hll_est_expr(prefix: str) -> str:
              substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
              regexp_replace(substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 15),
                             '^0+', '') AS stripped
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), rk AS (
       SELECT event_type, bucket, {_HLL_RANK_SQL} AS rank FROM r
     ), regs AS (

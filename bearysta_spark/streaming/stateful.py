@@ -234,7 +234,11 @@ def streaming_hll_registers(
     from bearysta_spark.functions.sketch import hll_bucket_rank
 
     bucket, rank = hll_bucket_rank(F.col(key_col))
-    rows = events.select(bucket.alias("bucket"), rank.alias("rank"))
+    # NULL keys excluded to count the same population as count_distinct
+    # (matches the batch hll_registers filter)
+    rows = events.filter(F.col(key_col).isNotNull()).select(
+        bucket.alias("bucket"), rank.alias("rank")
+    )
     return rows.groupBy("bucket").applyInPandasWithState(
         _update_hll,
         outputStructType=HLL_OUT_SCHEMA,

@@ -350,3 +350,74 @@ def test_pq_arrow_lut_equals_expression_lut(spark, embeddings):
     b = {tuple(r[:3]): r[3] for r in S.pq_lut_rows_arrow(q, cb).collect()}
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """Disable stats-based auto-broadcast so any BroadcastHashJoin left
+    in a plan can only come from an explicit F.broadcast hint — the
+    discriminator the gate tests need. (With auto-broadcast on,
+    Catalyst rightly still broadcasts the small cached frames from
+    their accurate InMemoryRelation stats even when the hint is
+    dropped — that stats-based freedom is the point of the gate.)"""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_minhash_verified_broadcast_gate(spark, documents):
+    # below the row budget the candidate frames carry broadcast hints;
+    # with the budget forced to 0 the hints must be dropped so the
+    # verify joins shuffle on their equi-keys — results identical
+    # either way (the gate changes physical strategy, never semantics)
+    kw = dict(num_hashes=12, bands=3, threshold=0.5)
+    # construct + materialize the gated frame INSIDE the context, with
+    # a cleared cache: cached subtrees freeze their physical plan at
+    # materialization time and are shared by logical-plan equality, so
+    # a prior run under normal conf would leak its broadcasts in here
+    with _no_auto_broadcast(spark):
+        spark.catalog.clearCache()
+        gated = D.minhash_dedup_verified(documents, broadcast_row_limit=0, **kw)
+        p_gated = _plan(gated)
+        gated_rows = sorted(map(tuple, gated.collect()))
+    assert "BroadcastHashJoin" not in p_gated  # no hint left anywhere
+    assert ("SortMergeJoin" in p_gated) or ("ShuffledHashJoin" in p_gated)
+    spark.catalog.clearCache()
+    fast = D.minhash_dedup_verified(documents, **kw)
+    assert "BroadcastHashJoin" in _plan(fast)  # hinted under normal conf
+    assert sorted(map(tuple, fast.collect())) == gated_rows
+
+
+def test_prefix_jaccard_broadcast_gate(spark):
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 3} eta theta")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fast = D.prefix_jaccard_join(df, threshold=(1, 2))
+    gated = D.prefix_jaccard_join(df, threshold=(1, 2), broadcast_row_limit=0)
+    with _no_auto_broadcast(spark):
+        p_fast, p_gated = _plan(fast), _plan(gated)
+    # the vocab-sized DF-table hint stays in both plans (it is bounded
+    # by the shingle vocabulary, not the corpus); only the corpus-sized
+    # per-doc array broadcasts must disappear when gated
+    assert p_gated.count("BroadcastHashJoin") < p_fast.count("BroadcastHashJoin")
+    assert ("SortMergeJoin" in p_gated) or ("ShuffledHashJoin" in p_gated)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, gated.collect()))

@@ -310,10 +310,13 @@ def test_hll_shuffles_registers_not_keys(spark):
     assert "md5" in p
 
 
-def test_split_leakage_broadcasts_val_grams(spark):
-    # the val side (10% split) must broadcast; the train-side gram scan
-    # must never shuffle before the join
+def test_split_leakage_bloom_prefilter_and_gated_broadcast(spark):
+    # routes through contaminated_docs_bloom: the train-side gram scan
+    # carries the Bloom probe (xxhash64 shift/mask codegen, no Python),
+    # and at this sf the measured val-gram count is under the budget so
+    # the verify join still broadcasts
     p = plan_of(spark, "split_leakage_check")
+    assert "xxhash64" in p  # Bloom probe reached the scan side
     assert "BroadcastExchange" in p
     assert "BroadcastHashJoin" in p
 

@@ -783,3 +783,24 @@ def test_image_dimensions_header_parsing(spark):
     trunc = spark.createDataFrame([(6, b"\xff\xd8\xff\xe0")],
                                   "doc_id long, payload binary")
     assert image_dimensions(trunc).collect()[0]["img_format"] == "jpeg"
+
+def test_image_dimensions_jpeg_fill_bytes_and_standalone_markers(spark):
+    # encoders may pad with 0xFF fill bytes before a marker, and TEM
+    # (0x01) / RSTn (0xD0-D7) are standalone markers with no length
+    # field: the segment walk must skip both to reach the SOF (a naive
+    # walk reads a bogus length and lands mid-stream)
+    from bearysta_spark.functions.multimodal import _parse_image_dims
+
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (600).to_bytes(2, "big") + (800).to_bytes(2, "big") + b"\x03"
+    )
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof  # FF fill run before SOF
+    assert _parse_image_dims(padded) == ("jpeg", 800, 600)
+    standalone = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + sof  # TEM + RST0
+    assert _parse_image_dims(standalone) == ("jpeg", 800, 600)
+    # fill bytes before an ordinary segment, then the SOF
+    app0 = b"\xff\xff\xe0" + (4).to_bytes(2, "big") + b"\x00\x00"
+    assert _parse_image_dims(b"\xff\xd8" + app0 + sof) == ("jpeg", 800, 600)
+    # EOI before any SOF: recognized container, unknown dims
+    assert _parse_image_dims(b"\xff\xd8\xff\xd9" + sof) == ("jpeg", None, None)

@@ -209,6 +209,40 @@ def test_hll_estimate_accuracy_large_range(spark):
     assert abs(r["est_hll"] - 5000) / 5000 < 0.20
 
 
+def test_hll_registers_ignore_null_keys(spark):
+    """NULL keys must not create a NULL-bucket register: the sketch
+    counts the same population as count_distinct (which skips NULLs)."""
+    from bearysta_spark.functions.sketch import hll_estimate, hll_registers
+
+    clean = spark.range(500).select(F.col("id").cast("string").alias("k"))
+    dirty = clean.unionByName(
+        spark.range(200).select(F.lit(None).cast("string").alias("k"))
+    )
+    regs_clean = {r["bucket"]: r["m"] for r in hll_registers(clean, "k").collect()}
+    regs_dirty = {r["bucket"]: r["m"] for r in hll_registers(dirty, "k").collect()}
+    assert regs_dirty == regs_clean
+    assert None not in regs_dirty
+    est_c = hll_estimate(hll_registers(clean, "k")).first()["est_hll"]
+    est_d = hll_estimate(hll_registers(dirty, "k")).first()["est_hll"]
+    assert est_c == est_d
+
+
+def test_hist_quantiles_q0_returns_minimum_bin(spark):
+    """q=0.0 resolves to the first non-empty bin instead of silently
+    returning no row (the raw rank predicate is unsatisfiable at 0)."""
+    from bearysta_spark.functions.sketch import hist_bins, hist_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in (9.0, 10.0, 42.0)], ["value"])
+    bins = hist_bins(df, "value", bin_width=4.0, nbins=16)
+    got = {
+        r["q_label"]: r["est"]
+        for r in hist_quantiles(bins, {"min": 0.0, "max": 1.0}, bin_width=4.0).collect()
+    }
+    assert "min" in got  # previously: empty result
+    assert got["min"] == 8.0  # left edge of the first non-empty bin
+    assert got["max"] == 44.0  # unchanged for q in (0, 1]
+
+
 # --- edit-distance blocking ------------------------------------------------
 
 
