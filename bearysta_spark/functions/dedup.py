@@ -320,9 +320,9 @@ def cap_buckets(
     return buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
 
-def incremental_lsh_pairs(
+def write_lsh_index(
     corpus: DataFrame,
-    increment: DataFrame,
+    path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
@@ -331,24 +331,72 @@ def incremental_lsh_pairs(
     oracle_safe: bool = True,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
+    """Persist the corpus LSH band-bucket index — the table a production
+    daily-ingest pipeline computes ONCE per corpus build and joins every
+    increment against (incremental_lsh_pairs with corpus_buckets=
+    spark.read.parquet(path)), so the corpus text is never re-shingled.
+
+    Layout: hive-partitioned by `band` (each increment probe reads all
+    bands, but compactions/backfills of a single band prune to 1/bands
+    of the files) and bucket-clustered within partitions, so parquet
+    min/max stats let the bucket equi-join's scan skip files when AQE
+    pushes bucket ranges. Returns the (file, n_rows) manifest from
+    sinks.write_corpus.
+    """
+    from bearysta_spark.sinks import write_corpus
+
+    sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes, oracle_safe)
+    buckets = band_buckets(sigs, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        buckets = cap_buckets(buckets, max_bucket_size, id_col)
+    return write_corpus(
+        buckets, path, partition_by=["band"], cluster_by=["bucket"]
+    )
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame | None,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    oracle_safe: bool = True,
+    max_bucket_size: int | None = None,
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus: candidate pairs are
     corpus×increment bucket-mates ONLY — no corpus×corpus work, so the
     cost of deduping a daily increment scales with the increment, not
     the corpus. Returns distinct (corpus_id, new_id).
 
-    The production shape: corpus band buckets are computed once and
-    persisted (band_buckets — a table keyed (band, bucket)); each new
-    batch computes its own buckets and equi-joins. Here both sides are
-    computed inline; the join, the only wide op across the boundary,
-    hash-partitions on (band, bucket) and a small increment side
-    auto-broadcasts under AQE. max_bucket_size caps degenerate corpus
-    buckets (cap_buckets) before the cross-boundary join.
+    The production shape: corpus band buckets are computed once,
+    persisted with write_lsh_index, and passed here as
+    `corpus_buckets=spark.read.parquet(index_path)` — then `corpus`
+    may be None and the corpus text is never re-read or re-shingled;
+    the only corpus-side work is the index file scan. Without
+    corpus_buckets both sides are computed inline. The join, the only
+    wide op across the boundary, hash-partitions on (band, bucket) and
+    a small increment side auto-broadcasts under AQE. max_bucket_size
+    caps degenerate corpus buckets (cap_buckets) before the
+    cross-boundary join (write_lsh_index applies the same cap at index
+    build time — don't double-apply).
     """
-    c_sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes, oracle_safe)
     i_sigs = minhash_signatures(increment, text_col, id_col, k, num_hashes, oracle_safe)
-    cb = band_buckets(c_sigs, id_col, num_hashes, bands)
-    if max_bucket_size is not None:
-        cb = cap_buckets(cb, max_bucket_size, id_col)
+    if corpus_buckets is not None:
+        cb = corpus_buckets.select(id_col, "band", "bucket")
+    else:
+        if corpus is None:
+            raise ValueError(
+                "incremental_lsh_pairs: pass either corpus or corpus_buckets"
+            )
+        c_sigs = minhash_signatures(
+            corpus, text_col, id_col, k, num_hashes, oracle_safe
+        )
+        cb = band_buckets(c_sigs, id_col, num_hashes, bands)
+        if max_bucket_size is not None:
+            cb = cap_buckets(cb, max_bucket_size, id_col)
     cb = cb.alias("c")
     ib = band_buckets(i_sigs, id_col, num_hashes, bands).alias("i")
     return (

@@ -3906,6 +3906,52 @@ def dedup_increment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_increment_persisted",
+    oracle=f"""
+    WITH {_SH_CTE}, {_BUCKETS_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    )
+    SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(new_id AS BIGINT) AS new_id
+    FROM cand
+    """,
+)
+def dedup_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX form of dedup_increment_candidates — the
+    production daily-ingest shape promised by
+    functions/dedup.py:incremental_lsh_pairs: the corpus band-bucket
+    index is WRITTEN to parquet once (write_lsh_index: hive-partitioned
+    by band, bucket-clustered shards) and the increment joins against
+    the FILES, so the corpus text is never re-read or re-shingled —
+    the corpus-side cost of a daily batch is an index file scan,
+    independent of corpus text bytes. Same candidates as the inline
+    variant by construction (identical signatures/banding), which the
+    shared oracle verifies."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+    corp = d.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(
+        tempfile.gettempdir(), f"bearysta_lsh_index_{os.getpid()}"
+    )
+    D.write_lsh_index(corp, path, num_hashes=12, bands=3)
+    idx = spark.read.parquet(path)
+    out = D.incremental_lsh_pairs(
+        None, inc, num_hashes=12, bands=3, corpus_buckets=idx
+    )
+    return out.select(
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("new_id").cast("long").alias("new_id"),
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES}
@@ -6415,6 +6461,204 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_overlap",
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "hll_overlap_sketch",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+             regexp_replace(substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 15),
+                            '^0+', '') AS stripped
+      FROM events WHERE user_id IS NOT NULL
+    ), rk AS (
+      SELECT event_type, bucket, {_HLL_RANK_SQL} AS rank FROM r
+    ), regs AS (
+      SELECT event_type, bucket, max(rank) AS m
+      FROM rk GROUP BY event_type, bucket
+    ), types AS (SELECT DISTINCT event_type FROM regs),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ), uni AS (
+      SELECT p.type_a, p.type_b, g.bucket, max(g.m) AS m
+      FROM pairs p JOIN regs g
+        ON g.event_type = p.type_a OR g.event_type = p.type_b
+      GROUP BY 1, 2, 3
+    ), agg_u AS (
+      SELECT type_a, type_b,
+             CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS u_s_obs,
+             CAST(count(*) AS BIGINT) AS u_obs
+      FROM uni GROUP BY 1, 2
+    ), agg_t AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS t_s_obs,
+             CAST(count(*) AS BIGINT) AS t_obs
+      FROM regs GROUP BY event_type
+    ), est_t AS (
+      SELECT event_type, {_hll_est_expr("t_")} AS est FROM agg_t
+    )
+    SELECT u.type_a AS type_a, u.type_b AS type_b,
+           ea.est AS est_a, eb.est AS est_b,
+           {_hll_est_expr("u_")} AS est_union,
+           round(ea.est + eb.est - {_hll_est_expr("u_")}, 4) AS est_overlap
+    FROM agg_u u
+    JOIN est_t ea ON ea.event_type = u.type_a
+    JOIN est_t eb ON eb.event_type = u.type_b
+    ORDER BY u.type_a, u.type_b
+    """,
+)
+def hll_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of hll_audience_overlap: pairwise audience
+    overlap by inclusion-exclusion on HLL register merges, WITHOUT the
+    exact pairwise self-join baseline that dominates the audit query's
+    cost (BASELINE.md session-2 notes: the exact events×events join is
+    ~¾ of hll_audience_overlap's runtime and is precisely the op the
+    sketch exists to replace). Everything here is register arithmetic:
+    per-type register tables are ≤ 256 rows, the union sketch is a
+    max-merge, and the whole answer never rescans raw events — this is
+    what a dashboard runs per-refresh, while the audit variant runs
+    once per release to re-verify the estimator."""
+    e = _t(spark, sf_dir, "events")
+    regs = K.hll_registers(e, "user_id", ("event_type",))
+    est_t = K.hll_estimate(regs, ("event_type",)).select("event_type", "est_hll")
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est_u = K.hll_estimate(uni, ("type_a", "type_b")).select(
+        "type_a", "type_b", F.col("est_hll").alias("est_union")
+    )
+    ea = est_t.select(
+        F.col("event_type").alias("type_a"), F.col("est_hll").alias("est_a")
+    )
+    eb = est_t.select(
+        F.col("event_type").alias("type_b"), F.col("est_hll").alias("est_b")
+    )
+    return (
+        est_u.join(ea, "type_a")
+        .join(eb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_overlap"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "sketch_method_agreement",
+    oracle=f"""
+    WITH {_SH_CTE}, {_CAND_CTE},
+    toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, CAST(t.i AS INT) AS bit,
+             sum(CASE WHEN (hv >> CAST(t.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, generate_series(0, 59) AS t(i)
+      GROUP BY doc_id, t.i
+    ),
+    sk AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS sketch
+      FROM votes GROUP BY doc_id
+    ),
+    sks AS (
+      SELECT s.doc_id, s.sketch, d.source FROM sk s JOIN documents d USING (doc_id)
+    ),
+    shp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sks a JOIN sks b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sketch, b.sketch)) <= 6
+    ),
+    j AS (
+      SELECT c.id_a IS NOT NULL AS in_lsh, s.id_a IS NOT NULL AS in_sh
+      FROM cand c FULL OUTER JOIN shp s
+        ON c.id_a = s.id_a AND c.id_b = s.id_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN in_lsh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both,
+      CAST(sum(CASE WHEN in_lsh AND NOT in_sh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lsh_only,
+      CAST(sum(CASE WHEN in_sh AND NOT in_lsh THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_simhash_only
+    FROM j
+    """,
+)
+def sketch_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH-ONLY counterpart of dedup_method_agreement: MinHash-LSH
+    candidate pairs vs SimHash hamming≤6 pairs, full-outer joined on id
+    pairs — no exact Jaccard verify, no levenshtein, so the cost is the
+    two sketch passes alone (the production recall/precision triage a
+    pipeline runs daily; the exact-verified audit runs per release).
+    Scale shape: both pair lists are sketch-bucketed (LSH band buckets /
+    pigeonhole simhash chunks), the agreement join carries ids only."""
+    d = _t(spark, sf_dir, "documents")
+    lsh = D.minhash_lsh_pairs(d, num_hashes=12, bands=3, oracle_safe=True).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.lit(True).alias("in_lsh"),
+    )
+    sk = (
+        D.simhash_sketches(d, oracle_safe=True)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .cache()
+    )
+    shp = D.simhash_near_pairs(sk, max_hamming=6, block_cols=("source",)).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.lit(True).alias("in_sh"),
+    )
+    j = lsh.join(shp, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("in_lsh").isNotNull() & F.col("in_sh").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(F.col("in_lsh").isNotNull() & F.col("in_sh").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_lsh_only"),
+        F.sum(
+            F.when(F.col("in_sh").isNotNull() & F.col("in_lsh").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_simhash_only"),
     )
 
 

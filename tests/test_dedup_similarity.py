@@ -421,3 +421,42 @@ def test_prefix_jaccard_broadcast_gate(spark):
     assert p_gated.count("BroadcastHashJoin") < p_fast.count("BroadcastHashJoin")
     assert ("SortMergeJoin" in p_gated) or ("ShuffledHashJoin" in p_gated)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, gated.collect()))
+
+
+def test_incremental_lsh_persisted_index(spark, documents, tmp_path):
+    # production daily-ingest shape: the corpus band-bucket index is
+    # written once, then an increment dedups against the FILES — the
+    # plan must scan the index, never the corpus text (no re-shingling)
+    corp = documents.filter(F.col("doc_id") % 10 != 0)
+    inc = documents.filter(F.col("doc_id") % 10 == 0)
+    inline = sorted(
+        map(tuple, D.incremental_lsh_pairs(corp, inc, num_hashes=12, bands=3).collect())
+    )
+    path = str(tmp_path / "lsh_index")
+    manifest = D.write_lsh_index(corp, path, num_hashes=12, bands=3)
+    files = manifest.collect()
+    assert len(files) > 0 and all(r["n_rows"] > 0 for r in files)
+    assert any("band=" in r["file"] for r in files)  # hive-partitioned
+
+    idx = spark.read.parquet(path)
+    out = D.incremental_lsh_pairs(
+        None, inc, num_hashes=12, bands=3, corpus_buckets=idx
+    )
+    plan = _plan(out)
+    assert "lsh_index" in plan  # corpus side reads the persisted index
+    # the corpus text is never re-read: every documents scan in the
+    # plan must carry the INCREMENT predicate (doc_id % 10 = 0); the
+    # corpus filter shape (NOT (doc_id % 10 = 0)) appearing anywhere
+    # would mean the corpus was re-shingled despite the index. (The
+    # increment scan can legitimately appear twice — AQE reuses it as
+    # the dynamic-partition-pruning subquery for the band partitions.)
+    assert "NOT ((doc_id" not in plan and "% 10) != 0" not in plan
+    assert sorted(map(tuple, out.collect())) == inline
+
+
+def test_incremental_lsh_requires_a_corpus_side(spark, documents):
+    import pytest as _pytest
+
+    inc = documents.filter(F.col("doc_id") % 10 == 0)
+    with _pytest.raises(ValueError, match="corpus or corpus_buckets"):
+        D.incremental_lsh_pairs(None, inc)
