@@ -1,0 +1,247 @@
+"""Subword tokenization for training-data token budgeting.
+
+The reference's pipelines count whitespace/regex tokens; training-data
+budgeting wants tokenizer-fidelity counts (the number a real BPE
+tokenizer would bill a document at). Two tokenizers, one scale shape:
+
+- ``bpe_token_counts``: real rank-ordered byte-pair-encoding — the
+  GPT-2-style "apply merges in rank order until none apply" encoder —
+  over an embedded deterministic merge table (BPE_MERGES).
+- ``wordpiece_token_counts``: greedy longest-match against an embedded
+  subword vocabulary (WORDPIECE_VOCAB). Chosen because its per-word
+  walk is SQL-expressible (a precomputed longest-match step table + a
+  recursive position walk), so the driver's DuckDB oracle replays it
+  bit-for-bit — the correctness anchor for the whole module.
+
+Scale shape (both): a subword tokenization depends ONLY on the word,
+so the Python kernel runs over the DISTINCT word table — which is
+vocabulary-bounded (Heaps' law: sublinear in corpus bytes), not
+corpus-bounded — and per-document counts come from an equi-join of the
+(doc, word) occurrence rows against the per-word counts. The corpus
+side stays in JVM codegen (regexp explode + join + sum); Python
+touches one row per distinct word per batch, Arrow-batched. The
+per-word count table is broadcast behind the measured-size gate
+(functions.dedup._gated_broadcast), falling back to a shuffle join on
+the word key when a pathological corpus blows the vocabulary up.
+
+Vocabulary/merge provenance: hand-written frequency-ordered English
+subwords (public knowledge — any real deployment swaps in its model's
+published vocab file via the same constants). Words are the lowercased
+``[a-z0-9]+`` stream, consistent with functions.text tokenization, and
+every single character is in the vocabulary so tokenization is total.
+
+Reference parity note: the reference has no subword tokenizer (its
+token counts are whitespace splits, bearysta/aggregate.py); this module
+is part of the beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT, _gated_broadcast
+
+WORD_PATTERN = "[a-z0-9]+"
+
+# Greedy longest-match vocabulary: multi-char subwords (frequency-ordered
+# English units) + every single [a-z0-9] character so the match always
+# advances. Order is irrelevant to the algorithm (longest match wins);
+# keep it readable.
+WORDPIECE_VOCAB: tuple[str, ...] = (
+    "tion", "ment", "able", "ness", "ing", "ion", "ent", "ati", "ers",
+    "the", "and", "est", "ous", "ive", "ere", "der", "ter", "ght",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+    "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch",
+    "ll", "be", "ma", "si", "om", "ur",
+) + tuple("abcdefghijklmnopqrstuvwxyz0123456789")
+
+_WP_SET = frozenset(WORDPIECE_VOCAB)
+_WP_MAXLEN = max(len(t) for t in WORDPIECE_VOCAB)
+
+# Rank-ordered BPE merge table: merge (a, b) -> a+b, lowest rank first,
+# repeatedly until no listed pair is adjacent. Base symbols are single
+# characters, so encoding is total over [a-z0-9]+ words.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("t", "i"), ("a", "l"), ("an", "d"), ("in", "g"),
+    ("s", "t"), ("a", "r"), ("o", "u"), ("l", "e"), ("o", "f"),
+    ("e", "d"), ("i", "s"), ("i", "t"), ("ti", "on"), ("s", "e"),
+    ("n", "t"), ("h", "a"), ("c", "o"), ("m", "e"), ("d", "e"),
+    ("h", "i"), ("r", "i"), ("r", "o"), ("i", "c"), ("n", "e"),
+    ("e", "a"), ("r", "a"), ("c", "e"), ("l", "i"), ("c", "h"),
+    ("l", "l"), ("b", "e"), ("m", "a"), ("s", "i"), ("o", "m"),
+    ("u", "r"), ("er", "s"), ("en", "t"), ("es", "t"), ("the", "re"),
+)
+
+_BPE_RANKS = {pair: i for i, pair in enumerate(BPE_MERGES)}
+
+
+def wordpiece_len(word: str) -> int:
+    """Token count of one word under greedy longest-match: at each
+    position take the longest vocabulary entry prefixing the remainder
+    (single-char fallback always matches). Pure function — the Spark
+    kernel, the tests, and the SQL-oracle generator all agree on it."""
+    n = 0
+    p = 0
+    wl = len(word)
+    while p < wl:
+        ln = min(_WP_MAXLEN, wl - p)
+        while ln > 1 and word[p : p + ln] not in _WP_SET:
+            ln -= 1
+        p += ln
+        n += 1
+    return n
+
+
+def bpe_len(word: str) -> int:
+    """Token count of one word under rank-ordered BPE: repeatedly merge
+    the adjacent pair with the lowest merge rank (all its occurrences,
+    left to right) until no listed pair remains — the standard BPE
+    encode loop."""
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = [( _BPE_RANKS[p], p) for p in pairs if p in _BPE_RANKS]
+        if not ranked:
+            break
+        _, (a, b) = min(ranked)
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def word_occurrences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, word) rows: the lowercased [a-z0-9]+ stream, one row per
+    occurrence. Scan-side codegen — the corpus-proportional frame that
+    must never pass through Python."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+        ).alias("word"),
+    )
+
+
+def _distinct_word_counts(occ: DataFrame, counter, label: str) -> DataFrame:
+    """(word, n_tokens) for every distinct word via an Arrow-batched
+    kernel — the only Python in the pipeline, over the
+    vocabulary-bounded distinct-word table."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = pdf["word"]
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "n_tokens": [counter(w) for w in words],
+                }
+            )
+
+    return occ.select("word").distinct().mapInPandas(
+        kernel, "word string, n_tokens int"
+    )
+
+
+def _token_counts(
+    df: DataFrame,
+    counter,
+    label: str,
+    text_col: str,
+    id_col: str,
+    broadcast_row_limit: int,
+) -> DataFrame:
+    occ = word_occurrences(df, text_col, id_col)
+    counts = _distinct_word_counts(occ, counter, label).cache()
+    n_vocab = counts.count()
+    joined = occ.join(
+        _gated_broadcast(counts, n_vocab, broadcast_row_limit, label), "word"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_subword_tokens"),
+    )
+
+
+def wordpiece_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Per-document greedy longest-match subword counts:
+    (id, n_words, n_subword_tokens). SQL-oracle-replayable — see
+    wordpiece_oracle_ctes."""
+    return _token_counts(
+        df, wordpiece_len, "wordpiece_token_counts vocabulary",
+        text_col, id_col, broadcast_row_limit,
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+) -> DataFrame:
+    """Per-document rank-ordered BPE subword counts:
+    (id, n_words, n_subword_tokens). The encode loop is not
+    SQL-expressible (data-dependent merge iteration), so queries built
+    on this get the driver's rows-only check plus the differential
+    pytest against an independent priority-queue implementation."""
+    return _token_counts(
+        df, bpe_len, "bpe_token_counts vocabulary",
+        text_col, id_col, broadcast_row_limit,
+    )
+
+
+def wordpiece_oracle_ctes(doc_table: str = "documents") -> str:
+    """DuckDB CTE chain replaying wordpiece_token_counts exactly:
+    `occ(doc_id, word)`, and `wp(word, n_tokens)` for every distinct
+    word. The greedy walk is a precomputed longest-match step table
+    (positions via list comprehension + unnest — DuckDB has no lateral
+    generate_series) plus a recursive position walk; the caller's WITH
+    must be RECURSIVE. The vocabulary literal is generated from the
+    same WORDPIECE_VOCAB constant the Spark kernel uses, so the two
+    engines cannot drift."""
+    vocab = ", ".join(f"'{t}'" for t in WORDPIECE_VOCAB)
+    return f"""
+    occ AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+      FROM {doc_table}
+    ), dw AS (SELECT DISTINCT word FROM occ),
+    vocab AS (SELECT unnest([{vocab}]) AS tok),
+    steps AS (
+      SELECT q.word, q.p, max(len(v.tok)) AS step
+      FROM (SELECT word, unnest([i for i in range(1, len(word) + 1)]) AS p
+            FROM dw) q
+      JOIN vocab v ON substr(q.word, q.p, len(v.tok)) = v.tok
+      GROUP BY q.word, q.p
+    ),
+    walk AS (
+      SELECT word, 1 AS p, 0 AS n FROM dw
+      UNION ALL
+      SELECT s.word, walk.p + s.step, walk.n + 1
+      FROM walk JOIN steps s ON s.word = walk.word AND s.p = walk.p
+    ),
+    wp AS (
+      SELECT word, CAST(max(n) AS INT) AS n_tokens
+      FROM walk WHERE p > len(word) GROUP BY word
+    )"""

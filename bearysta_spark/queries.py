@@ -22,6 +22,7 @@ from bearysta_spark.functions import dedup as D
 from bearysta_spark.functions import similarity as S
 from bearysta_spark.functions import sketch as K
 from bearysta_spark.functions import text as T
+from bearysta_spark.functions import tokenize as TK
 from bearysta_spark.operators import (
     expected_fill,
     filter_in,
@@ -6662,6 +6663,165 @@ def sketch_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "subword_token_stats",
+    oracle=f"""
+    WITH RECURSIVE {TK.wordpiece_oracle_ctes()},
+    doc AS (
+      SELECT o.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wp.n_tokens) AS BIGINT) AS n_sub
+      FROM occ o JOIN wp USING (word) GROUP BY o.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc.n_words) AS BIGINT) AS word_tokens,
+           CAST(sum(doc.n_sub) AS BIGINT) AS subword_tokens,
+           round(CAST(sum(doc.n_sub) AS DOUBLE) / sum(doc.n_words), 6)
+             AS tokens_per_word
+    FROM doc JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fidelity token accounting per source: greedy
+    longest-match subword counts (functions/tokenize.py) next to the
+    regex word counts the reference-style stats use — the ratio is what
+    converts a word-count data budget into a real tokenizer bill.
+    Scale shape: the subword walk runs only over the DISTINCT word
+    table (vocabulary-bounded, Arrow-batched); the corpus-side explode,
+    join and sums are JVM codegen, and the per-word count table is
+    broadcast behind the measured-size gate. The DuckDB oracle replays
+    the greedy walk exactly (precomputed longest-match step table + a
+    recursive position walk over the same embedded vocabulary), so the
+    subword counts are engine-verified, not just deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    counts = TK.wordpiece_token_counts(d)
+    return (
+        counts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("word_tokens"),
+            F.sum("n_subword_tokens").cast("long").alias("subword_tokens"),
+            F.round(
+                F.sum("n_subword_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "token_budget_subword",
+    oracle=f"""
+    WITH RECURSIVE {TK.wordpiece_oracle_ctes()},
+    doc AS (
+      SELECT o.doc_id, CAST(sum(wp.n_tokens) AS BIGINT) AS toks
+      FROM occ o JOIN wp USING (word) GROUP BY o.doc_id
+    ), scored AS (
+      SELECT d.source, d.doc_id, {_QSCORE_SQL} AS q,
+             CAST(coalesce(doc.toks, 0) AS BIGINT) AS toks
+      FROM documents d LEFT JOIN doc USING (doc_id)
+    ), cum AS (
+      SELECT source, doc_id, toks,
+             CAST(coalesce(sum(toks) OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before,
+             CAST(sum(toks) OVER (PARTITION BY source) AS BIGINT) AS total_toks
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN 5 * cum_before < 2 * total_toks THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN 5 * cum_before < 2 * total_toks THEN toks ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST(max(total_toks) AS BIGINT) AS total_tokens
+    FROM cum GROUP BY source ORDER BY source
+    """,
+)
+def token_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_budget_selection re-billed in tokenizer-fidelity units:
+    within each source, keep documents in descending quality order
+    until 40% of the source's SUBWORD token mass is consumed — the
+    budget a training run actually pays is tokenizer tokens, and the
+    cut lands on different documents than the regex-token variant when
+    sources differ in tokens-per-word (code-ish vs prose-ish sources).
+    Same integer cross-multiplied keep rule (5·cum_before < 2·total),
+    same one-window-one-aggregate scale shape; the subword counts ride
+    the distinct-word kernel of functions/tokenize.py."""
+    d = _t(spark, sf_dir, "documents")
+    counts = TK.wordpiece_token_counts(d).select(
+        "doc_id", F.col("n_subword_tokens").alias("toks")
+    )
+    scored = (
+        d.select("source", "doc_id", T.quality_score("text").alias("q"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "q",
+            F.coalesce(F.col("toks"), F.lit(0)).cast("long").alias("toks"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("source")
+    cum = scored.select(
+        "source",
+        "toks",
+        F.coalesce(F.sum("toks").over(w_cum), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("toks").over(w_tot).cast("long").alias("total_toks"),
+    )
+    keep = (F.lit(5) * F.col("cum_before")) < (F.lit(2) * F.col("total_toks"))
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("toks")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.max("total_toks").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("bpe_token_stats")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting under real rank-ordered BPE
+    (functions/tokenize.py:bpe_token_counts — the GPT-2-style
+    apply-merges-in-rank-order encoder over the embedded merge table).
+    The encode loop's data-dependent iteration is not SQL-expressible,
+    so this query takes the driver's rows-only check; correctness is
+    carried by the differential pytest against an independent
+    priority-queue BPE implementation plus the shared distinct-word
+    machinery that subword_token_stats oracle-verifies end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    counts = TK.bpe_token_counts(d)
+    return (
+        counts.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("word_tokens"),
+            F.sum("n_subword_tokens").cast("long").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_subword_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -6674,7 +6834,20 @@ def sketch_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # -- r04: the 8 r03-new queries with no driver row yet (VERDICT r03 #1) -
+    # -- r05 window head: the 4 queries committed after the r04 driver
+    # check ran (VERDICT r04 #2 — land their first CORRECTNESS rows) --------
+    "dedup_cluster_purity",
+    "hll_weekly_rollup",
+    "dedup_method_agreement",
+    "hll_audience_overlap",
+    # -- r05-new queries (driver-unchecked by definition) ------------------
+    "hll_overlap_sketch",
+    "sketch_method_agreement",
+    "dedup_increment_persisted",
+    "subword_token_stats",
+    "token_budget_subword",
+    "bpe_token_stats",  # no oracle (BPE loop not SQL-expressible): rows-only
+    # -- driver-green in r04: refresh, cheapest-first ----------------------
     "winnowing_fingerprints",
     "cross_doc_repeated_spans",
     "dedup_increment_candidates",
@@ -6683,7 +6856,6 @@ _DRIVER_PRIORITY = [
     "kmeans_centroids",
     "knn_ivf_trained",
     "events_sliding_windows",
-    # -- r04-new queries (driver-unchecked by definition) ------------------
     "events_ttl_sessions",
     "events_stream_dedup",
     "knn_pq_adc",
@@ -6716,6 +6888,8 @@ _DRIVER_PRIORITY = [
     "jaccard_band_histogram",
     "blocklist_scrub_stats",
     "cms_heavy_hitters",
+    # ~50th slot of the driver's correctness window; order below only
+    # matters if the driver's budget grows
     "dedup_clusters_star",
     "rp_distance_preservation",
     "semantic_source_profile",
@@ -6725,17 +6899,7 @@ _DRIVER_PRIORITY = [
     "bm25_keyword_topk",
     "hist_quantile_values",
     "split_leakage_check",
-    # 50th and last slot of the driver's correctness window
     "knn_ivf_pq",
-    # 51st-53rd — past the window, wait a round by design; lowest-risk
-    # choices because each shares its entire machinery and oracle chain
-    # with an in-window or driver-green query (dedup_clusters /
-    # hll_distinct_users / near_dup_pairs + fuzzy_dup_pairs), and the
-    # local sf0.001 oracle replay still covers all three every round.
-    "dedup_cluster_purity",
-    "hll_weekly_rollup",
-    "dedup_method_agreement",
-    "hll_audience_overlap",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
     "embedding_norms",

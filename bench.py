@@ -151,6 +151,12 @@ BENCH_QUERIES = [
     "hll_weekly_rollup",
     "dedup_method_agreement",
     "hll_audience_overlap",
+    "hll_overlap_sketch",
+    "sketch_method_agreement",
+    "dedup_increment_persisted",
+    "subword_token_stats",
+    "token_budget_subword",
+    "bpe_token_stats",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -379,6 +385,12 @@ def main() -> None:
         "hll_weekly_rollup": "hllwk",
         "dedup_method_agreement": "agree",
         "hll_audience_overlap": "ovlhll",
+        "hll_overlap_sketch": "ovlsk",
+        "sketch_method_agreement": "skagree",
+        "dedup_increment_persisted": "incrp",
+        "subword_token_stats": "subwd",
+        "token_budget_subword": "budsw",
+        "bpe_token_stats": "bpe",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

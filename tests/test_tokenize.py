@@ -1,0 +1,128 @@
+"""Subword tokenizer tests: differential BPE check, wordpiece greedy
+semantics, and the distinct-word Spark shape."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions import tokenize as TK
+
+SEP = "\x1f"
+
+
+def _bpe_ref(word: str) -> int:
+    """Independent BPE implementation for the differential test: the
+    same spec (merge every occurrence of the lowest-rank adjacent pair,
+    repeat until none applies) but computed via a separator-string
+    replace-until-fixpoint instead of list surgery."""
+    syms = tuple(word)
+    while len(syms) > 1:
+        ranked = sorted(
+            (TK._BPE_RANKS[(syms[i], syms[i + 1])], syms[i], syms[i + 1])
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in TK._BPE_RANKS
+        )
+        if not ranked:
+            break
+        _, a, b = ranked[0]
+        s = SEP + SEP.join(syms) + SEP
+        pat = SEP + a + SEP + b + SEP
+        rep = SEP + a + b + SEP
+        while pat in s:
+            s = s.replace(pat, rep)
+        syms = tuple(s.strip(SEP).split(SEP))
+    return len(syms)
+
+
+WORD_RE = re.compile("[a-z0-9]+")
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_bpe_differential_vs_independent_impl(word):
+    assert TK.bpe_len(word) == _bpe_ref(word)
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_token_counts_bounded_and_positive(word):
+    for fn in (TK.bpe_len, TK.wordpiece_len):
+        n = fn(word)
+        assert 1 <= n <= len(word)
+
+
+def test_wordpiece_greedy_examples():
+    assert TK.wordpiece_len("the") == 1  # 'the' is a vocab entry
+    assert TK.wordpiece_len("a") == 1
+    # greedy: 'tion' (4) beats 'ti'+'on'
+    assert TK.wordpiece_len("tion") == 1
+    # 'theory' -> 'the' + 'or' + 'y'
+    assert TK.wordpiece_len("theory") == 3
+
+
+def test_bpe_merge_examples():
+    # t+h -> th, th+e -> the: one token
+    assert TK.bpe_len("the") == 1
+    # no ranked pair in 'zq': stays two symbols
+    assert TK.bpe_len("zq") == 2
+
+
+def test_spark_counts_match_pure_functions(spark):
+    rows = [
+        (1, "The quick brown foxes, jumping OVER 42 lazy dogs!"),
+        (2, "tokenization tokenization tokenization"),
+        (3, ""),
+        (4, "ZZZZ qqqq 0099"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def expect(counter):
+        out = {}
+        for i, text in rows:
+            words = WORD_RE.findall(text.lower())
+            if words:
+                out[i] = (len(words), sum(counter(w) for w in words))
+        return out
+
+    for fn, counter in (
+        (TK.wordpiece_token_counts, TK.wordpiece_len),
+        (TK.bpe_token_counts, TK.bpe_len),
+    ):
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_subword_tokens"])
+            for r in fn(df).collect()
+        }
+        assert got == expect(counter)
+
+
+def test_python_only_touches_distinct_words(spark):
+    # the Arrow kernel input must be the distinct-word frame: its plan
+    # subtree aggregates (deduplicates) BEFORE mapInPandas, so the
+    # Python stage's input is vocabulary-bounded, not corpus-bounded
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 50) for i in range(20)],
+        "doc_id: long, text: string",
+    )
+    out = TK.wordpiece_token_counts(df)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    map_pos = p.find("MapInPandas")
+    assert map_pos != -1
+    # the section listing MapInPandas's child chain must contain the
+    # distinct aggregate (HashAggregate over word) before the kernel
+    assert "MapInPandas" in p and p.count("HashAggregate") >= 2
+    # per-doc totals: 3 distinct words, 150 occurrences each
+    r = out.filter(F.col("doc_id") == 0).first()
+    assert r["n_words"] == 150
+    assert r["n_subword_tokens"] == 150 * (
+        TK.wordpiece_len("alpha") + TK.wordpiece_len("beta") + TK.wordpiece_len("gamma")
+    ) / 3
