@@ -804,3 +804,135 @@ def test_image_dimensions_jpeg_fill_bytes_and_standalone_markers(spark):
     assert _parse_image_dims(b"\xff\xd8" + app0 + sof) == ("jpeg", 800, 600)
     # EOI before any SOF: recognized container, unknown dims
     assert _parse_image_dims(b"\xff\xd8\xff\xd9" + sof) == ("jpeg", None, None)
+
+def _truncate_last_commit(ckpt: str) -> int:
+    """Simulate a mid-batch kill: remove the newest commits/<n> marker,
+    leaving the offsets log one batch ahead — exactly the crash window
+    between 'batch executed' and 'batch committed'. On restart the
+    engine must replay that batch; exactly-once then rests on the file
+    sink's _spark_metadata (skips the already-committed addBatch) and
+    state-store versioning (replays from the pre-batch version)."""
+    import glob
+    import os
+
+    commits = [
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    ]
+    assert commits, "no commit markers written yet"
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    # drop the local-FS checksum sidecar too, or the re-write of the
+    # commit marker fails its integrity check and the engine misreads
+    # the situation as two queries sharing one checkpoint
+    crc = os.path.join(
+        os.path.dirname(last), f".{os.path.basename(last)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    return int(os.path.basename(last))
+
+
+def test_stream_dedup_truncated_checkpoint_exactly_once(spark, tmp_path):
+    from bearysta_spark.streaming.stateful import stream_dedup
+
+    land, out, ckpt = (str(tmp_path / d) for d in ("land", "out", "ckpt"))
+    schema = "user_id long, event_id long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            stream_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed([(1, 101, 1.0), (1, 102, 2.0), (2, 201, 3.0)])
+    run_once()
+    _truncate_last_commit(ckpt)  # die after executing, before committing
+
+    # overlap with batch 1 on purpose: replay must not re-emit, new ids
+    # must not be lost
+    feed([(1, 102, 2.0), (1, 103, 4.0), (2, 201, 3.0), (2, 202, 5.0)])
+    run_once()
+
+    got = sorted(
+        (r["user_id"], r["event_id"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, 101, 1.0),
+        (1, 102, 2.0),
+        (1, 103, 4.0),
+        (2, 201, 3.0),
+        (2, 202, 5.0),
+    ]
+
+
+def test_expiring_sessions_truncated_checkpoint_exactly_once(spark, tmp_path):
+    import datetime as dt
+
+    from bearysta_spark.streaming.stateful import expiring_user_sessions
+
+    land, out, ckpt = (str(tmp_path / d) for d in ("land", "out", "ckpt"))
+    schema = "user_id long, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            expiring_user_sessions(stream, gap_ms=60 * 1000)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # session A: user 1, two events 10s apart (unique total 3.0)
+    feed([(1, t0, 1.0), (1, t0 + dt.timedelta(seconds=10), 2.0)])
+    run_once()
+    _truncate_last_commit(ckpt)  # kill inside the first batch's window
+
+    # batch 2 advances the watermark 10 minutes -> session A expires
+    # exactly once despite the replay; session B (user 1) and user 3 open
+    feed(
+        [
+            (1, t0 + dt.timedelta(minutes=10), 4.0),
+            (3, t0 + dt.timedelta(minutes=10), 8.0),
+        ]
+    )
+    run_once()
+    # batch 3 advances the watermark far enough to expire B and user 3
+    feed([(99, t0 + dt.timedelta(minutes=30), 0.5)])
+    run_once()
+
+    got = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # each session finalized exactly once; user 99 still open (no later
+    # watermark) so it must NOT appear
+    assert got == [(1, 1, 4.0), (1, 2, 3.0), (3, 1, 8.0)]
