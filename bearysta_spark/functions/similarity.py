@@ -331,6 +331,60 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for web-scale training data. Cluster the embedding
+    space with a coarse quantizer, compare pairs ONLY within a cluster,
+    and drop every vector that has a more-canonical (lower-id) neighbor
+    at cosine ≥ threshold. Returns (id_col, cell, keep boolean).
+
+    100 TB shape — the paper's point re-expressed as a plan: the
+    quadratic surface is per-cell (ΣN_c² ≈ N²/k for balanced cells),
+    realized as an equi-join on the cell id, never a global all-pairs;
+    cell assignment is the same Arrow dgemm scan the IVF index uses
+    (assign_cells_arrow), centroids travel in the kernel closure. The
+    keep rule is per-pair (drop the larger id of any qualifying pair),
+    deterministic and closure-free, so the whole operator is two joins
+    and an aggregate — compare cosine_near_dup_pairs, the global exact
+    verifier this replaces on corpus-scale runs. Within-cell similarity
+    uses the fold-expression cosine (codegen, engine-replayable); swap
+    the pair kernel for the blocked-BLAS form when cells are huge.
+    """
+    cell = assign_cells_arrow(centroids, 1)(F.col(vec_col))[0]
+    e = corpus.select(
+        F.col(id_col), F.col(vec_col), cell.cast("int").alias("cell")
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        e.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def make_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (numpy PCG64, fixed seed)."""
     import numpy as np

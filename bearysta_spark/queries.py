@@ -6795,6 +6795,70 @@ def token_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_stats",
+    oracle=f"""
+    WITH cm(cell, c) AS (VALUES
+      {{IVF_CM}}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (
+      SELECT e.vec_id, e.v, CAST(cm.cell AS INT) AS cell,
+             list_dot_product(e.v, cm.c) AS score
+      FROM e, cm
+    ),
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+      FROM sc
+    ),
+    assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    )
+    SELECT s.cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           round(CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END)
+                      AS DOUBLE) / count(*), 6) AS drop_frac
+    FROM assigned s LEFT JOIN dropped d USING (vec_id)
+    GROUP BY s.cell ORDER BY s.cell
+    """.replace("{IVF_CM}", _IVF_CM_SQL),
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (functions.similarity.semantic_dedup) per-cell report:
+    vectors assigned to each coarse-quantizer cell, how many are
+    dropped as semantic duplicates (a lower-id neighbor at cosine ≥
+    0.3 in the SAME cell), and the drop fraction — the knob report a
+    pipeline reads before committing a semantic-dedup pass. The
+    quadratic surface is per-cell by construction (the SemDeDup trick);
+    the oracle replays cell assignment (same fixed centroid literals
+    and tie rule as knn_ivf), the within-cell pair scan, and the
+    keep-lower-id rule in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(e, _IVF_CENTROIDS, threshold=0.3)
+    return (
+        out.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("drop_frac"),
+        )
+        .orderBy("cell")
+    )
+
+
 @query("bpe_token_stats")
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token accounting under real rank-ordered BPE
@@ -6847,6 +6911,7 @@ _DRIVER_PRIORITY = [
     "subword_token_stats",
     "token_budget_subword",
     "bpe_token_stats",  # no oracle (BPE loop not SQL-expressible): rows-only
+    "semantic_dedup_stats",
     # -- driver-green in r04: refresh, cheapest-first ----------------------
     "winnowing_fingerprints",
     "cross_doc_repeated_spans",

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "subword_token_stats",
     "token_budget_subword",
     "bpe_token_stats",
+    "semantic_dedup_stats",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -391,6 +392,7 @@ def main() -> None:
         "subword_token_stats": "subwd",
         "token_budget_subword": "budsw",
         "bpe_token_stats": "bpe",
+        "semantic_dedup_stats": "semdd",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

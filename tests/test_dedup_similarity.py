@@ -460,3 +460,45 @@ def test_incremental_lsh_requires_a_corpus_side(spark, documents):
     inc = documents.filter(F.col("doc_id") % 10 == 0)
     with _pytest.raises(ValueError, match="corpus or corpus_buckets"):
         D.incremental_lsh_pairs(None, inc)
+
+
+def test_semantic_dedup_drops_within_cell_keeps_across(spark):
+    # coarse quantizer along dim 0: cell 0 = +x, cell 1 = -x
+    cents = [[1.0] + [0.0] * 63, [-1.0] + [0.0] * 63]
+    rows = [
+        (1, [1.0] + [0.0] * 63),            # cell 0, canonical
+        (2, [0.999, 0.01] + [0.0] * 62),    # cell 0, ~dup of 1 -> dropped
+        (3, [-1.0] + [0.0] * 63),           # cell 1, keeps
+        # cross-cell near-dups: high mutual cosine but straddling the
+        # cell boundary -> BOTH keep (the per-cell contract; the paper's
+        # recall/efficiency tradeoff)
+        (4, [0.05, 1.0] + [0.0] * 62),      # cell 0 (dot 0.05 vs -0.05)
+        (5, [-0.05, 1.0] + [0.0] * 62),     # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in S.semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (0, False)  # lower-id neighbor 1 at cosine ~1
+    assert out[3] == (1, True)
+    assert out[4] == (0, True)
+    assert out[5] == (1, True)  # similar to 4 but in another cell
+    # determinism across partition layouts
+    again = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in S.semantic_dedup(df.repartition(7), cents, threshold=0.9).collect()
+    }
+    assert again == out
+
+
+def test_semantic_dedup_no_global_cross_product(spark, embeddings):
+    from bearysta_spark.queries import _IVF_CENTROIDS
+
+    out = S.semantic_dedup(embeddings, _IVF_CENTROIDS, threshold=0.3)
+    p = _plan(out)
+    # the quadratic surface must be the cell equi-join, never a global
+    # cartesian/nested-loop pair scan
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
