@@ -1,0 +1,71 @@
+"""Streaming near-dup detection against a persisted corpus LSH index —
+the streaming arm of the daily-ingest dedup shape
+(functions.dedup.write_lsh_index + incremental_lsh_pairs).
+
+A document stream (e.g. files landing in an object-store prefix) is
+checked micro-batch by micro-batch against the corpus band-bucket
+index: each batch computes ONLY its own MinHash band buckets and
+equi-joins the index files, so per-batch cost tracks the batch, never
+the corpus — identical math to the batch incremental path (parity
+tested), now with streaming delivery.
+
+Exactly-once: foreachBatch is at-least-once by contract, so the sink
+write is made idempotent with the standard batch-id dynamic-partition
+overwrite — a replayed batch overwrites its own partition rather than
+appending duplicates (chaos-tested with a truncated checkpoint, same
+harness as the stateful operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions.dedup import incremental_lsh_pairs
+
+
+def start_streaming_near_dup(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    oracle_safe: bool = True,
+):
+    """Start the stream: writes (corpus_id, new_id, batch_id) parquet
+    rows under out_path, hive-partitioned by batch_id. Returns the
+    StreamingQuery. The index is loaded ONCE per micro-batch from the
+    files (so a rebuilt/compacted index is picked up on the next batch
+    without restarting the query)."""
+    spark = stream_docs.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        idx = spark.read.parquet(index_path)
+        pairs = incremental_lsh_pairs(
+            None,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            oracle_safe=oracle_safe,
+            corpus_buckets=idx,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

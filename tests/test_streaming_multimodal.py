@@ -936,3 +936,53 @@ def test_expiring_sessions_truncated_checkpoint_exactly_once(spark, tmp_path):
     # each session finalized exactly once; user 99 still open (no later
     # watermark) so it must NOT appear
     assert got == [(1, 1, 4.0), (1, 2, 3.0), (3, 1, 8.0)]
+
+
+def test_streaming_near_dup_matches_batch_and_survives_replay(spark, documents, tmp_path):
+    # streaming arm of the persisted-index dedup: docs stream in two
+    # micro-batches, each joined against the corpus LSH index files;
+    # union of outputs must equal the batch incremental result, and a
+    # truncated checkpoint (mid-batch kill) must not duplicate pairs
+    # thanks to the batch-id dynamic-partition overwrite
+    from bearysta_spark.functions import dedup as D
+    from bearysta_spark.streaming.neardup import start_streaming_near_dup
+
+    corp = documents.filter(F.col("doc_id") % 10 != 0)
+    inc = documents.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+
+    index = str(tmp_path / "lsh_index")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    D.write_lsh_index(corp, index, num_hashes=12, bands=3)
+
+    half_a = inc.filter(F.col("doc_id") % 20 == 0)
+    half_b = inc.filter(F.col("doc_id") % 20 != 0)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(land)
+        q = start_streaming_near_dup(
+            stream, index, out, ckpt, num_hashes=12, bands=3
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half_a.coalesce(1).write.mode("append").parquet(land)
+    run_once()
+    _truncate_last_commit(ckpt)  # kill between execute and commit
+    half_b.coalesce(1).write.mode("append").parquet(land)
+    run_once()  # replays batch 0 -> overwrites its own partition
+
+    got = sorted(
+        (r["corpus_id"], r["new_id"])
+        for r in spark.read.parquet(out).select("corpus_id", "new_id").collect()
+    )
+    want = sorted(
+        (r["corpus_id"], r["new_id"])
+        for r in D.incremental_lsh_pairs(
+            corp, inc, num_hashes=12, bands=3
+        ).collect()
+    )
+    assert got == want and len(got) > 0
