@@ -43,7 +43,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT, _gated_broadcast
+from bearysta_spark.functions.dedup import (
+    BROADCAST_ROW_LIMIT,
+    _gated_broadcast,
+    _spread,
+)
 
 WORD_PATTERN = "[a-z0-9]+"
 
@@ -130,8 +134,10 @@ def word_occurrences(
 ) -> DataFrame:
     """(id, word) rows: the lowercased [a-z0-9]+ stream, one row per
     occurrence. Scan-side codegen — the corpus-proportional frame that
-    must never pass through Python."""
-    return df.select(
+    must never pass through Python. _spread rebalances ahead of the
+    ~100-300x row explode (the documents table often arrives as a
+    single input split — same rationale as dedup.shingle_rows)."""
+    return _spread(df).select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
