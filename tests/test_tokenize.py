@@ -126,3 +126,32 @@ def test_python_only_touches_distinct_words(spark):
     assert r["n_subword_tokens"] == 150 * (
         TK.wordpiece_len("alpha") + TK.wordpiece_len("beta") + TK.wordpiece_len("gamma")
     ) / 3
+
+
+def test_wordpiece_oracle_sql_matches_python_on_random_words():
+    # the recursive-CTE walk the driver oracle uses must agree with the
+    # Python kernel on arbitrary words, not just the benchmark corpus
+    import duckdb
+
+    rnd = __import__("random").Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = sorted(
+        {
+            "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 18)))
+            for _ in range(400)
+        }
+        | {"the", "tion", "theory", "ingestion", "a", "0", "thethethe"}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(words))
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + TK.wordpiece_oracle_ctes()
+        + " SELECT word, n_tokens FROM wp"
+    )
+    got = dict(con.sql(sql).fetchall())
+    want = {w: TK.wordpiece_len(w) for w in words}
+    assert got == want
