@@ -267,3 +267,43 @@ def bm25_scores(
         ).alias("bm25"),
         F.count("*").cast("long").alias("n_terms_hit"),
     )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing (the hashing trick, Weinberger et al. 2009)
+    document vectors in sparse long form: token t adds sign(t) to
+    dimension h(t) mod dim, output (id, dim, weight) for non-zero
+    dimensions.
+
+    This is the text→vector bridge that needs no trained model and no
+    vocabulary table: the dimension index and sign come from the
+    token's md5 (engine-portable — the same '0x'||substr arithmetic the
+    MinHash/CMS oracle paths use), so the whole op is one explode +
+    one map-side-combinable sum, zero Python, zero broadcast. Feed the
+    long form to cosine/ANN ops after densifying, or use it directly
+    for sparse dot products via a (dim)-key equi-join. At 100 TB the
+    shuffle carries ≤ dim rows per document regardless of text bytes.
+    """
+    from bearysta_spark.functions.tokenize import WORD_PATTERN, word_occurrences
+
+    occ = word_occurrences(df, text_col, id_col)
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    # sign from the 16th hex digit's parity — independent of the
+    # dimension bits above it
+    sign_digit = F.conv(F.substring(F.md5(F.col("word")), 16, 1), 16, 10).cast("int")
+    sign = F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        occ.select(
+            F.col(id_col),
+            F.pmod(h, F.lit(dim)).cast("int").alias("dim"),
+            sign.alias("__s"),
+        )
+        .groupBy(id_col, "dim")
+        .agg(F.sum("__s").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

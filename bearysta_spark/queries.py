@@ -6859,6 +6859,48 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hashed_vector_stats",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS INT) AS dim,
+             CASE WHEN ('0x' || substr(md5(word), 16, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM occ
+    ), vec AS (
+      SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+      FROM hv GROUP BY doc_id, dim HAVING sum(s) != 0
+    )
+    SELECT dim, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(weight) AS BIGINT) AS sum_weight,
+           CAST(max(abs(weight)) AS BIGINT) AS max_abs
+    FROM vec GROUP BY dim ORDER BY dim
+    """,
+)
+def hashed_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors (functions.text.hashed_doc_vectors
+    — the hashing trick: no model, no vocabulary table, md5-derived
+    dimension+sign so both engines replay it) summarized per dimension:
+    how many docs hit the dim, total and max-abs weight — the collision
+    / balance report read before picking `dim` for a hashed-feature
+    pipeline. Scale shape: one explode + two map-side-combinable sums;
+    shuffle ≤ dim rows per doc regardless of text bytes."""
+    vec = T.hashed_doc_vectors(_t(spark, sf_dir, "documents"), dim=64)
+    return (
+        vec.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("weight").cast("long").alias("sum_weight"),
+            F.max(F.abs("weight")).cast("long").alias("max_abs"),
+        )
+        .orderBy("dim")
+    )
+
+
 @query("bpe_token_stats")
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token accounting under real rank-ordered BPE
@@ -6912,6 +6954,7 @@ _DRIVER_PRIORITY = [
     "token_budget_subword",
     "bpe_token_stats",  # no oracle (BPE loop not SQL-expressible): rows-only
     "semantic_dedup_stats",
+    "hashed_vector_stats",
     # -- driver-green in r04: refresh, cheapest-first ----------------------
     "winnowing_fingerprints",
     "cross_doc_repeated_spans",

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "token_budget_subword",
     "bpe_token_stats",
     "semantic_dedup_stats",
+    "hashed_vector_stats",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -393,6 +394,7 @@ def main() -> None:
         "token_budget_subword": "budsw",
         "bpe_token_stats": "bpe",
         "semantic_dedup_stats": "semdd",
+        "hashed_vector_stats": "fhash",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

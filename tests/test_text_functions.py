@@ -183,3 +183,38 @@ def test_bundled_corpus_is_pii_free(spark, documents):
     # locks the docstring claim that the driver corpus contains no PII
     # (and with it the decision to test via fixtures, not a driver query)
     assert total == 0
+
+
+def test_hashed_doc_vectors_sparse_and_deterministic(spark):
+    from bearysta_spark.functions.text import hashed_doc_vectors
+
+    # word -> (dim, sign) under md5, dim=8 (verified offline):
+    # red -> (2, +1), green -> (4, +1), blue -> (6, +1)
+    df = spark.createDataFrame(
+        [(1, "red green red blue"), (2, "red RED red"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    vec = hashed_doc_vectors(df, dim=8)
+    rows = vec.collect()
+    # doc 3 has no tokens -> no rows; weights are integers; dims in range
+    assert all(r["doc_id"] in (1, 2) for r in rows)
+    assert all(0 <= r["dim"] < 8 for r in rows)
+    # doc 2: 'red' x3 (lowercased) -> a single dim with weight +3
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["weight"] == 3 and d2[0]["dim"] == 2
+    # doc 1: red x2, green, blue on their own dims, all +1 signs
+    d1 = {r["dim"]: r["weight"] for r in rows if r["doc_id"] == 1}
+    assert d1 == {2: 2, 4: 1, 6: 1}
+    # exact-cancellation collisions yield no row (sparse contract):
+    # alpha(-1) + beta(+1) + gamma(+1) all hash to dim 3 -> alpha x2
+    # cancels them exactly
+    z = hashed_doc_vectors(
+        spark.createDataFrame(
+            [(9, "alpha beta alpha gamma")], "doc_id: long, text: string"
+        ),
+        dim=8,
+    ).collect()
+    assert z == []
+    # partition-layout determinism
+    again = sorted(map(tuple, hashed_doc_vectors(df.repartition(5), dim=8).collect()))
+    assert again == sorted(map(tuple, rows))
