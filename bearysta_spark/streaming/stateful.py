@@ -150,13 +150,75 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     id at most once across the whole stream.
 
     State is O(ids per key) — fine for bounded id spaces / keyed
-    sessions; at open-ended 100 TB scale swap the seen-list for a Bloom
-    filter or rely on watermarked dropDuplicates instead.
+    sessions; at open-ended 100 TB scale use stream_dedup_bloom (fixed
+    state per key) or watermarked dropDuplicates instead.
     """
     return events.groupBy("user_id").applyInPandasWithState(
         _update_dedup,
         outputStructType=DEDUP_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BLOOM_DEDUP_NBITS = 1 << 13  # 8192 bits = 128 longs per key
+BLOOM_DEDUP_HASHES = 4
+
+
+def _bloom_positions(eid: int, nbits: int, k: int) -> list[int]:
+    # Kirsch-Mitzenmacher double hashing over two splits of one md5 —
+    # same construction as functions.decontam.build_gram_bloom, in
+    # Python because it runs inside the state-update kernel
+    import hashlib
+
+    d = hashlib.md5(str(eid).encode()).hexdigest()
+    h1 = int(d[:15], 16) % nbits
+    h2 = int(d[15:30], 16) % nbits
+    return [(h1 + i * h2) % nbits for i in range(k)]
+
+
+def _update_dedup_bloom(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    nwords = BLOOM_DEDUP_NBITS // 64
+    (words,) = state.get if state.exists else ([0] * nwords,)
+    words = list(words)
+    out = []
+    for pdf in pdfs:
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            pos = _bloom_positions(int(eid), BLOOM_DEDUP_NBITS, BLOOM_DEDUP_HASHES)
+            hit = all((words[p >> 6] >> (p & 63)) & 1 for p in pos)
+            if not hit:
+                for p in pos:
+                    words[p >> 6] |= 1 << (p & 63)
+                # keep state in signed-long range for the array<long> schema
+                for i in (p >> 6 for p in pos):
+                    if words[i] >= 1 << 63:
+                        words[i] -= 1 << 64
+                out.append((key[0], int(eid), float(val)))
+    state.update((words,))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "value"])
+
+
+def stream_dedup_bloom(events: DataFrame) -> DataFrame:
+    """Cross-batch dedup with FIXED per-key state: the seen-set is a
+    per-user Bloom filter (8192 bits = 1 KiB as 128 longs), so state
+    size is constant regardless of how many event ids a key ever emits
+    — the open-ended-id-space form stream_dedup's docstring promises.
+
+    Semantics: AT-MOST-ONCE. A Bloom filter has no false negatives, so
+    nothing is ever emitted twice (the exactly-once half that matters
+    for downstream idempotence); false positives drop a genuinely-new
+    event with probability ~(1 - e^(-kn/m))^k — ~0.24% per event after
+    1,000 distinct ids per key at the shipped geometry. Size
+    BLOOM_DEDUP_NBITS to the expected per-key cardinality; keys are
+    users, so the budget is per-user, not global. Bit-setting uses the
+    same md5 double-hashing as the batch Bloom decontamination
+    (functions.decontam), making stream and batch filters mergeable by
+    OR if a pipeline checkpoints them side by side."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_dedup_bloom,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType="words array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

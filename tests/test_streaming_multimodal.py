@@ -986,3 +986,54 @@ def test_streaming_near_dup_matches_batch_and_survives_replay(spark, documents, 
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_bloom_at_most_once_and_bounded_state(spark, sf_dir):
+    # Bloom-state dedup: never emits an id twice (no false negatives),
+    # matches the exact dedup on this corpus (the deterministic md5
+    # positions produce no false positives at these cardinalities), and
+    # state stays 128 longs per key regardless of id count
+    from bearysta_spark.streaming.stateful import (
+        BLOOM_DEDUP_NBITS,
+        _bloom_positions,
+        _update_dedup_bloom,
+        stream_dedup,
+        stream_dedup_bloom,
+    )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    got = run_stream_to_memory(
+        spark, stream_dedup_bloom(stream), "bloom_dedup_stream", output_mode="append"
+    )
+    exact = run_stream_to_memory(
+        spark, stream_dedup(stream), "exact_dedup_stream2", output_mode="append"
+    )
+    g = sorted((r["user_id"], r["event_id"]) for r in got.collect())
+    e = sorted((r["user_id"], r["event_id"]) for r in exact.collect())
+    assert len(g) == len(set(g))  # at-most-once: no id emitted twice
+    assert g == e  # no false positives at this cardinality
+
+    # kernel-level: state is fixed-width and ids are idempotent
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    st = FakeState()
+    import pandas as pd
+
+    batch = pd.DataFrame({"event_id": [1, 2, 1, 3], "value": [1.0, 2.0, 1.0, 3.0]})
+    out = list(_update_dedup_bloom((7,), [batch], st))[0]
+    assert list(out["event_id"]) == [1, 2, 3]
+    assert len(st.get[0]) == BLOOM_DEDUP_NBITS // 64
+    assert all(-(1 << 63) <= w < (1 << 63) for w in st.get[0])
+    # replaying the same batch emits nothing new
+    out2 = list(_update_dedup_bloom((7,), [batch], st))[0]
+    assert len(out2) == 0
+    # positions deterministic + in range
+    for eid in (0, 1, 2**40, 17):
+        pos = _bloom_positions(eid, BLOOM_DEDUP_NBITS, 4)
+        assert pos == _bloom_positions(eid, BLOOM_DEDUP_NBITS, 4)
+        assert all(0 <= p < BLOOM_DEDUP_NBITS for p in pos)
