@@ -6401,7 +6401,13 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is the engine-portable integer/LUT arithmetic of
     functions/sketch.py, so the oracle replays all three estimates."""
     e = _t(spark, sf_dir, "events")
-    regs = K.hll_registers(e, "user_id", ("event_type",))
+    # the register frame feeds three subtrees (per-type estimates, the
+    # type pair grid, the union max-merge); uncached, each reference
+    # replays the full events scan — 3 corpus scans at 100 TB. The
+    # frame is <= 256 rows per type, so caching it is bounded and cuts
+    # this side to ONE events scan (the exact baseline scans on its own
+    # by design).
+    regs = K.hll_registers(e, "user_id", ("event_type",)).cache()
     est_t = K.hll_estimate(regs, ("event_type",)).select(
         "event_type", "est_hll"
     )
@@ -6523,7 +6529,10 @@ def hll_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a dashboard runs per-refresh, while the audit variant runs
     once per release to re-verify the estimator."""
     e = _t(spark, sf_dir, "events")
-    regs = K.hll_registers(e, "user_id", ("event_type",))
+    # cached: three subtrees reference the register frame (estimates,
+    # pair grid, union merge) — uncached each replays the events scan;
+    # the frame is <= 256 rows per type, so the cache is bounded
+    regs = K.hll_registers(e, "user_id", ("event_type",)).cache()
     est_t = K.hll_estimate(regs, ("event_type",)).select("event_type", "est_hll")
     types = regs.select("event_type").distinct()
     pairs = (
