@@ -219,25 +219,59 @@ def bm25_scores(
     and removes the one libm call that would make scores differ across
     engines in the last ulp.
 
-    Scale shape: the term postings (tf) frame is filtered to |terms|
-    query terms BEFORE the per-doc aggregate, so its size is ∝ matching
-    docs, not corpus tokens; df and the corpus stats are tiny broadcast
-    frames; everything else is map-side expression work. Returns
+    Scale shape (r05 single-pass rewrite): ONE token-explode scan
+    builds the per-document norms frame — dl plus a conditional-sum tf
+    column per query term (the term list is small and fixed, so the
+    per-term counters are plain codegen aggregates) — and that
+    doc-grain frame is cached: it is exactly the doc-norms table a BM25
+    system persists, rows ∝ documents not tokens, spillable. The
+    previous postings-first shape replayed the corpus token explode
+    four times in the executed plan (dlen×2, tf, df). df and corpus
+    stats remain tiny broadcast frames. Returns
     (id_col, bm25, n_terms_hit).
     """
+    terms = list(terms)
     toks = docs.select(
         id_col,
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
         ).alias("tok"),
     )
-    dlen = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    per_doc = (
+        toks.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .cache()
+    )
+    dlen = per_doc.select(id_col, "dl")
     stats = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    avgdl = dlen.agg((F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    avgdl = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
     tf = (
-        toks.filter(F.col("tok").isin(list(terms)))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").cast("long").alias("tf"))
+        per_doc.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tok"),
+                            F.col(f"__tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.tok", "p.tf")
+        .filter(F.col("tf") > 0)
     )
     df_tbl = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
     scored = (

@@ -3852,7 +3852,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bearysta_spark.functions import sketch as K
 
     ev = _t(spark, sf_dir, "events")
-    exact = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    # cached: the per-user aggregate (rows ∝ users, ≪ events; the frame
+    # the sketch is built from) feeds both the sketch build and the
+    # top-20 ranking — uncached each replayed the events scan
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n")).cache()
     cells = K.cms_cells(exact, "user_id", weight_col="n", d=_CMS_D, w=_CMS_W)
     top = (
         exact.withColumn(
@@ -4601,7 +4604,10 @@ def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
-    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    # cached: the vocab-bounded frequency table is referenced by the
+    # total AND the per-doc join — uncached each replays the token
+    # explode (measured: an extra full corpus scan)
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt")).cache()
     total = freq.agg(F.sum("cnt").cast("long").alias("total"))
     perdoc = (
         toks.join(F.broadcast(freq), "tok")
@@ -4684,8 +4690,13 @@ def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok"
         ),
     )
-    sfreq = toks.groupBy("source", "tok").agg(
-        F.count("*").cast("long").alias("scnt")
+    # cached: the (source × vocab)-bounded frequency table feeds three
+    # subtrees (corpus freq, per-source totals, the terms join) —
+    # uncached, each replayed the corpus token explode (4 scans total)
+    sfreq = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("scnt"))
+        .cache()
     )
     cfreq = sfreq.groupBy("tok").agg(F.sum("scnt").cast("long").alias("ccnt"))
     stot = sfreq.groupBy("source").agg(F.sum("scnt").cast("long").alias("stotal"))
@@ -5056,49 +5067,76 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered three-step conversion funnel (view → click → purchase):
     a user advances a step only with a strictly-later event of the next
-    type — the sequential-pattern query behind product funnels, here as
-    three per-user min-aggregates chained by equi-join (each stage's
-    frame shrinks monotonically). At 100 TB each stage is one shuffle
-    on user_id and AQE reuses the partitioning; no windows over the raw
-    stream, no cross joins. The three stage counts are scalar aggregates
-    combined via broadcast cross-join (1-row frames)."""
+    type — the sequential-pattern query behind product funnels.
+
+    Single-pass shape (r05 rewrite): the chained join form scanned
+    events SIX times in the executed plan (three stage frames, each
+    referenced by the next stage AND its count). Instead, ONE scan
+    filters to the three step types, ONE shuffle collects each user's
+    (ts, type) events, and a sorted-array fold runs the funnel state
+    machine per user — t1 = first view, t2 = first click after t1,
+    t3 = first purchase after t2, identical semantics to the min-chain
+    (processing in ts order makes 'first X after Y' = 'min X ts > Y').
+    Per-user array size is bounded by events-per-user (session-scale),
+    and the three stage counts come from one aggregate over the fold
+    output. The oracle keeps the equivalent min-chain SQL."""
     e = _t(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
+    evs = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    nv = v.agg(F.count("*").cast("long").alias("n_view"))
-    nc = c.agg(F.count("*").cast("long").alias("n_click"))
-    np_ = p.agg(F.count("*").cast("long").alias("n_purchase"))
-    return (
-        nv.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(np_))
-        .select(
-            "n_view",
-            "n_click",
-            "n_purchase",
-            F.round(
-                F.col("n_click").cast("double") / F.col("n_view"), 6
-            ).alias("view_to_click"),
-            F.round(
-                F.col("n_purchase").cast("double") / F.col("n_click"), 6
-            ).alias("click_to_purchase"),
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+            ).alias("evs")
         )
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, x):
+        take1 = acc["t1"].isNull() & (x["event_type"] == "view")
+        take2 = (
+            acc["t2"].isNull()
+            & acc["t1"].isNotNull()
+            & (x["event_type"] == "click")
+            & (x["ts"] > acc["t1"])
+        )
+        take3 = (
+            acc["t3"].isNull()
+            & acc["t2"].isNotNull()
+            & (x["event_type"] == "purchase")
+            & (x["ts"] > acc["t2"])
+        )
+        return F.struct(
+            F.when(take1, x["ts"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(take2, x["ts"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(take3, x["ts"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    st = evs.select(F.aggregate("evs", init, step).alias("s"))
+    return st.agg(
+        F.sum(F.when(F.col("s.t1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(F.when(F.col("s.t2").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_click"),
+        F.sum(F.when(F.col("s.t3").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchase"),
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click").cast("double") / F.col("n_view"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(
+            F.col("n_purchase").cast("double") / F.col("n_click"), 6
+        ).alias("click_to_purchase"),
     )
 
 
@@ -5354,14 +5392,22 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard product-analytics triangle. Week offsets are integer
     divisions of week-aligned UTC epochs (both engines truncate weeks
     to Monday; the session TZ is pinned UTC so epochs align exactly).
-    Scale: two user_id shuffles (first-seen agg, distinct activity) and
-    one small cohort×offset aggregate; the cohort-size join is on the
-    tiny matrix, broadcastable."""
+    Scale (r05 single-pass rewrite): the firstwk-join-act form scanned
+    events four times in the executed plan (two base frames, each
+    replayed by the doubly-referenced matrix). Now ONE scan and ONE
+    user_id shuffle build each user's (first week, distinct active
+    weeks) — the collect_set is bounded by the number of calendar
+    weeks, not events — and the cohort×offset matrix is cached (it is
+    weeks² rows) so its second reference (cohort sizes) replays
+    nothing."""
     e = _t(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
-    firstwk = e.groupBy("user_id").agg(F.min(wk).alias("cohort"))
-    act = e.select("user_id", wk.alias("wk")).distinct()
-    j = act.join(firstwk, "user_id").select(
+    per_user = e.groupBy("user_id").agg(
+        F.min(wk).alias("cohort"), F.collect_set(wk).alias("wks")
+    )
+    j = per_user.select(
+        "cohort", F.explode("wks").alias("wk"), "user_id"
+    ).select(
         "cohort",
         (
             (F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
@@ -5371,8 +5417,10 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("week_offset"),
         "user_id",
     )
-    m = j.groupBy("cohort", "week_offset").agg(
-        F.count("*").cast("long").alias("n_active")
+    m = (
+        j.groupBy("cohort", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .cache()
     )
     base = m.filter(F.col("week_offset") == 0).select(
         "cohort", F.col("n_active").alias("cohort_size")
@@ -5439,7 +5487,9 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("w"),
     )
     uni = toks.select(F.explode("w").alias("tok"))
-    ucnt = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    # cached: vocab-bounded, referenced by the total and both marginal
+    # sides of the lift join (3 replays of the unigram explode uncached)
+    ucnt = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c")).cache()
     utot = ucnt.agg(F.sum("c").cast("long").alias("t"))
     bi = toks.filter(F.size("w") >= 2).select(
         F.explode(
@@ -5452,8 +5502,12 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.tok_a", "p.tok_b")
-    bcnt = bi.groupBy("tok_a", "tok_b").agg(
-        F.count("*").cast("long").alias("c_ab")
+    # cached: bigram-vocabulary-bounded (≪ corpus, Heaps-ish),
+    # referenced by the bigram total and the scored join
+    bcnt = (
+        bi.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .cache()
     )
     btot = bcnt.agg(F.sum("c_ab").cast("long").alias("tb"))
     ca = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
