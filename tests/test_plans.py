@@ -328,3 +328,37 @@ def test_ivf_pq_broadcasts_probe_and_lut_no_cartesian(spark):
     assert p.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# Executed-plan scan budgets (r05): these queries were measured
+# replaying their corpus scan for every reference to a shared frame
+# (AQE exchange reuse only deduplicates some replays). The fixes —
+# bounded-frame caches, single-pass rewrites — are pinned here as
+# ceilings on table-scan count in the FINAL (post-AQE) plan.
+SCAN_BUDGETS = [
+    ("event_funnel", "events", 1),
+    ("user_cohort_retention", "events", 1),
+    ("cms_heavy_hitters", "events", 1),
+    ("hll_overlap_sketch", "events", 1),
+    ("source_tv_divergence", "documents", 1),
+    ("token_lift_pairs", "documents", 2),
+    ("bm25_keyword_topk", "documents", 2),
+    ("unigram_surprise", "documents", 3),
+]
+
+
+@pytest.mark.parametrize("name,table,budget", SCAN_BUDGETS)
+def test_executed_plan_scan_budget(spark, name, table, budget):
+    df = QUERIES[name](spark, SF)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    try:
+        assert p.count(f"{table}.parquet") <= budget
+    finally:
+        spark.catalog.clearCache()
