@@ -707,3 +707,91 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "adc", "rank")
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist the IVF-PQ index: one row per vector — (id, codes
+    array<int>, ivf_cell) — hive-partitioned by ivf_cell, exactly the
+    on-disk layout FAISS's IndexIVFPQ inverted lists map to. Indexing
+    reads the raw vectors ONCE; every later search reads cell id +
+    m code bytes per vector and, because the cell is the partition
+    key, a probe join prunes to ~probes/|cells| of the FILES before
+    any byte is read (dynamic partition pruning from the broadcast
+    probe list — plan-asserted in tests). Returns the write_corpus
+    manifest.
+
+    This mirrors write_lsh_index for the dedup stack: build once per
+    corpus snapshot, search any number of query batches from the files
+    with ivf_pq_topk_from_index."""
+    from bearysta_spark.sinks import write_corpus
+
+    cells = corpus.select(
+        F.col(id_col),
+        assign_cells_arrow(centroids, 1)(F.col(vec_col))[0].alias("ivf_cell"),
+    )
+    wide = (
+        pq_code_rows_arrow(corpus, codebooks, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cell"))),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+    )
+    idx = cells.join(wide, id_col)
+    return write_corpus(idx, path, partition_by=["ivf_cell"])
+
+
+def ivf_pq_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """IVF-PQ top-k against a PERSISTED index (write_ivfpq_index):
+    identical math to ivf_pq_topk, but the corpus side is the index
+    files — raw vectors never read, and the probe join on the ivf_cell
+    partition column prunes whole partitions before scan. The probe
+    list and ADC LUT broadcast; the only wide op is the
+    map-side-combined per-(qid, nid) ADC sum."""
+    if adc_agg is None:
+        adc_agg = F.sum
+    probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(assign_cells_arrow(centroids, probes)(F.col(vec_col))).alias(
+            "ivf_cell"
+        ),
+    )
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    cand = index.join(F.broadcast(probe), "ivf_cell").filter(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = (
+        cand.select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.posexplode("codes").alias("j", "cell"),
+        )
+        .join(F.broadcast(lut), ["qid", "j", "cell"])
+        .groupBy("qid", "nid")
+        .agg(adc_agg(F.col("s")).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "adc", "rank")
+    )

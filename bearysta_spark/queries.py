@@ -6183,6 +6183,43 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_ivf_pq_persisted")
+def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf_pq against a PERSISTED index — the production serving
+    shape: write_ivfpq_index materializes (id, codes, ivf_cell) once,
+    hive-partitioned by cell (the FAISS inverted-list layout on
+    parquet), and the search joins the FILES: raw vectors are read only
+    at index-build time, and the broadcast probe list dynamically
+    prunes the cell partitions before any byte is scanned. Identical
+    math (same centroid/codebook literals, DECIMAL-rounded ADC) to the
+    in-memory composition, which the shared oracle verifies."""
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = os.path.join(
+        tempfile.gettempdir(), f"bearysta_ivfpq_index_{os.getpid()}"
+    )
+    S.write_ivfpq_index(e, _IVF_CENTROIDS, _PQ_CODEBOOKS, path)
+    idx = spark.read.parquet(path)
+    out = S.ivf_pq_topk_from_index(
+        idx,
+        q,
+        _IVF_CENTROIDS,
+        _PQ_CODEBOOKS,
+        k=5,
+        probes=2,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+    return out.select(
+        "qid", "nid", "adc", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq"]
+
+
 def _hll_est_sql(src: str) -> str:
     """Estimate-from-registers SQL over a CTE `src(week, bucket, m)` —
     the same exact-integer harmonic sum + linear-counting LUT as
@@ -7018,6 +7055,7 @@ _DRIVER_PRIORITY = [
     "bpe_token_stats",  # no oracle (BPE loop not SQL-expressible): rows-only
     "semantic_dedup_stats",
     "hashed_vector_stats",
+    "knn_ivf_pq_persisted",
     # -- driver-green in r04: refresh, cheapest-first ----------------------
     "winnowing_fingerprints",
     "cross_doc_repeated_spans",

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "bpe_token_stats",
     "semantic_dedup_stats",
     "hashed_vector_stats",
+    "knn_ivf_pq_persisted",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -395,6 +396,7 @@ def main() -> None:
         "bpe_token_stats": "bpe",
         "semantic_dedup_stats": "semdd",
         "hashed_vector_stats": "fhash",
+        "knn_ivf_pq_persisted": "ivfpqp",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

@@ -502,3 +502,36 @@ def test_semantic_dedup_no_global_cross_product(spark, embeddings):
     # cartesian/nested-loop pair scan
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivfpq_persisted_index_parity_and_pruning(spark, embeddings, tmp_path):
+    # the persisted IVF-PQ index must (a) return the same neighbors as
+    # the in-memory composition, (b) never read raw vectors at search
+    # time, (c) get dynamic partition pruning on the cell partitions
+    from bearysta_spark.queries import _IVF_CENTROIDS, _PQ_CODEBOOKS
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    mem = S.ivf_pq_topk(
+        embeddings, q, _IVF_CENTROIDS, _PQ_CODEBOOKS, k=5, probes=2
+    )
+    path = str(tmp_path / "ivfpq")
+    manifest = S.write_ivfpq_index(embeddings, _IVF_CENTROIDS, _PQ_CODEBOOKS, path)
+    files = manifest.collect()
+    assert files and any("ivf_cell=" in r["file"] for r in files)
+
+    idx = spark.read.parquet(path)
+    disk = S.ivf_pq_topk_from_index(
+        idx, q, _IVF_CENTROIDS, _PQ_CODEBOOKS, k=5, probes=2
+    )
+    m = {(r["qid"], r["nid"]): (r["rank"], r["adc"]) for r in mem.collect()}
+    d = {(r["qid"], r["nid"]): (r["rank"], r["adc"]) for r in disk.collect()}
+    assert set(m) == set(d)
+    assert all(m[k][0] == d[k][0] for k in m)  # identical ranks
+    assert all(abs(m[k][1] - d[k][1]) < 1e-9 for k in m)  # ADC to 1e-9
+
+    p = _plan(disk)
+    assert "ivfpq" in p
+    # search path reads only the index: the embeddings table appears
+    # solely for the 25-row query side (vec_id < 5 pushed down)
+    assert "dynamicpruning" in p or "PartitionFilters" in p
+    assert "CartesianProduct" not in p
