@@ -5072,59 +5072,52 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-pass shape (r05 rewrite): the chained join form scanned
     events SIX times in the executed plan (three stage frames, each
     referenced by the next stage AND its count). Instead, ONE scan
-    filters to the three step types, ONE shuffle collects each user's
-    (ts, type) events, and a sorted-array fold runs the funnel state
-    machine per user — t1 = first view, t2 = first click after t1,
-    t3 = first purchase after t2, identical semantics to the min-chain
-    (processing in ts order makes 'first X after Y' = 'min X ts > Y').
-    Per-user array size is bounded by events-per-user (session-scale),
-    and the three stage counts come from one aggregate over the fold
-    output. The oracle keeps the equivalent min-chain SQL."""
+    filters to the three step types and three chained per-user window
+    minima compute the stage times — t1 = min view ts, t2 = min click
+    ts > t1, t3 = min purchase ts > t2 — over a single user_id
+    partitioning (one exchange; Catalyst stacks the Window ops on the
+    same sort). No per-user arrays, so a pathological hot key (bot)
+    costs a wide partition, never task memory; the counts are one
+    map-side-combined aggregate over the per-user rows. The oracle
+    keeps the equivalent min-chain SQL."""
     e = _t(spark, sf_dir, "events")
-    evs = (
-        e.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
-            ).alias("evs")
-        )
+    w = Window.partitionBy("user_id")
+    ew = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "ts", "event_type")
+    d = ew.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     )
-    init = F.struct(
-        F.lit(None).cast("timestamp").alias("t1"),
-        F.lit(None).cast("timestamp").alias("t2"),
-        F.lit(None).cast("timestamp").alias("t3"),
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-
-    def step(acc, x):
-        take1 = acc["t1"].isNull() & (x["event_type"] == "view")
-        take2 = (
-            acc["t2"].isNull()
-            & acc["t1"].isNotNull()
-            & (x["event_type"] == "click")
-            & (x["ts"] > acc["t1"])
-        )
-        take3 = (
-            acc["t3"].isNull()
-            & acc["t2"].isNotNull()
-            & (x["event_type"] == "purchase")
-            & (x["ts"] > acc["t2"])
-        )
-        return F.struct(
-            F.when(take1, x["ts"]).otherwise(acc["t1"]).alias("t1"),
-            F.when(take2, x["ts"]).otherwise(acc["t2"]).alias("t2"),
-            F.when(take3, x["ts"]).otherwise(acc["t3"]).alias("t3"),
-        )
-
-    st = evs.select(F.aggregate("evs", init, step).alias("s"))
-    return st.agg(
-        F.sum(F.when(F.col("s.t1").isNotNull(), 1).otherwise(0))
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_view"),
-        F.sum(F.when(F.col("s.t2").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_click"),
-        F.sum(F.when(F.col("s.t3").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_purchase"),
     ).select(
