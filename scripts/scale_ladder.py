@@ -120,6 +120,22 @@ def materialize(spark, src: str, work: str, mult: int) -> str:
         l = l.unionByName(p)
     l.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
+    # events: id/user offsets per replica — per-user event structure
+    # (funnel order, sessions, distinct counts) is preserved within each
+    # replica and user spaces are disjoint across replicas
+    from bearysta_spark.tables import load_events
+
+    ev = load_events(spark, src)
+    eparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * OFFSET))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * OFFSET))
+        for k in range(mult)
+    ]
+    ee = eparts[0]
+    for p in eparts[1:]:
+        ee = ee.unionByName(p)
+    ee.write.mode("overwrite").parquet(f"{out}/events.parquet")
+
     open(marker, "w").write("ok")
     return out
 
