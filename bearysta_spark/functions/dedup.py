@@ -28,6 +28,65 @@ logger = logging.getLogger(__name__)
 #: Callers pass an explicit limit to tighten/loosen per deployment.
 BROADCAST_ROW_LIMIT = 2_000_000
 
+#: Cap on hot-key rows collected to the driver by the oversized-bucket/
+#: block backstops. The hot-key set is bounded by rows/max_size, but a
+#: degenerate templated corpus at 100 TB can still push that into the
+#: millions — past this cap the anti-join stays fully distributed
+#: (recomputing the size aggregate inside the plan) instead of
+#: round-tripping the keys through the driver.
+HOT_KEY_COLLECT_LIMIT = 100_000
+
+
+def _drop_hot_keys(
+    frame: DataFrame,
+    keys: list[str],
+    max_size: int,
+    what: str,
+    collect_limit: int = HOT_KEY_COLLECT_LIMIT,
+) -> DataFrame:
+    """Anti-join away key groups with more than max_size members.
+
+    Two regimes, chosen on a measured count (no silent caps — both log
+    what was dropped):
+
+    - few hot keys (≤ collect_limit): collect them in one job and
+      anti-join from a broadcast local frame — the returned plan does
+      not recompute the size aggregate and nothing stays cached.
+    - many hot keys: keep the anti-join distributed. The size aggregate
+      is recomputed inside the returned plan (one extra shuffle of the
+      key columns), which is the correct trade against collecting
+      millions of keys to the driver.
+    """
+    sizes = frame.groupBy(*keys).agg(F.count("*").alias("sz"))
+    hot = sizes.filter(F.col("sz") > max_size)
+    stats = hot.agg(
+        F.count("*").alias("n_keys"), F.sum("sz").alias("n_rows")
+    ).collect()[0]
+    if not stats["n_keys"]:
+        return frame
+    logger.warning(
+        "%s: dropping %d oversized key groups (>%d members, %d rows total)"
+        " — candidates inside them carry no locality signal",
+        what,
+        stats["n_keys"],
+        max_size,
+        stats["n_rows"],
+    )
+    if stats["n_keys"] <= collect_limit:
+        hot_local = frame.sparkSession.createDataFrame(
+            [tuple(r[c] for c in keys) for r in hot.select(*keys).collect()],
+            schema=frame.select(*keys).schema,
+        )
+        return frame.join(F.broadcast(hot_local), keys, "left_anti")
+    logger.warning(
+        "%s: %d hot keys exceed the driver collect cap %d; "
+        "keeping the anti-join distributed",
+        what,
+        stats["n_keys"],
+        collect_limit,
+    )
+    return frame.join(hot.select(*keys), keys, "left_anti")
+
 
 def _gated_broadcast(frame: DataFrame, n_rows: int, limit: int, what: str) -> DataFrame:
     """Broadcast `frame` only when its *measured* row count fits the
@@ -297,27 +356,14 @@ def cap_buckets(
 
     No silent caps: the dropped-bucket count and their total membership
     are logged. The oversized-key set is bounded by
-    rows/max_bucket_size, so it is collected driver-side in ONE job and
-    re-broadcast from a local frame for the anti-join — no cached
-    mid-plan frame pinning executor storage for the session (the
-    cache-share-then-never-unpersist pattern this replaces leaked).
+    rows/max_bucket_size; _drop_hot_keys collects it driver-side only
+    while it fits HOT_KEY_COLLECT_LIMIT (no cached mid-plan frame, no
+    unbounded driver round-trip) and otherwise keeps the anti-join
+    fully distributed.
     """
-    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
-    hot_rows = sizes.filter(F.col("sz") > max_bucket_size).collect()
-    if not hot_rows:
-        return buckets
-    logger.warning(
-        "cap_buckets: dropping %d oversized LSH buckets (>%d members, "
-        "%d rows total) — candidates inside them carry no locality signal",
-        len(hot_rows),
-        max_bucket_size,
-        sum(r["sz"] for r in hot_rows),
+    return _drop_hot_keys(
+        buckets, ["band", "bucket"], max_bucket_size, "cap_buckets"
     )
-    hot = buckets.sparkSession.createDataFrame(
-        [(r["band"], r["bucket"]) for r in hot_rows],
-        schema=buckets.select("band", "bucket").schema,
-    )
-    return buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
 
 def write_lsh_index(
@@ -920,25 +966,9 @@ def edit_distance_pairs(
         F.substring(text_col, 1, head_chars).alias("__head"),
     )
     if max_block_size is not None:
-        # oversized-block keys are few by construction (≤ rows /
-        # max_block_size): collect them in one job and anti-join from a
-        # local frame — no cached mid-plan frame left pinned in
-        # executor storage (same fix as cap_buckets)
-        sizes = k.groupBy(*keys).agg(F.count("*").alias("sz"))
-        hot_rows = sizes.filter(F.col("sz") > max_block_size).collect()
-        if hot_rows:
-            logger.warning(
-                "edit_distance_pairs: dropping %d oversized blocks (>%d "
-                "members, %d rows total)",
-                len(hot_rows),
-                max_block_size,
-                sum(r["sz"] for r in hot_rows),
-            )
-            hot = df.sparkSession.createDataFrame(
-                [tuple(r[c] for c in keys) for r in hot_rows],
-                schema=k.select(*keys).schema,
-            )
-            k = k.join(F.broadcast(hot), keys, "left_anti")
+        # bounded-collect / distributed-fallback backstop shared with
+        # cap_buckets (see _drop_hot_keys)
+        k = _drop_hot_keys(k, keys, max_block_size, "edit_distance_pairs")
     a, b = k.alias("a"), k.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in keys:

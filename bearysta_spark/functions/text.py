@@ -230,7 +230,10 @@ def bm25_scores(
     stats remain tiny broadcast frames. Returns
     (id_col, bm25, n_terms_hit).
     """
-    terms = list(terms)
+    # dedupe, order-preserving: each list entry becomes its own tf
+    # column below, so a repeated term would double its df (shrinking
+    # idf) and double-count its score contribution
+    terms = list(dict.fromkeys(terms))
     toks = docs.select(
         id_col,
         F.explode(

@@ -208,8 +208,11 @@ def stream_dedup_bloom(events: DataFrame) -> DataFrame:
     Semantics: AT-MOST-ONCE. A Bloom filter has no false negatives, so
     nothing is ever emitted twice (the exactly-once half that matters
     for downstream idempotence); false positives drop a genuinely-new
-    event with probability ~(1 - e^(-kn/m))^k — ~0.24% per event after
-    1,000 distinct ids per key at the shipped geometry. Size
+    event with probability ~(1 - e^(-kn/m))^k — at the shipped geometry
+    (m=8192, k=4) that is ~2.2% per event after 1,000 distinct ids per
+    key, and ~0.24% after 500; the drop rate is THE operational
+    parameter of this operator, so size m from the curve, not from the
+    state budget. Size
     BLOOM_DEDUP_NBITS to the expected per-key cardinality; keys are
     users, so the budget is per-user, not global. Bit-setting uses the
     same md5 double-hashing as the batch Bloom decontamination

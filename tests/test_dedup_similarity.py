@@ -309,6 +309,25 @@ def test_cap_buckets_incremental(spark):
     assert capped.count() == 0  # the only corpus bucket is degenerate → dropped
 
 
+def test_drop_hot_keys_distributed_fallback_same_result(spark):
+    # past HOT_KEY_COLLECT_LIMIT the anti-join must stay distributed
+    # (no driver round-trip) and return the identical surviving rows
+    rows = [(i, "band0", f"bucket{i % 3}") for i in range(30)]
+    buckets = spark.createDataFrame(rows, ["doc_id", "band", "bucket"])
+    collected = D._drop_hot_keys(buckets, ["band", "bucket"], 9, "t")
+    distributed = D._drop_hot_keys(
+        buckets, ["band", "bucket"], 9, "t", collect_limit=0
+    )
+    want = sorted(map(tuple, collected.collect()))
+    got = sorted(map(tuple, distributed.collect()))
+    assert want == got
+    assert len(got) == 0  # every bucket has 10 members > 9
+    survivors = D._drop_hot_keys(
+        buckets, ["band", "bucket"], 10, "t", collect_limit=0
+    )
+    assert survivors.count() == 30  # none over the cap -> untouched
+
+
 def test_pq_adc_approximates_exact_ip_ranking(spark, embeddings):
     # PQ-ADC top-k should overlap substantially with exact inner-product
     # top-k (fixed seeded codebooks — recall is modest but nonzero), and

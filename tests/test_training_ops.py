@@ -291,6 +291,19 @@ def test_bm25_scores_ranking(spark):
     assert out[1]["bm25"] > out[3]["bm25"]
 
 
+def test_bm25_duplicate_terms_collapse(spark):
+    # a repeated query term must not double its df or its contribution
+    from bearysta_spark.functions.text import bm25_scores
+
+    rows = [(1, "spark runs fast"), (2, "spark spark everywhere")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = sorted(map(tuple, bm25_scores(df, ["spark", "fast"]).collect()))
+    dup = sorted(
+        map(tuple, bm25_scores(df, ["spark", "fast", "spark"]).collect())
+    )
+    assert once == dup
+
+
 def test_hist_bins_merge_by_sum(spark, sf_dir):
     """Histogram sketches over disjoint slices merged by cnt-sum == the
     sketch over the union (the same mergeability as CMS cells)."""
