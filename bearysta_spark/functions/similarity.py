@@ -16,11 +16,25 @@ multi-probe (probe_hamming ≥ 1 flips signature bits).
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
+
+logger = logging.getLogger(__name__)
+
+#: Row budget for the EXACT all-pairs cosine verifier. N at the budget
+#: is ~5·10⁷ candidate pairs — the point past which an exact quadratic
+#: pass stops being the right tool and the caller should either raise
+#: (default) or route through the SemDeDup cell-bounded pair surface.
+#: Same discipline as dedup.BROADCAST_ROW_LIMIT: the r05 scale ladder
+#: measured the ungated kernel at 1.70 per-mult (the only super-linear
+#: query in the inventory); every other dangerous shape in this repo is
+#: gated on a measured size, so this one is too.
+EXACT_PAIRS_ROW_BUDGET = 10_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -256,8 +270,12 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 50_000,
+    row_budget: int = EXACT_PAIRS_ROW_BUDGET,
+    on_exceed: str = "raise",
+    route_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via distributed blocked BLAS.
+    """All-pairs cosine ≥ threshold via distributed blocked BLAS —
+    EXACT and therefore O(N²) by contract.
 
     Rows are hashed into ceil(N / block_rows) blocks by id; a tiny
     (bi ≤ bj) block-pair grid is broadcast and each side of the pair is
@@ -270,8 +288,21 @@ def cosine_near_dup_pairs(
     previous broadcast-the-corpus shape): memory per task is two
     block_rows×d panels (~2×300 MB at d=768 and the default block_rows),
     and shuffle volume is N×(nblocks+1) rows — the standard replication
-    cost of exact all-pairs. For approximate workloads prefer
-    lsh_topk/ivf_topk candidates with this kernel as the verifier.
+    cost of exact all-pairs.
+
+    Scale gate: the quadratic FLOP bill is measured, not argued — the
+    r05 10× ladder clocked this kernel at 1.70 per-mult, the only
+    super-linear shape in the repo — so the input row count (already
+    measured for the block grid) is checked against row_budget:
+
+    - ``on_exceed="raise"`` (default): fail loudly with a pointer to
+      the approximate operators (semantic_dedup / lsh_topk / ivf_topk)
+      instead of silently burning an N² pass at 100×.
+    - ``on_exceed="route"``: degrade to cell_cosine_pairs — the
+      SemDeDup cell-bounded pair surface (ΣN_c² ≈ N²/k) — with a
+      logged notice. Recall loss is cross-cell pairs only; exact recall
+      callers must raise row_budget explicitly, which keeps the
+      decision visible at the call site.
     """
     import math
 
@@ -279,6 +310,32 @@ def cosine_near_dup_pairs(
 
     spark = df.sparkSession
     n = df.count()
+    if n > row_budget:
+        if on_exceed == "route":
+            logger.warning(
+                "cosine_near_dup_pairs: %d rows exceeds the exact "
+                "all-pairs budget %d; routing through the SemDeDup "
+                "cell-bounded pair surface (cross-cell pairs are not "
+                "compared — raise row_budget for exact recall)",
+                n,
+                row_budget,
+            )
+            return cell_cosine_pairs(
+                df,
+                threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                centroids=route_centroids,
+                n_rows=n,
+            )
+        raise ValueError(
+            f"cosine_near_dup_pairs is exact all-pairs (O(N²)) and the "
+            f"input has {n} rows > row_budget={row_budget}. Use "
+            f"semantic_dedup / lsh_topk / ivf_topk for approximate "
+            f"workloads, pass on_exceed='route' to degrade to the "
+            f"cell-bounded SemDeDup pair surface, or raise row_budget "
+            f"to pay the quadratic bill explicitly."
+        )
     nblocks = max(1, math.ceil(n / block_rows))
     grid = spark.createDataFrame(
         [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
@@ -327,6 +384,90 @@ def cosine_near_dup_pairs(
         )
 
     return both.groupBy("bi", "bj").applyInPandas(
+        kernel, "id_a long, id_b long, sim double"
+    )
+
+
+def _sample_centroids(
+    df: DataFrame,
+    n_rows: int,
+    id_col: str,
+    vec_col: str,
+    cell_target: int = 4096,
+) -> list[list[float]]:
+    """Deterministic data-derived coarse quantizer for the routed pair
+    surface: take k = ceil(n / cell_target) rows by md5(id) order (a
+    distributed top-k — bounded collect of k vectors, never the corpus)
+    and unit-normalize them. Uniform hash order ≈ a uniform sample, so
+    expected cell population is ~cell_target; callers needing balanced
+    cells pass trained kmeans centroids instead (clustering.kmeans_fit).
+    """
+    import math
+
+    import numpy as np
+
+    k = max(2, math.ceil(n_rows / cell_target))
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    m = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return (m / norms).tolist()
+
+
+def cell_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs compared ONLY within coarse-quantizer
+    cells — the SemDeDup pair surface (see semantic_dedup) emitting the
+    pairs themselves instead of keep flags, so it can stand in for
+    cosine_near_dup_pairs when the exact row budget is blown.
+
+    Same 100 TB shape as semantic_dedup: cell assignment is one Arrow
+    dgemm scan, the quadratic surface is per-cell (ΣN_c² ≈ N²/k), one
+    dgemm per cell inside applyInPandas. Misses cross-cell pairs by
+    construction; near-dup pairs have cosine near 1 and land in the
+    same cell with high probability (the SemDeDup argument).
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = _sample_centroids(
+            df, n_rows if n_rows is not None else df.count(), id_col, vec_col
+        )
+
+    cell = assign_cells_arrow(centroids, 1)(F.col(vec_col))[0]
+    e = df.select(F.col(id_col), F.col(vec_col), cell.cast("int").alias("cell"))
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)[order]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ii < jj
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii].astype(np.int64),
+                "id_b": ids[jj].astype(np.int64),
+                "sim": sims[ii, jj] if len(ii) else np.array([], dtype=np.float64),
+            }
+        )
+
+    return e.groupBy("cell").applyInPandas(
         kernel, "id_a long, id_b long, sim double"
     )
 

@@ -217,6 +217,84 @@ def bpe_token_counts(
     )
 
 
+def check_well_formed_merges(
+    merges: tuple[tuple[str, str], ...]
+) -> None:
+    """Assert the merge table is well-formed: every multi-char part of a
+    merge was itself produced by an EARLIER merge (true by construction
+    for learned BPE tables — merges are recorded in the order they were
+    learned). This is the property that makes one-merge-at-a-time
+    leftmost application (the SQL oracle's recursion step) equivalent to
+    the batch merge-all-occurrences loop (bpe_len): merging one
+    occurrence of the min-rank pair only creates pairs involving the new
+    composite, which well-formedness guarantees have HIGHER rank, so the
+    min-rank pair is unchanged while occurrences remain and the leftmost
+    scan visits them in the same order as the batch sweep."""
+    produced: dict[str, int] = {}
+    for rank, (a, b) in enumerate(merges):
+        for part in (a, b):
+            if len(part) > 1 and produced.get(part, rank) >= rank:
+                raise ValueError(
+                    f"merge table not well-formed: part {part!r} of merge "
+                    f"#{rank} ({a!r},{b!r}) is not produced by an earlier "
+                    "merge — the SQL oracle's one-at-a-time recursion "
+                    "would diverge from the batch BPE loop"
+                )
+        produced.setdefault(a + b, rank)
+
+
+def bpe_oracle_ctes(
+    doc_table: str = "documents",
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> str:
+    """DuckDB CTE chain replaying bpe_token_counts exactly:
+    `occ(doc_id, word)` and `bpe(word, n_tokens)` for every distinct
+    word. The caller's WITH must be RECURSIVE.
+
+    The encode loop is replayed one merge at a time: each recursion step
+    finds the minimum-rank merge whose pair is adjacent in the word's
+    current symbol sequence (symbols space-delimited with sentinel
+    spaces, so `instr` matches exactly at symbol boundaries) and splices
+    the LEFTMOST occurrence. check_well_formed_merges proves this
+    equivalent to bpe_len's merge-all-occurrences batch loop; rows per
+    word are bounded by len(word) (every step removes one symbol). The
+    merge literal is generated from the same table the Spark kernel
+    uses, so the engines cannot drift."""
+    check_well_formed_merges(merges)
+    mvals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
+    )
+    return f"""
+    occ AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+      FROM {doc_table}
+    ), dw AS (SELECT DISTINCT word FROM occ),
+    merges(rank, a, b) AS (VALUES {mvals}),
+    bw AS (
+      SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+      FROM dw
+      UNION ALL
+      SELECT w.word,
+             substr(w.seq, 1, best.pos - 1) || ' ' || best.ab || ' ' ||
+             substr(w.seq, best.pos + best.patlen)
+      FROM bw w, LATERAL (
+        SELECT m.a || m.b AS ab,
+               instr(w.seq, ' ' || m.a || ' ' || m.b || ' ') AS pos,
+               length(m.a) + length(m.b) + 3 AS patlen
+        FROM merges m
+        WHERE instr(w.seq, ' ' || m.a || ' ' || m.b || ' ') > 0
+        ORDER BY m.rank LIMIT 1
+      ) best
+    ),
+    bpe AS (
+      SELECT word,
+             CAST(min(length(seq) - length(replace(seq, ' ', '')) - 1)
+                  AS INT) AS n_tokens
+      FROM bw GROUP BY word
+    )"""
+
+
 def wordpiece_oracle_ctes(doc_table: str = "documents") -> str:
     """DuckDB CTE chain replaying wordpiece_token_counts exactly:
     `occ(doc_id, word)`, and `wp(word, n_tokens)` for every distinct

@@ -2036,9 +2036,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup family): all-pairs cosine
     ≥ 0.3. At corpus scale this exact quadratic pass is replaced by the
     LSH bucketing in functions.similarity — kept exact here as the
-    verifiable baseline."""
+    verifiable baseline. Registered with on_exceed="route": past the
+    measured row budget the query degrades to the SemDeDup cell-bounded
+    pair surface (logged) instead of burning the quadratic bill."""
     e = _t(spark, sf_dir, "embeddings")
-    out = S.cosine_near_dup_pairs(e, threshold=0.3)
+    out = S.cosine_near_dup_pairs(e, threshold=0.3, on_exceed="route")
     return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
@@ -2077,11 +2079,15 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     application step (pairs alone don't say what to drop; clusters with
     a canonical member do). Component id = min vec_id = the vector a
     dedup pass keeps. Oracle replays pairs + recursive transitive
-    closure in SQL."""
+    closure in SQL. Registered with on_exceed="route": past the exact
+    row budget (similarity.EXACT_PAIRS_ROW_BUDGET) the pair stage
+    degrades to the SemDeDup cell-bounded surface with a logged notice
+    — the r06 fix for the one measured super-linear query (1.70
+    per-mult at 10×, SCALE_LADDER_r05)."""
     from bearysta_spark.functions.components import connected_components
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = S.cosine_near_dup_pairs(e, threshold=0.3)
+    pairs = S.cosine_near_dup_pairs(e, threshold=0.3, on_exceed="route")
     labels = connected_components(pairs, "id_a", "id_b")
     return labels.groupBy(F.col("component").cast("long").alias("component")).agg(
         F.count("*").cast("long").alias("size")
@@ -6994,16 +7000,36 @@ def hashed_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_token_stats")
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+    WITH RECURSIVE {TK.bpe_oracle_ctes()},
+    doc AS (
+      SELECT o.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(bpe.n_tokens) AS BIGINT) AS n_sub
+      FROM occ o JOIN bpe USING (word) GROUP BY o.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc.n_words) AS BIGINT) AS word_tokens,
+           CAST(sum(doc.n_sub) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(doc.n_sub) AS DOUBLE) / sum(doc.n_words), 6)
+             AS tokens_per_word
+    FROM doc JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token accounting under real rank-ordered BPE
     (functions/tokenize.py:bpe_token_counts — the GPT-2-style
     apply-merges-in-rank-order encoder over the embedded merge table).
-    The encode loop's data-dependent iteration is not SQL-expressible,
-    so this query takes the driver's rows-only check; correctness is
-    carried by the differential pytest against an independent
-    priority-queue BPE implementation plus the shared distinct-word
-    machinery that subword_token_stats oracle-verifies end-to-end."""
+    Oracle-paired since r06: the merge loop is replayed in DuckDB as a
+    recursive CTE that applies ONE leftmost min-rank merge per step —
+    provably equivalent to the batch loop because the merge table is
+    well-formed (tokenize.check_well_formed_merges) — closing the last
+    rows-only gap in the inventory. The differential pytest against an
+    independent priority-queue BPE remains as defense in depth."""
     d = _t(spark, sf_dir, "documents")
     counts = TK.bpe_token_counts(d)
     return (
@@ -7045,7 +7071,7 @@ _DRIVER_PRIORITY = [
     "dedup_increment_persisted",
     "subword_token_stats",
     "token_budget_subword",
-    "bpe_token_stats",  # no oracle (BPE loop not SQL-expressible): rows-only
+    "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "semantic_dedup_stats",
     "hashed_vector_stats",
     "knn_ivf_pq_persisted",

@@ -160,6 +160,48 @@ def test_cosine_near_dup_blocked_matches_single_block(spark, embeddings):
     assert len(single) > 0
 
 
+def test_cosine_exact_gate_raises_over_budget(spark, embeddings):
+    # the exact all-pairs kernel must refuse (loudly) past row_budget
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact all-pairs"):
+        S.cosine_near_dup_pairs(embeddings, 0.3, row_budget=10)
+
+
+def test_cosine_exact_gate_routes_to_cell_surface(spark, embeddings):
+    # on_exceed="route": degrade to the SemDeDup cell-bounded pair
+    # surface — a SUBSET of the exact pairs (cross-cell pairs missed),
+    # with identical sims on the pairs it keeps
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_near_dup_pairs(embeddings, 0.3).collect()
+    }
+    routed = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_near_dup_pairs(
+            embeddings, 0.3, row_budget=10, on_exceed="route"
+        ).collect()
+    }
+    assert set(routed) <= set(exact)
+    assert len(routed) > 0  # planted near-dups survive the cell split
+    for k, v in routed.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
+def test_cell_cosine_pairs_single_cell_is_exact(spark, embeddings):
+    # with one centroid every vector lands in the same cell -> the
+    # routed surface degenerates to exact all-pairs
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    one_cell = S.cell_cosine_pairs(
+        embeddings, 0.3, centroids=[[1.0] + [0.0] * (dim - 1)]
+    )
+    exact = sorted(
+        (r["id_a"], r["id_b"]) for r in S.cosine_near_dup_pairs(embeddings, 0.3).collect()
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in one_cell.collect())
+    assert got == exact
+
+
 def test_simhash_near_pairs_matches_bruteforce(spark):
     # pigeonhole banding must find exactly the pairs a cross join finds
     rows = [(i, f"common tokens alpha beta gamma delta {i % 3}") for i in range(30)]

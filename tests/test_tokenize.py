@@ -155,3 +155,44 @@ def test_wordpiece_oracle_sql_matches_python_on_random_words():
     got = dict(con.sql(sql).fetchall())
     want = {w: TK.wordpiece_len(w) for w in words}
     assert got == want
+
+
+def test_bpe_oracle_sql_matches_python_on_random_words():
+    # the one-merge-per-step recursive CTE (r06 — closed the last
+    # rows-only oracle gap) must agree with the batch BPE loop on
+    # arbitrary words; equivalence is guaranteed by merge-table
+    # well-formedness, which the generator asserts
+    import duckdb
+
+    rnd = __import__("random").Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    words = sorted(
+        {
+            "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 18)))
+            for _ in range(400)
+        }
+        | {"the", "there", "thereabouts", "ingestion", "a", "0",
+           "thethethe", "estimation", "corresponding", "restlessness"}
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(words))
+    )
+    sql = (
+        "WITH RECURSIVE "
+        + TK.bpe_oracle_ctes()
+        + " SELECT word, n_tokens FROM bpe"
+    )
+    got = dict(con.sql(sql).fetchall())
+    want = {w: TK.bpe_len(w) for w in words}
+    assert got == want
+
+
+def test_merge_table_well_formedness_guard():
+    import pytest
+
+    TK.check_well_formed_merges(TK.BPE_MERGES)  # shipped table is sound
+    with pytest.raises(ValueError, match="not well-formed"):
+        # "th" used before any merge produces it
+        TK.check_well_formed_merges((("th", "e"), ("t", "h")))
