@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bearysta_spark.cachescope import scoped_cache
 from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT, _gated_broadcast, _spread
 
 
@@ -146,7 +147,7 @@ def contaminated_docs_bloom(
     exact join)."""
     # cached: materialized once by the Bloom build, reused by the exact
     # verify join (otherwise the benchmark gram explode runs twice)
-    bench_grams = gram_rows(bench, n, text_col, ()).distinct().cache()
+    bench_grams = scoped_cache(gram_rows(bench, n, text_col, ()).distinct())
     words = build_gram_bloom(bench_grams, nbits, num_hashes)
     n_grams = bench_grams.count()
     arr, cond = bloom_contains(words, nbits, num_hashes)

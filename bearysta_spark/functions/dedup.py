@@ -20,6 +20,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bearysta_spark.cachescope import scoped_cache
+
 logger = logging.getLogger(__name__)
 
 #: Row budget for broadcasting mid-plan frames that Catalyst cannot size.
@@ -548,10 +550,12 @@ def minhash_dedup_verified(
     sh = shingle_df(df, text_col, id_col, k)
     if max_df_frac is not None:
         sh = drop_boilerplate_shingles(sh, df.count(), id_col, max_df_frac)
-    sh = sh.cache()
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh
-    ).cache()
+    sh = scoped_cache(sh)
+    cand = scoped_cache(
+        minhash_lsh_pairs(
+            df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh
+        )
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sz_a = sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"})
     # measured sizes for the broadcast gates: candidate pair count, and
@@ -826,7 +830,7 @@ def prefix_jaccard_join(
     from pyspark.sql import Window
 
     p, q = threshold
-    sh = word_ngram_shingles(df, text_col, id_col, ngram).cache()
+    sh = scoped_cache(word_ngram_shingles(df, text_col, id_col, ngram))
     # total (doc, shingle) rows == sum of the per-doc array lengths the
     # verify side would broadcast — the honest payload measure for the
     # broadcast gate (doc count alone under-counts array-weighted rows)

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bearysta_spark.cachescope import scoped_cache
+
 TOKEN_PATTERN = "[A-Za-z0-9]+"
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -251,8 +253,8 @@ def bm25_scores(
                 for i, t in enumerate(terms)
             ],
         )
-        .cache()
     )
+    per_doc = scoped_cache(per_doc)
     dlen = per_doc.select(id_col, "dl")
     stats = docs.agg(F.count("*").cast("long").alias("n_docs"))
     avgdl = per_doc.agg(

@@ -174,8 +174,13 @@ def _token_counts(
     broadcast_row_limit: int,
 ) -> DataFrame:
     occ = word_occurrences(df, text_col, id_col)
-    counts = _distinct_word_counts(occ, counter, label).cache()
-    n_vocab = counts.count()
+    # gate the broadcast on the DISTINCT-word count measured JVM-side —
+    # same number as counts.count() but it never runs the Python kernel
+    # and needs no cache, so the kernel executes exactly once, lazily,
+    # inside the returned plan (r06: replaced a cache that outlived the
+    # helper)
+    n_vocab = occ.select("word").distinct().count()
+    counts = _distinct_word_counts(occ, counter, label)
     joined = occ.join(
         _gated_broadcast(counts, n_vocab, broadcast_row_limit, label), "word"
     )

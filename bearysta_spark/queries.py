@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bearysta_spark.cachescope import scoped_cache
 from bearysta_spark.functions import dedup as D
 from bearysta_spark.functions import similarity as S
 from bearysta_spark.functions import sketch as K
@@ -102,9 +103,42 @@ _IVF_CENTROIDS = _make_ivf_centroids()
 _PQ_CODEBOOKS = S.make_pq_codebooks(dim=64, m=8, ksub=8, seed=11)
 
 
-def query(name: str, oracle: str | None = None):
+def _finalize(df: DataFrame) -> DataFrame:
+    """Terminal action for a cache-scoped query: materialize the
+    (report-grain, bounded-rows by construction) result, release every
+    scope-registered cache, and hand back a local-relation DataFrame
+    with the identical schema. This is what makes the one-shot query
+    contract real — no pinned block survives the helper's return, even
+    in a long-lived multi-query session (r05 VERDICT finding #3)."""
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    spark = df.sparkSession
+    rows = df.collect()
+    release_scoped_caches()
+    return spark.createDataFrame(rows, df.schema)
+
+
+#: Raw (lazy) query callables, always registered — plan tests inspect
+#: these; QUERIES holds the finalizing wrapper for cache-scoped queries.
+RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str, oracle: str | None = None, scoped_caches: bool = False):
+    """Register a query. scoped_caches=True marks helpers that pin
+    caches (directly or via library calls) — their registered form runs
+    through _finalize so the caches are released at return."""
+
     def deco(fn):
-        QUERIES[name] = fn
+        RAW_QUERIES[name] = fn
+        if scoped_caches:
+            def _wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+                return _finalize(_fn(spark, sf_dir))
+
+            _wrapped.__name__ = fn.__name__
+            _wrapped.__doc__ = fn.__doc__
+            QUERIES[name] = _wrapped
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
@@ -1486,6 +1520,7 @@ def percent_diff_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "expected_fill_combos",
+    scoped_caches=True,
     oracle="""
     WITH agg AS (
       SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
@@ -1508,10 +1543,9 @@ def expected_fill_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # cache: expected_fill reads the aggregate three times (group keys,
     # present combos, union) — without this the fact scan runs 3×
-    agg = (
+    agg = scoped_cache(
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.count("*").cast("long").alias("n"))
-        .cache()
     )
     return expected_fill(
         agg, [("F",), ("O",), ("X",)], series=["l_linestatus"], axis=["l_returnflag"]
@@ -2753,6 +2787,7 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bloom_decontam",
+    scoped_caches=True,
     oracle="""
     WITH arrs AS (
       SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS a
@@ -3681,6 +3716,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "near_dup_pairs",
+    scoped_caches=True,
     oracle=f"""
     WITH {_SH_CTE}, {_CAND_CTE},
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -3712,6 +3748,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "jaccard_band_histogram",
+    scoped_caches=True,
     oracle=f"""
     WITH {_SH_CTE}, {_CAND_CTE},
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -3817,6 +3854,7 @@ _CMS_BUCKET_SQL = (
 
 @query(
     "cms_heavy_hitters",
+    scoped_caches=True,
     oracle=f"""
     WITH exact AS (
       SELECT user_id, CAST(user_id AS VARCHAR) AS us, count(*) AS n
@@ -3861,7 +3899,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the per-user aggregate (rows ∝ users, ≪ events; the frame
     # the sketch is built from) feeds both the sketch build and the
     # top-20 ranking — uncached each replayed the events scan
-    exact = ev.groupBy("user_id").agg(F.count("*").alias("n")).cache()
+    exact = scoped_cache(ev.groupBy("user_id").agg(F.count("*").alias("n")))
     cells = K.cms_cells(exact, "user_id", weight_col="n", d=_CMS_D, w=_CMS_W)
     top = (
         exact.withColumn(
@@ -3963,6 +4001,7 @@ def dedup_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
+    scoped_caches=True,
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES}
     SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
@@ -3989,6 +4028,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters_star",
+    scoped_caches=True,
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES}
     SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
@@ -4015,6 +4055,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_canonical_corpus",
+    scoped_caches=True,
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
     comp AS (
@@ -4056,6 +4097,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_pairs",
+    scoped_caches=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -4102,10 +4144,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # cache: both sides of the banded self-join read the sketch frame,
     # and the 60-sum sketch aggregation is the expensive part
-    sk = (
+    sk = scoped_cache(
         D.simhash_sketches(d, oracle_safe=True)
         .join(d.select("doc_id", "source"), "doc_id")
-        .cache()
     )
     return D.simhash_near_pairs(
         sk, max_hamming=6, block_cols=("source",)
@@ -4568,6 +4609,7 @@ def token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "unigram_surprise",
+    scoped_caches=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
@@ -4613,7 +4655,7 @@ def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the vocab-bounded frequency table is referenced by the
     # total AND the per-doc join — uncached each replays the token
     # explode (measured: an extra full corpus scan)
-    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt")).cache()
+    freq = scoped_cache(toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt")))
     total = freq.agg(F.sum("cnt").cast("long").alias("total"))
     perdoc = (
         toks.join(F.broadcast(freq), "tok")
@@ -4647,6 +4689,7 @@ def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "source_tv_divergence",
+    scoped_caches=True,
     oracle="""
     WITH toks AS (
       SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
@@ -4699,10 +4742,9 @@ def source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the (source × vocab)-bounded frequency table feeds three
     # subtrees (corpus freq, per-source totals, the terms join) —
     # uncached, each replayed the corpus token explode (4 scans total)
-    sfreq = (
+    sfreq = scoped_cache(
         toks.groupBy("source", "tok")
         .agg(F.count("*").cast("long").alias("scnt"))
-        .cache()
     )
     cfreq = sfreq.groupBy("tok").agg(F.sum("scnt").cast("long").alias("ccnt"))
     stot = sfreq.groupBy("source").agg(F.sum("scnt").cast("long").alias("stotal"))
@@ -4976,6 +5018,7 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "prefix_jaccard_pairs",
+    scoped_caches=True,
     oracle="""
     WITH words AS (
       SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents
@@ -5361,6 +5404,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "user_cohort_retention",
+    scoped_caches=True,
     oracle="""
     WITH firstwk AS (
       SELECT user_id, min(date_trunc('week', ts)) AS cohort
@@ -5416,10 +5460,9 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("week_offset"),
         "user_id",
     )
-    m = (
+    m = scoped_cache(
         j.groupBy("cohort", "week_offset")
         .agg(F.count("*").cast("long").alias("n_active"))
-        .cache()
     )
     base = m.filter(F.col("week_offset") == 0).select(
         "cohort", F.col("n_active").alias("cohort_size")
@@ -5440,6 +5483,7 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_lift_pairs",
+    scoped_caches=True,
     oracle="""
     WITH toks AS (
       SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w FROM documents
@@ -5488,7 +5532,7 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("w").alias("tok"))
     # cached: vocab-bounded, referenced by the total and both marginal
     # sides of the lift join (3 replays of the unigram explode uncached)
-    ucnt = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c")).cache()
+    ucnt = scoped_cache(uni.groupBy("tok").agg(F.count("*").cast("long").alias("c")))
     utot = ucnt.agg(F.sum("c").cast("long").alias("t"))
     bi = toks.filter(F.size("w") >= 2).select(
         F.explode(
@@ -5503,10 +5547,9 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p.tok_a", "p.tok_b")
     # cached: bigram-vocabulary-bounded (≪ corpus, Heaps-ish),
     # referenced by the bigram total and the scored join
-    bcnt = (
+    bcnt = scoped_cache(
         bi.groupBy("tok_a", "tok_b")
         .agg(F.count("*").cast("long").alias("c_ab"))
-        .cache()
     )
     btot = bcnt.agg(F.sum("c_ab").cast("long").alias("tb"))
     ca = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
@@ -5844,6 +5887,7 @@ _BM25_TERMS = ("spark", "window", "hash", "stream")
 
 @query(
     "bm25_keyword_topk",
+    scoped_caches=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
@@ -5982,6 +6026,7 @@ def _leak_split_case() -> str:
 
 @query(
     "split_leakage_check",
+    scoped_caches=True,
     oracle=f"""
     WITH split AS (
       SELECT doc_id, source, text, {_leak_split_case()} AS split
@@ -6042,6 +6087,7 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_purity",
+    scoped_caches=True,
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
     comp AS (
@@ -6333,6 +6379,7 @@ ORACLE["hll_weekly_rollup"] = (
 
 @query(
     "dedup_method_agreement",
+    scoped_caches=True,
     oracle=f"""
     WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
     fz_k AS (
@@ -6429,6 +6476,7 @@ def _hll_est_expr(prefix: str) -> str:
 
 @query(
     "hll_audience_overlap",
+    scoped_caches=True,
     oracle=f"""
     WITH r AS (
       SELECT event_type,
@@ -6497,7 +6545,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is <= 256 rows per type, so caching it is bounded and cuts
     # this side to ONE events scan (the exact baseline scans on its own
     # by design).
-    regs = K.hll_registers(e, "user_id", ("event_type",)).cache()
+    regs = scoped_cache(K.hll_registers(e, "user_id", ("event_type",)))
     est_t = K.hll_estimate(regs, ("event_type",)).select(
         "event_type", "est_hll"
     )
@@ -6563,6 +6611,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hll_overlap_sketch",
+    scoped_caches=True,
     oracle=f"""
     WITH r AS (
       SELECT event_type,
@@ -6622,7 +6671,7 @@ def hll_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: three subtrees reference the register frame (estimates,
     # pair grid, union merge) — uncached each replays the events scan;
     # the frame is <= 256 rows per type, so the cache is bounded
-    regs = K.hll_registers(e, "user_id", ("event_type",)).cache()
+    regs = scoped_cache(K.hll_registers(e, "user_id", ("event_type",)))
     est_t = K.hll_estimate(regs, ("event_type",)).select("event_type", "est_hll")
     types = regs.select("event_type").distinct()
     pairs = (
@@ -6671,6 +6720,7 @@ def hll_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_method_agreement",
+    scoped_caches=True,
     oracle=f"""
     WITH {_SH_CTE}, {_CAND_CTE},
     toks AS (
@@ -6729,10 +6779,9 @@ def sketch_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b"),
         F.lit(True).alias("in_lsh"),
     )
-    sk = (
+    sk = scoped_cache(
         D.simhash_sketches(d, oracle_safe=True)
         .join(d.select("doc_id", "source"), "doc_id")
-        .cache()
     )
     shp = D.simhash_near_pairs(sk, max_hamming=6, block_cols=("source",)).select(
         F.col("id_a").cast("long").alias("id_a"),

@@ -10,13 +10,15 @@ import io
 
 import pytest
 
-from bearysta_spark.queries import QUERIES
+from bearysta_spark.queries import QUERIES, RAW_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+    # RAW_QUERIES: the lazy pipeline (cache-scoped queries register a
+    # finalizing wrapper in QUERIES whose returned plan is a local scan)
+    df = RAW_QUERIES[name](spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -349,7 +351,7 @@ SCAN_BUDGETS = [
 
 @pytest.mark.parametrize("name,table,budget", SCAN_BUDGETS)
 def test_executed_plan_scan_budget(spark, name, table, budget):
-    df = QUERIES[name](spark, SF)
+    df = RAW_QUERIES[name](spark, SF)
     df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
     import contextlib
     import io
@@ -362,3 +364,52 @@ def test_executed_plan_scan_budget(spark, name, table, budget):
         assert p.count(f"{table}.parquet") <= budget
     finally:
         spark.catalog.clearCache()
+        from bearysta_spark.cachescope import release_scoped_caches
+
+        release_scoped_caches()
+
+
+# Every registered query that pins a cache (directly or via a library
+# call: LSH verify shingles, BM25 per-doc norms, Bloom bench grams, HLL
+# registers, ...). The dedup_clusters* family is excluded: connected
+# components localCheckpoints its frontier by design (documented
+# lineage-truncation, not a cache leak).
+CACHE_SCOPED_SAMPLE = [
+    "expected_fill_combos",
+    "cms_heavy_hitters",
+    "simhash_pairs",
+    "unigram_surprise",
+    "source_tv_divergence",
+    "user_cohort_retention",
+    "token_lift_pairs",
+    "hll_audience_overlap",
+    "hll_overlap_sketch",
+    "sketch_method_agreement",
+    "near_dup_pairs",
+    "jaccard_band_histogram",
+    "prefix_jaccard_pairs",
+    "bm25_keyword_topk",
+    "bloom_decontam",
+    "split_leakage_check",
+]
+
+
+def _persistent_rdd_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+@pytest.mark.parametrize("name", CACHE_SCOPED_SAMPLE)
+def test_cache_scoped_query_leaves_no_pinned_blocks(spark, name):
+    # the one-shot query contract (r06): no cached frame survives a
+    # registered helper's return — asserted straight off the
+    # getPersistentRDDs map, per the r05 VERDICT's done-criterion
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    spark.catalog.clearCache()
+    release_scoped_caches()
+    before = _persistent_rdd_ids(spark)
+    df = QUERIES[name](spark, SF)
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, f"{name} left pinned RDDs {leaked} after return"
+    assert df.count() >= 0  # result survives as a local relation
