@@ -328,7 +328,7 @@ def hashed_doc_vectors(
     for sparse dot products via a (dim)-key equi-join. At 100 TB the
     shuffle carries ≤ dim rows per document regardless of text bytes.
     """
-    from bearysta_spark.functions.tokenize import WORD_PATTERN, word_occurrences
+    from bearysta_spark.functions.tokenize import word_occurrences
 
     occ = word_occurrences(df, text_col, id_col)
     h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
@@ -345,4 +345,55 @@ def hashed_doc_vectors(
         .groupBy(id_col, "dim")
         .agg(F.sum("__s").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
+    )
+
+
+def classifier_margins(
+    df: DataFrame,
+    weights_milli: list[int],
+    bias_milli: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality classifier over feature-hashed document vectors —
+    the fastText-style quality-filter shape (a trained linear model over
+    hashed bag-of-words features) that real pretraining pipelines run to
+    keep/drop documents at scale.
+
+    Weights are FIXED-POINT milli-units (len(weights_milli) defines the
+    hashed dimension): the margin is an exact integer sum
+    Σ weight(id,dim)·w[dim] + bias — order-independent across partial
+    aggregations and replayable by any engine, where a double dot
+    product drifts in the last ulp with partition layout. Real model
+    weights quantize to 1e-3 without moving the decision boundary
+    meaningfully; callers needing full floats can divide downstream.
+    Returns (id, margin_milli long, score double) with
+    score = sigmoid(margin_milli/1000) for human-readable ranking (the
+    sigmoid is monotone, so thresholding margin_milli ≥ τ·1000 is the
+    engine-exact form of score ≥ sigmoid(τ)).
+
+    100 TB shape: hashed_doc_vectors is one explode + map-side-combined
+    sum (≤ dim rows per doc); the weight lookup is element_at on a
+    broadcast literal array — no join, no Python — and the margin is a
+    second map-side-combinable sum on the doc key. Documents with no
+    [a-z0-9] token have no sparse rows and are absent from the output
+    (score them sigmoid(bias) via a left join if required).
+    """
+    dim = len(weights_milli)
+    vec = hashed_doc_vectors(df, dim, text_col, id_col)
+    w = F.element_at(
+        F.lit([int(x) for x in weights_milli]), F.col("dim") + 1
+    ).cast("long")
+    per = vec.groupBy(id_col).agg(
+        (F.sum(F.col("weight") * w) + F.lit(int(bias_milli)))
+        .cast("long")
+        .alias("margin_milli")
+    )
+    return per.select(
+        id_col,
+        "margin_milli",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.col("margin_milli").cast("double") / 1000.0))
+        ).alias("score"),
     )

@@ -87,46 +87,115 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 _BPE_RANKS = {pair: i for i, pair in enumerate(BPE_MERGES)}
 
 
-def wordpiece_len(word: str) -> int:
-    """Token count of one word under greedy longest-match: at each
-    position take the longest vocabulary entry prefixing the remainder
-    (single-char fallback always matches). Pure function — the Spark
-    kernel, the tests, and the SQL-oracle generator all agree on it."""
-    n = 0
-    p = 0
-    wl = len(word)
-    while p < wl:
-        ln = min(_WP_MAXLEN, wl - p)
-        while ln > 1 and word[p : p + ln] not in _WP_SET:
-            ln -= 1
-        p += ln
-        n += 1
-    return n
+def make_wordpiece_len(vocab: tuple[str, ...]):
+    """Build a greedy longest-match token counter over an arbitrary
+    subword vocabulary (see wordpiece_len for the walk). A character
+    absent from the vocabulary still advances the walk and bills one
+    token (the OOV-char rule), so the counter is total over any word."""
+    vs = frozenset(vocab)
+    maxlen = max((len(t) for t in vocab), default=1)
+
+    def wp_len(word: str) -> int:
+        n = 0
+        p = 0
+        wl = len(word)
+        while p < wl:
+            ln = min(maxlen, wl - p)
+            while ln > 1 and word[p : p + ln] not in vs:
+                ln -= 1
+            p += ln
+            n += 1
+        return n
+
+    return wp_len
 
 
-def bpe_len(word: str) -> int:
-    """Token count of one word under rank-ordered BPE: repeatedly merge
-    the adjacent pair with the lowest merge rank (all its occurrences,
-    left to right) until no listed pair remains — the standard BPE
-    encode loop."""
-    syms = list(word)
-    while len(syms) > 1:
-        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
-        ranked = [( _BPE_RANKS[p], p) for p in pairs if p in _BPE_RANKS]
-        if not ranked:
-            break
-        _, (a, b) = min(ranked)
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
-    return len(syms)
+def make_bpe_len(merges: tuple[tuple[str, str], ...]):
+    """Build a rank-ordered BPE token counter over an arbitrary merge
+    table (see bpe_len for the loop). The table must be well-formed
+    (check_well_formed_merges) for the SQL oracle to replay it."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def b_len(word: str) -> int:
+        syms = list(word)
+        while len(syms) > 1:
+            pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+            ranked = [(ranks[p], p) for p in pairs if p in ranks]
+            if not ranked:
+                break
+            _, (a, b) = min(ranked)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    return b_len
+
+
+#: Token count of one word under greedy longest-match over the embedded
+#: default vocabulary: at each position take the longest vocabulary
+#: entry prefixing the remainder (single-char fallback always matches).
+#: Pure function — the Spark kernel, the tests, and the SQL-oracle
+#: generator all agree on it.
+wordpiece_len = make_wordpiece_len(WORDPIECE_VOCAB)
+
+#: Token count of one word under rank-ordered BPE over the embedded
+#: default merge table: repeatedly merge the adjacent pair with the
+#: lowest merge rank (all its occurrences, left to right) until no
+#: listed pair remains — the standard BPE encode loop.
+bpe_len = make_bpe_len(BPE_MERGES)
+
+
+def load_gpt2_merges(path: str) -> tuple[tuple[str, str], ...]:
+    """Load a GPT-2-format merges.txt: one ``a b`` pair per line in
+    learned (= rank) order; a ``#version``-style header line and blanks
+    are skipped. Learned tables are well-formed by construction, but it
+    is asserted anyway (check_well_formed_merges) because the SQL
+    oracle's equivalence proof depends on it."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, _, b = line.partition(" ")
+            merges.append((a, b))
+    table = tuple(merges)
+    check_well_formed_merges(table)
+    return table
+
+
+def load_vocab_file(path: str) -> tuple[str, ...]:
+    """Load a subword vocabulary from a public-format file: either a
+    GPT-2-style ``vocab.json`` (token→id dict, or a plain JSON list) or
+    a BERT-style ``vocab.txt`` (one token per line). BERT's ``##``
+    continuation prefix is stripped (this module's greedy matcher is
+    position-independent) and bracketed special tokens ([CLS], <pad>,
+    ...) are dropped."""
+    import json
+
+    if path.endswith(".json"):
+        with open(path, encoding="utf-8") as f:
+            obj = json.load(f)
+        toks = list(obj.keys()) if isinstance(obj, dict) else list(obj)
+    else:
+        with open(path, encoding="utf-8") as f:
+            toks = [line.rstrip("\n") for line in f if line.strip()]
+    out = []
+    for t in toks:
+        if (t.startswith("[") and t.endswith("]")) or (
+            t.startswith("<") and t.endswith(">")
+        ):
+            continue
+        out.append(t[2:] if t.startswith("##") else t)
+    return tuple(tok for tok in out if tok)
 
 
 def word_occurrences(
@@ -195,12 +264,24 @@ def wordpiece_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+    vocab: tuple[str, ...] | str | None = None,
 ) -> DataFrame:
     """Per-document greedy longest-match subword counts:
     (id, n_words, n_subword_tokens). SQL-oracle-replayable — see
-    wordpiece_oracle_ctes."""
+    wordpiece_oracle_ctes.
+
+    ``vocab``: None (embedded default), a token tuple, or a path to a
+    public-format vocabulary file (vocab.txt / vocab.json —
+    load_vocab_file), so the token budget can be billed against a real
+    model's tokenizer; the same table feeds the oracle generator."""
+    if vocab is None:
+        counter = wordpiece_len
+    else:
+        if isinstance(vocab, str):
+            vocab = load_vocab_file(vocab)
+        counter = make_wordpiece_len(vocab)
     return _token_counts(
-        df, wordpiece_len, "wordpiece_token_counts vocabulary",
+        df, counter, "wordpiece_token_counts vocabulary",
         text_col, id_col, broadcast_row_limit,
     )
 
@@ -210,14 +291,27 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+    merges: tuple[tuple[str, str], ...] | str | None = None,
 ) -> DataFrame:
     """Per-document rank-ordered BPE subword counts:
-    (id, n_words, n_subword_tokens). The encode loop is not
-    SQL-expressible (data-dependent merge iteration), so queries built
-    on this get the driver's rows-only check plus the differential
-    pytest against an independent priority-queue implementation."""
+    (id, n_words, n_subword_tokens). SQL-oracle-replayable — see
+    bpe_oracle_ctes (one-leftmost-merge-per-step recursion, equivalent
+    for well-formed merge tables).
+
+    ``merges``: None (embedded default), a pair-tuple table, or a path
+    to a GPT-2-format merges.txt (load_gpt2_merges), so the token
+    budget can be billed against a real model's tokenizer; the same
+    table feeds the oracle generator."""
+    if merges is None:
+        counter = bpe_len
+    else:
+        if isinstance(merges, str):
+            merges = load_gpt2_merges(merges)
+        else:
+            check_well_formed_merges(merges)
+        counter = make_bpe_len(merges)
     return _token_counts(
-        df, bpe_len, "bpe_token_counts vocabulary",
+        df, counter, "bpe_token_counts vocabulary",
         text_col, id_col, broadcast_row_limit,
     )
 
@@ -264,11 +358,25 @@ def bpe_oracle_ctes(
     equivalent to bpe_len's merge-all-occurrences batch loop; rows per
     word are bounded by len(word) (every step removes one symbol). The
     merge literal is generated from the same table the Spark kernel
-    uses, so the engines cannot drift."""
+    uses, so the engines cannot drift. Merge pairs containing
+    characters outside [a-z0-9] can never be adjacent inside a
+    WORD_PATTERN word, so they are dropped from the SQL literal (rank
+    order preserved) — external model tables stay quotable as SQL
+    without changing the replay."""
+    import re as _re
+
     check_well_formed_merges(merges)
+    alnum = _re.compile(r"^[a-z0-9]+$")
     mvals = ", ".join(
-        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
+        f"({i}, '{a}', '{b}')"
+        for i, (a, b) in enumerate(merges)
+        if alnum.match(a) and alnum.match(b)
     )
+    if not mvals:
+        # every merge filtered out: emit one unmatchable row (multi-char
+        # parts never occur as base symbols and no composite can form
+        # from this single merge) so the VALUES list stays valid SQL
+        mvals = "(0, 'zzunmatchable', 'zzunmatchable')"
     return f"""
     occ AS (
       SELECT doc_id,
@@ -300,16 +408,27 @@ def bpe_oracle_ctes(
     )"""
 
 
-def wordpiece_oracle_ctes(doc_table: str = "documents") -> str:
+def wordpiece_oracle_ctes(
+    doc_table: str = "documents",
+    vocab: tuple[str, ...] = WORDPIECE_VOCAB,
+) -> str:
     """DuckDB CTE chain replaying wordpiece_token_counts exactly:
     `occ(doc_id, word)`, and `wp(word, n_tokens)` for every distinct
     word. The greedy walk is a precomputed longest-match step table
     (positions via list comprehension + unnest — DuckDB has no lateral
     generate_series) plus a recursive position walk; the caller's WITH
     must be RECURSIVE. The vocabulary literal is generated from the
-    same WORDPIECE_VOCAB constant the Spark kernel uses, so the two
-    engines cannot drift."""
-    vocab = ", ".join(f"'{t}'" for t in WORDPIECE_VOCAB)
+    same table the Spark kernel uses (embedded default or an external
+    vocab file's tokens), so the two engines cannot drift."""
+    import re as _re
+
+    alnum = _re.compile(r"^[a-z0-9]+$")
+    # tokens outside [a-z0-9]+ can never prefix a WORD_PATTERN word —
+    # dropping them keeps external vocab files quotable as SQL without
+    # changing the replay (single chars stay total via the OOV rule)
+    vocab = ", ".join(f"'{t}'" for t in vocab if alnum.match(t))
+    if not vocab:
+        vocab = "'zzunmatchable'"  # keep the list literal typed/valid
     return f"""
     occ AS (
       SELECT doc_id,
@@ -318,10 +437,15 @@ def wordpiece_oracle_ctes(doc_table: str = "documents") -> str:
     ), dw AS (SELECT DISTINCT word FROM occ),
     vocab AS (SELECT unnest([{vocab}]) AS tok),
     steps AS (
-      SELECT q.word, q.p, max(len(v.tok)) AS step
+      -- longest vocab match at each position; no match -> step 1 (the
+      -- OOV-char rule: a character absent from the vocabulary still
+      -- advances the walk and bills one token), so the walk is total
+      -- for EXTERNAL vocabularies too, not just the embedded one that
+      -- contains every single character
+      SELECT q.word, q.p, greatest(coalesce(max(len(v.tok)), 1), 1) AS step
       FROM (SELECT word, unnest([i for i in range(1, len(word) + 1)]) AS p
             FROM dw) q
-      JOIN vocab v ON substr(q.word, q.p, len(v.tok)) = v.tok
+      LEFT JOIN vocab v ON substr(q.word, q.p, len(v.tok)) = v.tok
       GROUP BY q.word, q.p
     ),
     walk AS (

@@ -146,6 +146,41 @@ def query(name: str, oracle: str | None = None, scoped_caches: bool = False):
     return deco
 
 
+def _index_root(sf_dir: str) -> str:
+    """Filesystem root for the persisted-index queries (LSH band-bucket
+    index, IVF-PQ inverted lists). Resolution order:
+
+    1. $BEARYSTA_INDEX_DIR — the explicit deployment knob;
+    2. <corpus dir>/_indexes when the corpus dir is writable — the
+       cluster-valid default: the index lives next to the data it
+       indexes, on the same shared filesystem every executor can read;
+    3. a pid-keyed path under the node-local tempdir — last resort for
+       local runs against read-only fixtures (NOT valid on a real
+       cluster, where /tmp is per-node; the library functions take an
+       explicit path, this fallback only serves the registered demo
+       shape).
+    """
+    import os
+    import stat
+    import tempfile
+
+    root = os.environ.get("BEARYSTA_INDEX_DIR")
+    if root:
+        return root
+    # owner-write MODE BIT, not os.access: processes running as root
+    # pass os.access(W_OK) even on dirs deliberately marked read-only
+    # (e.g. immutable benchmark fixtures, mode r-xr-xr-x)
+    try:
+        writable = bool(os.stat(sf_dir).st_mode & stat.S_IWUSR)
+    except OSError:
+        writable = False
+    if writable:
+        return os.path.join(sf_dir, "_indexes")
+    return os.path.join(
+        tempfile.gettempdir(), f"bearysta_indexes_{os.getpid()}"
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the driver may hand us a default-config session: 200 shuffle
@@ -3978,16 +4013,15 @@ def dedup_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-side cost of a daily batch is an index file scan,
     independent of corpus text bytes. Same candidates as the inline
     variant by construction (identical signatures/banding), which the
-    shared oracle verifies."""
+    shared oracle verifies. Index location comes from _index_root —
+    co-located with the corpus (or $BEARYSTA_INDEX_DIR) so the
+    registered shape is the cluster-valid one."""
     import os
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
     inc = d.filter(F.col("doc_id") % 10 == 0)
     corp = d.filter(F.col("doc_id") % 10 != 0)
-    path = os.path.join(
-        tempfile.gettempdir(), f"bearysta_lsh_index_{os.getpid()}"
-    )
+    path = os.path.join(_index_root(sf_dir), "lsh_index")
     D.write_lsh_index(corp, path, num_hashes=12, bands=3)
     idx = spark.read.parquet(path)
     out = D.incremental_lsh_pairs(
@@ -6237,15 +6271,15 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     at index-build time, and the broadcast probe list dynamically
     prunes the cell partitions before any byte is scanned. Identical
     math (same centroid/codebook literals, DECIMAL-rounded ADC) to the
-    in-memory composition, which the shared oracle verifies."""
+    in-memory composition, which the shared oracle verifies. Index
+    location comes from _index_root — co-located with the corpus (or
+    $BEARYSTA_INDEX_DIR) so the registered shape is the cluster-valid
+    one."""
     import os
-    import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    path = os.path.join(
-        tempfile.gettempdir(), f"bearysta_ivfpq_index_{os.getpid()}"
-    )
+    path = os.path.join(_index_root(sf_dir), "ivfpq_index")
     S.write_ivfpq_index(e, _IVF_CENTROIDS, _PQ_CODEBOOKS, path)
     idx = spark.read.parquet(path)
     out = S.ivf_pq_topk_from_index(
@@ -7046,6 +7080,90 @@ def hashed_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs("weight")).cast("long").alias("max_abs"),
         )
         .orderBy("dim")
+    )
+
+
+def _clf_weights_milli() -> list[int]:
+    # deterministic embedded weights (Knuth multiplicative hash per
+    # dimension), milli-units in [-1000, 1000] — a stand-in for a
+    # trained fastText-style linear model's quantized weights
+    return [((d * 2654435761 + 12345) % 2001) - 1000 for d in range(64)]
+
+
+_CLF_W_SQL = ", ".join(
+    f"({d}, {w})" for d, w in enumerate(_clf_weights_milli())
+)
+
+
+@query(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 15))::BIGINT % 64 AS INT) AS dim,
+             CASE WHEN ('0x' || substr(md5(word), 16, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM occ
+    ), vec AS (
+      SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+      FROM hv GROUP BY doc_id, dim HAVING sum(s) != 0
+    ),
+    w(dim, wm) AS (VALUES {_CLF_W_SQL}),
+    m AS (
+      SELECT vec.doc_id,
+             CAST(sum(vec.weight * w.wm) AS BIGINT) AS margin_milli
+      FROM vec JOIN w USING (dim) GROUP BY vec.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN m.margin_milli >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN m.margin_milli >= 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS keep_frac,
+           round(CAST(sum(m.margin_milli) AS DOUBLE) / (1000.0 * count(*)), 6)
+             AS mean_margin
+    FROM m JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality filtering: a linear classifier over the
+    feature-hashed document vectors (functions.text.classifier_margins
+    on hashed_doc_vectors — the hashing trick means no vocabulary table
+    ships with the model, just `dim` weights), thresholded at margin ≥ 0
+    to keep/drop documents, reported per source. This is the shape real
+    pretraining pipelines run between dedup and sampling: score every
+    document with a broadcast weight vector, keep above the cut.
+
+    Engine-exactness: weights are fixed-point milli-units so the margin
+    is an integer sum — order-independent and replayed verbatim by the
+    DuckDB oracle (same md5 dimension/sign arithmetic as
+    hashed_vector_stats, same weight literal from the shared constant).
+    100 TB shape: one token explode, two map-side-combinable integer
+    sums, an element_at lookup on a literal array — no join for the
+    weights, no Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    m = T.classifier_margins(d, _clf_weights_milli())
+    kept = F.when(F.col("margin_milli") >= 0, 1).otherwise(0)
+    return (
+        m.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(F.sum(kept).cast("double") / F.count("*"), 6).alias(
+                "keep_frac"
+            ),
+            F.round(
+                F.sum("margin_milli").cast("double")
+                / (F.lit(1000.0) * F.count("*")),
+                6,
+            ).alias("mean_margin"),
+        )
+        .orderBy("source")
     )
 
 

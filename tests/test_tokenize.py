@@ -189,6 +189,76 @@ def test_bpe_oracle_sql_matches_python_on_random_words():
     assert got == want
 
 
+def test_external_tokenizer_files_public_formats(spark, tmp_path):
+    # GPT-2-format merges.txt and BERT-style vocab.txt drive the same
+    # count machinery and the same oracle generators as the embedded
+    # tables (r06 — token budgets billable against a real model)
+    import duckdb
+
+    merges_path = tmp_path / "merges.txt"
+    merges_path.write_text(
+        "#version: 0.2\ns t\nst o\na b\n\nab c\n", encoding="utf-8"
+    )
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text(
+        "[CLS]\n[SEP]\nsto\n##ab\nqu\n<pad>\n", encoding="utf-8"
+    )
+
+    loaded = TK.load_gpt2_merges(str(merges_path))
+    assert loaded == (("s", "t"), ("st", "o"), ("a", "b"), ("ab", "c"))
+    assert TK.load_vocab_file(str(vocab_path)) == ("sto", "ab", "qu")
+
+    docs = spark.createDataFrame(
+        [(1, "stop abcde quick stout"), (2, "ababab stosto")],
+        ["doc_id", "text"],
+    )
+    bl = TK.make_bpe_len(loaded)
+    got_bpe = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in TK.bpe_token_counts(docs, merges=str(merges_path)).collect()
+    }
+    want_bpe = {
+        1: bl("stop") + bl("abcde") + bl("quick") + bl("stout"),
+        2: bl("ababab") + bl("stosto"),
+    }
+    assert got_bpe == want_bpe
+
+    wl = TK.make_wordpiece_len(TK.load_vocab_file(str(vocab_path)))
+    got_wp = {
+        r["doc_id"]: r["n_subword_tokens"]
+        for r in TK.wordpiece_token_counts(
+            docs, vocab=str(vocab_path)
+        ).collect()
+    }
+    want_wp = {
+        1: wl("stop") + wl("abcde") + wl("quick") + wl("stout"),
+        2: wl("ababab") + wl("stosto"),
+    }
+    assert got_wp == want_wp
+
+    # oracle generators accept the same external tables
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "INSERT INTO documents VALUES (1, 'stop abcde quick stout'),"
+        " (2, 'ababab stosto')"
+    )
+    got = dict(con.sql(
+        "WITH RECURSIVE "
+        + TK.bpe_oracle_ctes(merges=loaded)
+        + " SELECT word, n_tokens FROM bpe"
+    ).fetchall())
+    for w in ("stop", "abcde", "quick", "stout", "ababab", "stosto"):
+        assert got[w] == bl(w)
+    got = dict(con.sql(
+        "WITH RECURSIVE "
+        + TK.wordpiece_oracle_ctes(vocab=TK.load_vocab_file(str(vocab_path)))
+        + " SELECT word, n_tokens FROM wp"
+    ).fetchall())
+    for w in ("stop", "abcde", "quick", "stout", "ababab", "stosto"):
+        assert got[w] == wl(w)
+
+
 def test_merge_table_well_formedness_guard():
     import pytest
 

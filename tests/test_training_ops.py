@@ -304,6 +304,44 @@ def test_bm25_duplicate_terms_collapse(spark):
     assert once == dup
 
 
+def test_index_root_resolution_order(tmp_path, monkeypatch):
+    from bearysta_spark.queries import _index_root
+
+    monkeypatch.setenv("BEARYSTA_INDEX_DIR", "/data/indexes")
+    assert _index_root(str(tmp_path)) == "/data/indexes"
+    monkeypatch.delenv("BEARYSTA_INDEX_DIR")
+    # writable corpus dir -> co-located _indexes (the cluster shape)
+    assert _index_root(str(tmp_path)) == str(tmp_path / "_indexes")
+    # read-only fixture dir -> node-local temp fallback, never under it
+    assert not _index_root("/root/testdata/sf0.001").startswith(
+        "/root/testdata"
+    )
+
+
+def test_classifier_margins_fixed_point_exact(spark):
+    # margin must be the exact integer dot product of the hashed sparse
+    # vector with the milli-unit weights; empty docs have no sparse rows
+    import math
+
+    from bearysta_spark.functions.text import (
+        classifier_margins,
+        hashed_doc_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "???")], ["doc_id", "text"]
+    )
+    w = [100] * 64  # uniform 0.1 weight: margin = 100 * sum(weights)
+    out = {r["doc_id"]: r for r in classifier_margins(docs, w).collect()}
+    expect = 100 * sum(
+        r["weight"] for r in hashed_doc_vectors(docs, 64).collect()
+        if r["doc_id"] == 1
+    )
+    assert out[1]["margin_milli"] == expect
+    assert 2 not in out  # no [a-z0-9] token -> absent from sparse surface
+    assert abs(out[1]["score"] - 1 / (1 + math.exp(-expect / 1000))) < 1e-12
+
+
 def test_hist_bins_merge_by_sum(spark, sf_dir):
     """Histogram sketches over disjoint slices merged by cnt-sum == the
     sketch over the union (the same mergeability as CMS cells)."""
