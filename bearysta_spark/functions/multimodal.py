@@ -489,3 +489,530 @@ def image_dimensions(
             )
 
     return df.select(id_col, payload_col).mapInPandas(gen, IMAGE_DIMS_SCHEMA)
+
+
+# -- Perceptual image hashing (dHash/aHash) + near-dup pairing --------------
+#
+# A training-data pipeline needs image dedup as much as text dedup: the
+# same crawl yields the same photo re-encoded, resized, or
+# re-compressed thousands of times. The standard cheap detector is a
+# perceptual hash — grayscale, box-resample to a tiny grid, emit
+# gradient (dHash) or mean-threshold (aHash) bits — followed by a
+# hamming-distance pair join. The decode step here is ZERO-DEP for
+# PNG and GIF (zlib inflate + filter reconstruction; LZW), PIL-gated
+# for JPEG and everything else, mirroring the decode-backend policy at
+# the top of this module.
+
+GRAY_R, GRAY_G, GRAY_B = 299, 587, 114  # ITU-R BT.601 luma, milli-units
+
+
+def png_encode_gray(pixels, width: int, height: int) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (zlib + stdlib only): one IDAT,
+    filter type 0 on every row. Companion to _png_decode_gray for
+    round-trip tests and synthetic-corpus generation."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * width : (y + 1) * width])
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_gray(b: bytes):
+    """Zero-dep PNG decode to (width, height, grayscale bytes): 8-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), all five row filters, non-interlaced. Anything else (16
+    bit, interlace) raises NotImplementedError with the PIL pointer —
+    same actionable-guard style as the other decoders here."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    depth = ctype = interlace = None
+    palette = b""
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            palette = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace}: only "
+            "8-bit non-interlaced gray/RGB/palette/alpha supported "
+            "zero-dep; install Pillow for the rest"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (row[i] + row[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    gray = bytearray(width * height)
+    for i in range(width * height):
+        if ctype == 0:
+            gray[i] = out[i]
+        elif ctype == 4:
+            gray[i] = out[2 * i]
+        elif ctype == 3:
+            pi = out[i] * 3
+            r, g, bl = palette[pi], palette[pi + 1], palette[pi + 2]
+            gray[i] = (GRAY_R * r + GRAY_G * g + GRAY_B * bl) // 1000
+        else:  # 2 or 6
+            o = i * nch
+            gray[i] = (
+                GRAY_R * out[o] + GRAY_G * out[o + 1] + GRAY_B * out[o + 2]
+            ) // 1000
+    return width, height, gray
+
+
+def _gif_decode_gray(b: bytes):
+    """Zero-dep GIF87a/89a decode of the FIRST image to (width, height,
+    grayscale bytes): LZW decompression, global or local color table,
+    non-interlaced only (interlaced raises with the PIL pointer)."""
+    if b[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    gct = b""
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            width = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            height = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF: install Pillow or deinterlace upstream"
+                )
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, width * height)
+            gray = bytearray(width * height)
+            for i, px in enumerate(idx[: width * height]):
+                pi = px * 3
+                gray[i] = (
+                    GRAY_R * table[pi]
+                    + GRAY_G * table[pi + 1]
+                    + GRAY_B * table[pi + 2]
+                ) // 1000
+            return width, height, gray
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF without image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the table, EOI ends the stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                next_code = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + [prev[0]]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def decode_gray(payload: bytes):
+    """(width, height, grayscale bytes) for a PNG or GIF payload with no
+    imaging dependency; any other container falls back to Pillow when
+    importable and raises NotImplementedError otherwise."""
+    payload = bytes(payload or b"")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode_gray(payload)
+    if payload[:4] == b"GIF8":
+        return _gif_decode_gray(payload)
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "non-PNG/GIF payload needs Pillow for decode (container "
+            f"magic: {payload[:4]!r})"
+        )
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return img.width, img.height, bytearray(img.tobytes())
+
+
+def box_resample_gray(gray, width: int, height: int, out_w: int, out_h: int):
+    """Integer box-filter downsample: output cell (r, c) is the floor
+    mean of its source rectangle (floor-boundary partition of the
+    image). Exact — no floats — so both engines of a differential test
+    agree bit-for-bit; when width/height are exact multiples the blocks
+    are uniform tiles and the mean of a constant tile is its value."""
+    out = []
+    for r in range(out_h):
+        y0, y1 = r * height // out_h, max((r + 1) * height // out_h, r * height // out_h + 1)
+        for c in range(out_w):
+            x0, x1 = c * width // out_w, max((c + 1) * width // out_w, c * width // out_w + 1)
+            s = 0
+            for y in range(y0, y1):
+                base = y * width
+                for x in range(x0, x1):
+                    s += gray[base + x]
+            out.append(s // ((y1 - y0) * (x1 - x0)))
+    return out
+
+
+def dhash_bytes(payload: bytes) -> list[int]:
+    """64-bit dHash as 8 per-row bytes: decode → grayscale → box-resample
+    to 9×8 → bit (r, c) = 1 iff p(r,c) < p(r,c+1), byte r packs its 8
+    column bits LSB-first. Returned as 8 small ints (not one int64) so
+    banding, XOR and bit_count stay sign-free and engine-portable."""
+    w, h, gray = decode_gray(payload)
+    px = box_resample_gray(gray, w, h, 9, 8)
+    out = []
+    for r in range(8):
+        v = 0
+        for c in range(8):
+            if px[r * 9 + c] < px[r * 9 + c + 1]:
+                v |= 1 << c
+        out.append(v)
+    return out
+
+
+def ahash_bytes(payload: bytes) -> list[int]:
+    """64-bit aHash (mean threshold) as 8 per-row bytes over an 8×8
+    box-resample: bit = 1 iff pixel > floor-mean of the 64 cells."""
+    w, h, gray = decode_gray(payload)
+    px = box_resample_gray(gray, w, h, 8, 8)
+    mean = sum(px) // 64
+    out = []
+    for r in range(8):
+        v = 0
+        for c in range(8):
+            if px[r * 8 + c] > mean:
+                v |= 1 << c
+        out.append(v)
+    return out
+
+
+PHASH_SCHEMA = "doc_id long, hash_bytes array<int>"
+
+
+def dhash_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    kind: str = "dhash",
+) -> DataFrame:
+    """(id, hash_bytes[8]) per image payload — the Arrow-batched scan
+    stage of image dedup. Payload bytes move through Python once, in
+    columnar batches, and never survive into the output (the shuffle
+    carries 8 small ints per image, not media bytes). Undecodable
+    payloads yield NULL hash_bytes (filter, don't fail) — same policy
+    as image_dimensions."""
+    fn = dhash_bytes if kind == "dhash" else ahash_bytes
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    hb = fn(bytes(payload or b""))
+                except (NotImplementedError, ValueError, IndexError):
+                    hb = None
+                rows.append((int(i), hb))
+            yield pd.DataFrame(rows, columns=[id_col, "hash_bytes"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, PHASH_SCHEMA)
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    bytes_col: str = "hash_bytes",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs: hamming(hash_a, hash_b) ≤ max_hamming via
+    the Manku/Google simhash banding over the 8 hash bytes: a pair
+    within hamming ≤ 6 differs in at most 6 of the 8 byte-blocks, so at
+    least TWO blocks agree — the equi-join on the C(8,2)=28 composite
+    (block-pair, 16-bit value) keys is a lossless candidate generator
+    for max_hamming ≤ 6 (asserted). Single-byte banding (8 keys × 256
+    values) would also be lossless, but 256 buckets per band degenerate
+    as the corpus grows — measured at sf0.1 it produced 3.0M candidates
+    where the 16-bit pair keys produce 388k for the identical final
+    pairs. Verification XORs the full byte arrays with bit_count — pure
+    codegen, no Python. max_bucket_size drops degenerate keys (flat
+    images all hash alike) via the bounded-collect/distributed-fallback
+    backstop shared with the text dedup path.
+
+    100 TB shape: candidates are key-bucket mates only (the quadratic
+    surface is per-bucket, over 28×65536 buckets); the verify join
+    carries ids + 8 ints; the image bytes were left behind at the
+    dhash_rows scan."""
+    from itertools import combinations
+
+    from bearysta_spark.cachescope import scoped_cache
+    from bearysta_spark.functions.dedup import _drop_hot_keys
+
+    if max_hamming > 6:
+        raise ValueError(
+            "pigeonhole over C(8,2) block pairs is exact only for ≤ 6"
+        )
+    # scoped cache (see cachescope): the hash frame feeds the key
+    # explode and both verify sides — uncached, the upstream decode
+    # kernels would replay once per reference
+    h = scoped_cache(hashes.filter(F.col(bytes_col).isNotNull()))
+    keys = h.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        (
+                            F.col(bytes_col)[i]
+                            + F.lit(256) * F.col(bytes_col)[j]
+                        ).alias("kv"),
+                    )
+                    for k, (i, j) in enumerate(combinations(range(8), 2))
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, "p.bk", "p.kv")
+    if max_bucket_size is not None:
+        keys = _drop_hot_keys(
+            keys, ["bk", "kv"], max_bucket_size, "phash_near_pairs"
+        )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), ["bk", "kv"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(F.col(id_col).alias("id_a"), F.col(bytes_col).alias("__ha"))
+    hb = h.select(F.col(id_col).alias("id_b"), F.col(bytes_col).alias("__hb"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    "__ha", "__hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+SYNTH_PNG_SCHEMA = "doc_id long, payload binary"
+
+
+def synthesize_gray_pngs(
+    df: DataFrame,
+    px_col: str = "px",
+    id_col: str = "doc_id",
+    grid_w: int = 9,
+    grid_h: int = 8,
+    scale: int = 4,
+) -> DataFrame:
+    """Render a per-row integer pixel grid (array of grid_w*grid_h cell
+    values 0-255) into REAL grayscale PNG payloads, each cell tiled to a
+    scale×scale block — the deterministic image-corpus generator for the
+    image-dedup pipeline's tests and oracle queries. Because a box
+    resample of a uniform tile returns the cell value exactly
+    (box_resample_gray), hashes computed from these payloads equal
+    hashes computed from the raw grids, so an engine with no image
+    stack (the SQL oracle) can replay the whole pipeline while Spark
+    exercises the real encode → decode → resample path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = grid_w * scale, grid_h * scale
+        for pdf in batches:
+            rows = []
+            for i, cells in zip(pdf[id_col], pdf[px_col]):
+                buf = bytearray(w * h)
+                for r in range(h):
+                    base = (r // scale) * grid_w
+                    for c in range(w):
+                        buf[r * w + c] = int(cells[base + c // scale]) & 0xFF
+                rows.append((int(i), png_encode_gray(buf, w, h)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col, px_col).mapInPandas(gen, SYNTH_PNG_SCHEMA)
+
+
+def charcount_grid_pngs(
+    df: DataFrame,
+    letters: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Deterministic synthetic image corpus from text in ONE Arrow
+    kernel: cell (r, c) of a 9×8 grid holds count(letters[c + 9*(r%2)])
+    within quarter r//2 of the lowercased text (mod 256), rendered as a
+    scale-tiled grayscale PNG via png_encode_gray. len(letters) must be
+    18 (two 9-letter groups per quarter).
+
+    This fuses what a 72-expression JVM projection computed at 3.8 s for
+    5k docs into one Counter pass per quarter per doc (~1 s): each
+    length-replace expression rescanned the text, the Counter scans it
+    once. The cell definition is replayed verbatim by the image_phash
+    oracle SQL, so the fusion is correctness-neutral by construction."""
+    if len(letters) != 18:
+        raise ValueError("letters must supply 2 groups of 9")
+    from bearysta_spark.functions.dedup import _spread
+
+    # rebalance ahead of the per-doc Python work: the documents table
+    # often arrives as one input split, which would pin the whole
+    # Counter+encode pass to a single core (same rationale as
+    # dedup.shingle_rows)
+    df = _spread(df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        w, h = 9 * scale, 8 * scale
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                n = len(t)
+                counts = [
+                    Counter(t[q * n // 4 : (q + 1) * n // 4]) for q in range(4)
+                ]
+                grid = [
+                    counts[r // 2][letters[c + 9 * (r % 2)]] % 256
+                    for r in range(8)
+                    for c in range(9)
+                ]
+                buf = bytearray(w * h)
+                for y in range(h):
+                    base = (y // scale) * 9
+                    for x in range(w):
+                        buf[y * w + x] = grid[base + x // scale]
+                rows.append((int(i), png_encode_gray(buf, w, h)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(gen, SYNTH_PNG_SCHEMA)

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "semantic_dedup_stats",
     "hashed_vector_stats",
     "knn_ivf_pq_persisted",
+    "quality_classifier_filter",
+    "image_phash_pairs",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

@@ -1037,3 +1037,228 @@ def test_stream_dedup_bloom_at_most_once_and_bounded_state(spark, sf_dir):
         pos = _bloom_positions(eid, BLOOM_DEDUP_NBITS, 4)
         assert pos == _bloom_positions(eid, BLOOM_DEDUP_NBITS, 4)
         assert all(0 <= p < BLOOM_DEDUP_NBITS for p in pos)
+
+
+# -- Perceptual hashing: zero-dep decode + dHash + pairing (r06) ------------
+
+
+def _png_with_filters(pixels, width, height, nch, ctype, filters, palette=b""):
+    """Test-side PNG builder applying an explicit filter type per row —
+    the FORWARD filter direction, written independently of the decoder's
+    reconstruction loop so the two implementations check each other."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    stride = width * nch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = bytes(pixels[y * stride : (y + 1) * stride])
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(stride):
+            a = row[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                enc = row[i]
+            elif f == 1:
+                enc = row[i] - a
+            elif f == 2:
+                enc = row[i] - b
+            elif f == 3:
+                enc = row[i] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc = row[i] - pred
+            raw.append(enc & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette:
+        body += chunk(b"PLTE", palette)
+    return body + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_and_all_filters():
+    import random
+
+    rnd = random.Random(11)
+    w, h = 13, 9
+    px = [rnd.randrange(256) for _ in range(w * h)]
+    # encoder (filter 0 only) round-trips
+    w2, h2, gray = MM._png_decode_gray(MM.png_encode_gray(px, w, h))
+    assert (w2, h2, list(gray)) == (w, h, px)
+    # every filter type reconstructs (gray, one filter per row, cycled)
+    w2, h2, gray = MM._png_decode_gray(
+        _png_with_filters(px, w, h, 1, 0, [0, 1, 2, 3, 4])
+    )
+    assert list(gray) == px
+    # RGB and RGBA reduce via the BT.601 integer luma
+    rgb = [rnd.randrange(256) for _ in range(w * h * 3)]
+    _, _, gray = MM._png_decode_gray(
+        _png_with_filters(rgb, w, h, 3, 2, [4, 3, 2, 1, 0])
+    )
+    want = [
+        (299 * rgb[3 * i] + 587 * rgb[3 * i + 1] + 114 * rgb[3 * i + 2]) // 1000
+        for i in range(w * h)
+    ]
+    assert list(gray) == want
+    rgba = [rnd.randrange(256) for _ in range(w * h * 4)]
+    _, _, gray = MM._png_decode_gray(
+        _png_with_filters(rgba, w, h, 4, 6, [1, 4])
+    )
+    want = [
+        (299 * rgba[4 * i] + 587 * rgba[4 * i + 1] + 114 * rgba[4 * i + 2]) // 1000
+        for i in range(w * h)
+    ]
+    assert list(gray) == want
+    # palette indexes map through PLTE then luma
+    pal = bytes(rnd.randrange(256) for _ in range(256 * 3))
+    idx = [rnd.randrange(256) for _ in range(w * h)]
+    _, _, gray = MM._png_decode_gray(
+        _png_with_filters(idx, w, h, 1, 3, [0, 2], palette=pal)
+    )
+    want = [
+        (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2]) // 1000
+        for i in idx
+    ]
+    assert list(gray) == want
+
+
+def _gif_encode_gray(pixels, width, height):
+    """Test-side minimal GIF89a writer: 256-entry grayscale palette and
+    the classic 'uncompressed' LZW trick (CLEAR emitted before the code
+    table would outgrow 9 bits, every pixel a literal code)."""
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    for v in range(256):
+        out += bytes([v, v, v])
+    out += b"\x2c" + b"\x00" * 4
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no LCT, not interlaced
+    out += b"\x08"  # LZW min code size
+    codes = []
+    for i, v in enumerate(pixels):
+        if i % 250 == 0:
+            codes.append(256)  # CLEAR
+        codes.append(v)
+    codes.append(257)  # EOI
+    acc = nbits = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_lzw():
+    import random
+
+    rnd = random.Random(5)
+    w, h = 21, 17
+    px = [rnd.randrange(256) for _ in range(w * h)]
+    w2, h2, gray = MM._gif_decode_gray(_gif_encode_gray(px, w, h))
+    # grayscale palette entry v has luma (299v+587v+114v)//1000 == v
+    assert (w2, h2, list(gray)) == (w, h, px)
+    # decode_gray dispatches on magic for both containers
+    assert MM.decode_gray(_gif_encode_gray(px, w, h))[2] == gray
+
+
+def test_dhash_properties():
+    # uniform tiles: resample is exact, so the hash equals the hash of
+    # the raw grid; a gradient row yields all-ones bytes
+    grid = [c * 7 for r in range(8) for c in range(9)]
+    buf = bytearray(36 * 32)
+    for r in range(32):
+        for c in range(36):
+            buf[r * 36 + c] = grid[(r // 4) * 9 + c // 4]
+    assert MM.dhash_bytes(MM.png_encode_gray(buf, 36, 32)) == [255] * 8
+    # near-identical images land at tiny hamming
+    buf2 = bytearray(buf)
+    buf2[0] = (buf2[0] + 2) % 256
+    a = MM.dhash_bytes(MM.png_encode_gray(buf, 36, 32))
+    b = MM.dhash_bytes(MM.png_encode_gray(bytes(buf2), 36, 32))
+    assert sum(bin(x ^ y).count("1") for x, y in zip(a, b)) <= 1
+
+
+def test_phash_near_pairs_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(42)
+    base = [rnd.randrange(256) for _ in range(8)]
+    rows = []
+    for i in range(40):
+        hb = list(base)
+        for _ in range(rnd.randrange(0, 12)):  # 0-11 bit flips
+            pos = rnd.randrange(64)
+            hb[pos // 8] ^= 1 << (pos % 8)
+        rows.append((i, hb))
+    df = spark.createDataFrame(rows, "doc_id long, hash_bytes array<int>")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.phash_near_pairs(df, max_hamming=6).collect()
+    )
+    want = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = sum(
+                bin(a ^ b).count("1") for a, b in zip(rows[i][1], rows[j][1])
+            )
+            if d <= 6:
+                want.append((i, j, d))
+    assert got == sorted(want)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        MM.phash_near_pairs(df, max_hamming=7)
+
+
+def test_synthesized_pngs_hash_like_their_grids(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.randrange(256) for _ in range(72)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, px array<int>")
+    payloads = MM.synthesize_gray_pngs(df, scale=4)
+    hashed = {
+        r["doc_id"]: r["hash_bytes"]
+        for r in MM.dhash_rows(payloads).collect()
+    }
+    for i, grid in rows:
+        want = []
+        for r in range(8):
+            v = 0
+            for c in range(8):
+                if grid[r * 9 + c] < grid[r * 9 + c + 1]:
+                    v |= 1 << c
+            want.append(v)
+        assert list(hashed[i]) == want, f"grid {i}"
+
+
+def test_dhash_rows_null_on_undecodable(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r["hash_bytes"] for r in MM.dhash_rows(df).collect()}
+    assert out == {1: None, 2: None}
