@@ -1016,3 +1016,114 @@ def charcount_grid_pngs(
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return df.select(id_col, text_col).mapInPandas(gen, SYNTH_PNG_SCHEMA)
+
+
+def phash_keys(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "hash_bytes",
+) -> DataFrame:
+    """(id, bk, kv, hash_bytes) rows: the C(8,2)=28 block-pair keys of
+    each 8-byte perceptual hash (see phash_near_pairs for the pigeonhole
+    guarantee). hash_bytes rides along so an index built from these rows
+    is self-contained: the probe verifies hamming from the index rows
+    alone and never re-reads (or re-decodes) a corpus image."""
+    from itertools import combinations
+
+    return hashes.filter(F.col(bytes_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(bytes_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        (
+                            F.col(bytes_col)[i]
+                            + F.lit(256) * F.col(bytes_col)[j]
+                        ).alias("kv"),
+                    )
+                    for k, (i, j) in enumerate(combinations(range(8), 2))
+                ]
+            )
+        ).alias("p"),
+    ).select(id_col, "p.bk", "p.kv", bytes_col)
+
+
+def write_phash_index(
+    hashes: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    bytes_col: str = "hash_bytes",
+) -> DataFrame:
+    """Persist the corpus perceptual-hash index — the image-side twin of
+    dedup.write_lsh_index: a production pipeline decodes + hashes each
+    corpus image ONCE (dhash_rows), writes these (id, bk, kv,
+    hash_bytes) rows, and every daily increment joins the FILES — the
+    corpus image bytes are never re-read. Layout: hive-partitioned by
+    `bk` (28 partitions; compaction/backfill of one key family prunes
+    to 1/28 of the files) and kv-clustered within partitions so parquet
+    min/max stats skip row groups on the kv equi-join. Returns the
+    (file, n_rows) manifest from sinks.write_corpus."""
+    from bearysta_spark.sinks import write_corpus
+
+    return write_corpus(
+        phash_keys(hashes, id_col, bytes_col),
+        path,
+        partition_by=["bk"],
+        cluster_by=["kv"],
+    )
+
+
+def incremental_phash_pairs(
+    index: DataFrame,
+    new_hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    bytes_col: str = "hash_bytes",
+) -> DataFrame:
+    """Daily-ingest image dedup: probe a persisted phash index
+    (write_phash_index) with a batch of freshly hashed images and return
+    (corpus_id, new_id, hamming ≤ max_hamming) pairs. Per-batch cost
+    tracks the BATCH: the increment computes only its own 28 keys, the
+    join reads index files, and verification XORs the 8-byte arrays
+    carried by both sides — the corpus is never re-hashed, re-decoded,
+    or re-shuffled. Same pigeonhole bound as phash_near_pairs
+    (max_hamming ≤ 6 asserted)."""
+    from bearysta_spark.cachescope import scoped_cache
+
+    if max_hamming > 6:
+        raise ValueError(
+            "pigeonhole over C(8,2) block pairs is exact only for ≤ 6"
+        )
+    nk = phash_keys(scoped_cache(new_hashes), id_col, bytes_col).select(
+        F.col(id_col).alias("new_id"),
+        "bk",
+        "kv",
+        F.col(bytes_col).alias("__hb_new"),
+    )
+    ik = index.select(
+        F.col(id_col).alias("corpus_id"),
+        "bk",
+        "kv",
+        F.col(bytes_col).alias("__hb_corp"),
+    )
+    return (
+        ik.join(nk, ["bk", "kv"])
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    "__hb_corp",
+                    "__hb_new",
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("corpus_id", "new_id", "hamming")
+        .distinct()
+    )

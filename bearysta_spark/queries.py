@@ -7190,11 +7190,9 @@ _PHASH_CELL_SQL = f"""
                ''))"""
 
 
-@query(
-    "image_phash_pairs",
-    scoped_caches=True,
-    oracle=f"""
-    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+# shared oracle CTE chain: text -> 72-cell grid -> dHash row bytes (hb)
+# -> C(8,2) block-pair keys — used by both image_phash queries
+_PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
     cells AS (
       SELECT doc_id, r.r, c.c, {_PHASH_CELL_SQL} AS cnt
       FROM t,
@@ -7225,7 +7223,14 @@ _PHASH_CELL_SQL = f"""
       FROM bp
       JOIN hb h1 ON h1.band = bp.i
       JOIN hb h2 ON h2.band = bp.j AND h2.doc_id = h1.doc_id
-    ),
+    )"""
+
+
+@query(
+    "image_phash_pairs",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_PHASH_HB_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM keys a JOIN keys b
@@ -7273,6 +7278,64 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.phash_near_pairs(hashes, max_hamming=6).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+@query(
+    "image_phash_increment_persisted",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_PHASH_HB_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM keys a JOIN keys b ON a.bk = b.bk AND a.kv = b.kv
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    ),
+    ham AS (
+      SELECT c.corpus_id, c.new_id,
+             CAST(sum(bit_count(xor(x.val, y.val))) AS INT) AS hamming
+      FROM cand c
+      JOIN hb x ON x.doc_id = c.corpus_id
+      JOIN hb y ON y.doc_id = c.new_id AND y.band = x.band
+      GROUP BY c.corpus_id, c.new_id
+    )
+    SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+           CAST(new_id AS BIGINT) AS new_id, hamming
+    FROM ham WHERE hamming <= 6
+    """,
+)
+def image_phash_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX form of image dedup — the image twin of
+    dedup_increment_persisted: the corpus images are decoded + dHashed
+    ONCE and written as a self-contained (id, block-pair key, hash
+    bytes) index (multimodal.write_phash_index, hive-partitioned by key
+    family, kv-clustered); the daily increment hashes only ITS images
+    and joins the index FILES (incremental_phash_pairs), so corpus
+    image bytes are never re-read and per-batch cost tracks the batch.
+    Index root from _index_root (cluster-valid default). The oracle
+    replays hashes + keys for both sides from the shared CTE chain and
+    applies the same corpus/increment split predicate, verifying the
+    file round-trip changes nothing."""
+    import os
+
+    import bearysta_spark.functions.multimodal as M
+
+    d = _t(spark, sf_dir, "documents")
+    corp = d.filter(F.col("doc_id") % 10 != 0)
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+    path = os.path.join(_index_root(sf_dir), "phash_index")
+    M.write_phash_index(
+        M.dhash_rows(M.charcount_grid_pngs(corp, _PHASH_LETTERS, scale=4)),
+        path,
+    )
+    idx = spark.read.parquet(path)
+    inc_hashes = M.dhash_rows(
+        M.charcount_grid_pngs(inc, _PHASH_LETTERS, scale=4)
+    )
+    return M.incremental_phash_pairs(idx, inc_hashes, max_hamming=6).select(
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("new_id").cast("long").alias("new_id"),
         F.col("hamming").cast("int").alias("hamming"),
     )
 
@@ -7342,6 +7405,7 @@ _DRIVER_PRIORITY = [
     # roots; the scoped queries return finalized local relations) ----------
     "quality_classifier_filter",
     "image_phash_pairs",
+    "image_phash_increment_persisted",
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",

@@ -69,3 +69,54 @@ def start_streaming_near_dup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_streaming_image_neardup(
+    stream_payloads: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+):
+    """Streaming image near-dup detection against a persisted phash
+    index (functions.multimodal.write_phash_index) — the image twin of
+    start_streaming_near_dup: each micro-batch decodes + dHashes ONLY
+    its own payloads (dhash_rows) and probes the index FILES
+    (incremental_phash_pairs), so per-batch cost tracks the batch and
+    corpus images are never re-decoded. Writes (corpus_id, new_id,
+    hamming, batch_id) parquet partitioned by batch_id with the same
+    idempotent dynamic-partition overwrite as the text stream (a
+    replayed batch overwrites its own partition). Returns the
+    StreamingQuery."""
+    from bearysta_spark.cachescope import release_scoped_caches
+    from bearysta_spark.functions.multimodal import (
+        dhash_rows,
+        incremental_phash_pairs,
+    )
+
+    spark = stream_payloads.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        idx = spark.read.parquet(index_path)
+        pairs = incremental_phash_pairs(
+            idx,
+            dhash_rows(batch_df, payload_col=payload_col, id_col=id_col),
+            max_hamming=max_hamming,
+            id_col=id_col,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        release_scoped_caches()  # foreachBatch is the terminal action
+
+    return (
+        stream_payloads.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

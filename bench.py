@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "knn_ivf_pq_persisted",
     "quality_classifier_filter",
     "image_phash_pairs",
+    "image_phash_increment_persisted",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

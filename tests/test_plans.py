@@ -394,6 +394,15 @@ CACHE_SCOPED_SAMPLE = [
 ]
 
 
+def test_image_increment_reads_index_not_corpus(spark):
+    # persisted-index image dedup: the corpus side must come from the
+    # phash index FILES — corpus images are never re-read; only the
+    # increment touches documents.parquet
+    p = plan_of(spark, "image_phash_increment_persisted")
+    assert "phash_index" in p
+    assert p.count("documents.parquet") <= 1
+
+
 def _persistent_rdd_ids(spark) -> set:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(k) for k in jmap.keySet().toArray()}

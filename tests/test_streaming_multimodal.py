@@ -1262,3 +1262,83 @@ def test_dhash_rows_null_on_undecodable(spark):
     )
     out = {r["doc_id"]: r["hash_bytes"] for r in MM.dhash_rows(df).collect()}
     assert out == {1: None, 2: None}
+
+
+def test_incremental_phash_matches_full_pair_surface(spark, documents):
+    # probing a persisted-style index with an increment must find
+    # exactly the corpus-x-increment subset of the full pair surface
+    from bearysta_spark.queries import _PHASH_LETTERS
+
+    payloads = MM.charcount_grid_pngs(documents, _PHASH_LETTERS, scale=4)
+    hashes = MM.dhash_rows(payloads)
+    corp_h = hashes.filter(F.col("doc_id") % 10 != 0)
+    inc_h = hashes.filter(F.col("doc_id") % 10 == 0)
+    idx = MM.phash_keys(corp_h)
+    got = sorted(
+        (r["corpus_id"], r["new_id"], r["hamming"])
+        for r in MM.incremental_phash_pairs(idx, inc_h, max_hamming=6).collect()
+    )
+    full = MM.phash_near_pairs(hashes, max_hamming=6).collect()
+    want = sorted(
+        (a, b, r["hamming"])
+        for r in full
+        for a, b in [(r["id_a"], r["id_b"]), (r["id_b"], r["id_a"])]
+        if a % 10 != 0 and b % 10 == 0
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_image_neardup_matches_batch_and_survives_replay(
+    spark, documents, tmp_path
+):
+    # image twin of the streaming LSH test: payloads stream in two
+    # micro-batches against the persisted phash index files; union of
+    # outputs equals the batch incremental result, and a truncated
+    # checkpoint (mid-batch kill) must not duplicate pairs
+    from bearysta_spark.queries import _PHASH_LETTERS
+    from bearysta_spark.streaming.neardup import start_streaming_image_neardup
+
+    payloads = MM.charcount_grid_pngs(documents, _PHASH_LETTERS, scale=4)
+    corp_h = MM.dhash_rows(payloads.filter(F.col("doc_id") % 10 != 0))
+    inc = payloads.filter(F.col("doc_id") % 10 == 0)
+
+    index = str(tmp_path / "phash_index")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    MM.write_phash_index(corp_h, index)
+
+    inc.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+            land
+        )
+        q = start_streaming_image_neardup(stream, index, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    _truncate_last_commit(ckpt)  # kill between execute and commit
+    inc.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()  # replays batch 0 -> overwrites its own partition
+
+    got = sorted(
+        (r["corpus_id"], r["new_id"], r["hamming"])
+        for r in spark.read.parquet(out)
+        .select("corpus_id", "new_id", "hamming")
+        .collect()
+    )
+    want = sorted(
+        (r["corpus_id"], r["new_id"], r["hamming"])
+        for r in MM.incremental_phash_pairs(
+            spark.read.parquet(index), MM.dhash_rows(inc), max_hamming=6
+        ).collect()
+    )
+    assert got == want and len(got) > 0
