@@ -532,6 +532,79 @@ def semantic_dedup(
     )
 
 
+def semantic_decontam(
+    train: DataFrame,
+    val: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic eval-set decontamination — the embedding-space analogue
+    of the n-gram decontamination family (functions.decontam): find
+    validation/benchmark vectors whose cosine against ANY training
+    vector reaches `threshold`, i.e. eval items the model will have
+    effectively seen even though no n-gram matches. Returns one row per
+    leaked val vector: (id, cell, n_train_hits, max_sim).
+
+    Same 100 TB shape as semantic_dedup (the SemDeDup argument): both
+    sides are assigned to coarse-quantizer cells by one Arrow dgemm
+    scan, and train×val similarities are computed ONLY within a cell —
+    one dgemm per cell inside applyInPandas, never a global cross
+    product. Near-duplicates sit at cosine ≈ 1 and land in the same
+    cell with high probability; exact-recall audits can run the blocked
+    cosine_near_dup_pairs kernel on the val side's candidate cells.
+    max_sim is the max over QUALIFYING train sims (≥ threshold), so the
+    report is stable under cell-population changes below the cut."""
+    import numpy as np
+
+    cell = assign_cells_arrow(centroids, 1)(F.col(vec_col))[0]
+    tagged = train.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(False).alias("__is_val"),
+        cell.cast("int").alias("cell"),
+    ).unionByName(
+        val.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(True).alias("__is_val"),
+            cell.cast("int").alias("cell"),
+        )
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        vmask = pdf["__is_val"].to_numpy()
+        T, V = pdf[~vmask], pdf[vmask]
+        if not len(T) or not len(V):
+            return pd.DataFrame(
+                {id_col: [], "cell": [], "n_train_hits": [], "max_sim": []}
+            )
+        tm = np.array(list(T[vec_col]), dtype=np.float64)
+        vm = np.array(list(V[vec_col]), dtype=np.float64)
+        tn = np.linalg.norm(tm, axis=1)
+        vn = np.linalg.norm(vm, axis=1)
+        tn[tn == 0.0] = 1.0
+        vn[vn == 0.0] = 1.0
+        sims = (tm @ vm.T) / np.outer(tn, vn)  # train x val
+        hits = sims >= threshold
+        n_hits = hits.sum(axis=0)
+        keep = n_hits > 0
+        masked = np.where(hits, sims, -np.inf)
+        return pd.DataFrame(
+            {
+                id_col: V[id_col].to_numpy()[keep],
+                "cell": int(key[0]),
+                "n_train_hits": n_hits[keep].astype(np.int64),
+                "max_sim": masked.max(axis=0)[keep],
+            }
+        )
+
+    return tagged.groupBy("cell").applyInPandas(
+        kernel, f"{id_col} long, cell int, n_train_hits long, max_sim double"
+    )
+
+
 def make_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (numpy PCG64, fixed seed)."""
     import numpy as np

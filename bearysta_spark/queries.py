@@ -7042,6 +7042,64 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_decontam_report",
+    oracle="""
+    WITH cm(cell, c) AS (VALUES
+      {IVF_CM}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (
+      SELECT e.vec_id, e.v, CAST(cm.cell AS INT) AS cell,
+             list_dot_product(e.v, cm.c) AS score
+      FROM e, cm
+    ),
+    ranked AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+      FROM sc
+    ),
+    assigned AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+    hits AS (
+      SELECT v.vec_id, v.cell,
+             CAST(count(*) AS BIGINT) AS n_train_hits,
+             round(max(list_dot_product(t.v, v.v)
+                   / (sqrt(list_dot_product(t.v, t.v))
+                      * sqrt(list_dot_product(v.v, v.v)))), 4) AS max_sim
+      FROM assigned t JOIN assigned v ON t.cell = v.cell
+      WHERE t.vec_id % 10 != 0 AND v.vec_id % 10 = 0
+        AND list_dot_product(t.v, v.v)
+            / (sqrt(list_dot_product(t.v, t.v))
+               * sqrt(list_dot_product(v.v, v.v))) >= 0.3
+      GROUP BY v.vec_id, v.cell
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, cell, n_train_hits, max_sim
+    FROM hits
+    """.replace("{IVF_CM}", _IVF_CM_SQL),
+)
+def semantic_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination
+    (functions.similarity.semantic_decontam): validation vectors
+    (vec_id % 10 == 0) whose cosine against ANY training vector in the
+    SAME coarse-quantizer cell reaches 0.3 — eval items the model has
+    effectively seen even with zero n-gram overlap, the embedding-space
+    counterpart of bloom_decontam / split_leakage_check. One row per
+    leaked val vector with its qualifying-hit count and max similarity.
+    The quadratic surface is per-cell by the SemDeDup argument; the
+    oracle replays cell assignment (shared centroid literals and tie
+    rule), the within-cell train×val scan, and the threshold/max in
+    SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") % 10 != 0)
+    val = e.filter(F.col("vec_id") % 10 == 0)
+    out = S.semantic_decontam(train, val, _IVF_CENTROIDS, threshold=0.3)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_train_hits").cast("long").alias("n_train_hits"),
+        F.round("max_sim", 4).alias("max_sim"),
+    )
+
+
+@query(
     "hashed_vector_stats",
     oracle="""
     WITH occ AS (
@@ -7406,6 +7464,7 @@ _DRIVER_PRIORITY = [
     "quality_classifier_filter",
     "image_phash_pairs",
     "image_phash_increment_persisted",
+    "semantic_decontam_report",
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",

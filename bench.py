@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "quality_classifier_filter",
     "image_phash_pairs",
     "image_phash_increment_persisted",
+    "semantic_decontam_report",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

@@ -202,6 +202,54 @@ def test_cell_cosine_pairs_single_cell_is_exact(spark, embeddings):
     assert got == exact
 
 
+def test_semantic_decontam_within_cell_only(spark):
+    # val vectors leak only against SAME-cell train vectors; counts and
+    # max_sim come from qualifying hits alone
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.05]),   # cell 0
+            (2, [0.9, 0.1]),    # cell 0
+            (3, [0.05, 1.0]),   # cell 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    val = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),   # cell 0: near both train 1 and 2
+            (11, [0.0, 1.0]),   # cell 1: near train 3
+            (12, [-1.0, -0.1]), # cell 1 or 0 but anti-aligned: no hit
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_decontam(
+            train, val, centroids, threshold=0.9
+        ).collect()
+    }
+    assert out[10]["n_train_hits"] == 2
+    assert out[11]["n_train_hits"] == 1
+    assert 12 not in out
+    assert out[10]["max_sim"] > 0.99
+    # same-cell requirement: train 1 is cosine ~1 with val 11? no —
+    # orthogonal; but a near-identical cross-cell pair must NOT appear:
+    cross_val = spark.createDataFrame(
+        [(20, [0.92, 0.4])], "vec_id long, embedding array<double>"
+    )
+    # centroids chosen so train [1,0] -> cell 0 (dot 1.0 vs 0.8) while
+    # val [0.92,0.4] -> cell 1 (dot 0.92 vs 0.976), though their cosine
+    # is ~0.917 >= threshold
+    skew = [[1.0, 0.0], [0.8, 0.6]]
+    got = S.semantic_decontam(
+        spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>"),
+        cross_val,
+        skew,
+        threshold=0.9,
+    ).collect()
+    assert got == []  # train in cell 0, val in cell 1 -> never compared
+
+
 def test_simhash_near_pairs_matches_bruteforce(spark):
     # pigeonhole banding must find exactly the pairs a cross join finds
     rows = [(i, f"common tokens alpha beta gamma delta {i % 3}") for i in range(30)]
