@@ -1127,3 +1127,114 @@ def incremental_phash_pairs(
         .select("corpus_id", "new_id", "hamming")
         .distinct()
     )
+
+
+def wav_encode_pcm16(samples, rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer (stdlib only): mono 16-bit PCM.
+    Companion to _parse_wav for round-trip tests and synthetic-corpus
+    generation — the audio analogue of png_encode_gray."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def audio_fp_bytes(payload: bytes, windows: int = 72) -> list[int]:
+    """64-bit loudness-envelope audio fingerprint as 8 per-row bytes —
+    the audio analogue of dhash_bytes: decode WAV (zero-dep _parse_wav),
+    take channel 0, split into `windows` equal spans, mean |amplitude|
+    per span (exact integer arithmetic — int16 values survive the
+    float round-trip losslessly), then gradient bits between adjacent
+    spans within each row of a 9-wide grid. Robust to volume-preserving
+    re-encodes and small edits (the envelope shape survives); byte
+    layout is identical to dhash_bytes so phash_near_pairs /
+    write_phash_index / incremental_phash_pairs work unchanged on audio
+    corpora."""
+    _, _, bits, x = _parse_wav(bytes(payload or b""))
+    ch0 = x[:, 0]
+    scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}.get(bits, 32768.0)
+    ints = [abs(int(round(v * scale))) for v in ch0]
+    n = len(ints)
+    env = []
+    for w in range(windows):
+        lo, hi = w * n // windows, (w + 1) * n // windows
+        env.append(sum(ints[lo:hi]) // (hi - lo) if hi > lo else 0)
+    out = []
+    for r in range(8):
+        v = 0
+        for c in range(8):
+            if env[r * 9 + c] < env[r * 9 + c + 1]:
+                v |= 1 << c
+        out.append(v)
+    return out
+
+
+def audio_fp_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, hash_bytes[8]) per WAV payload — the audio twin of
+    dhash_rows; undecodable payloads yield NULL (filter, don't fail).
+    Feed the output to phash_near_pairs / write_phash_index — the
+    banding layer is hash-agnostic."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    hb = audio_fp_bytes(bytes(payload or b""))
+                except (ValueError, IndexError):
+                    hb = None
+                rows.append((int(i), hb))
+            yield pd.DataFrame(rows, columns=[id_col, "hash_bytes"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, PHASH_SCHEMA)
+
+
+def charcode_wav_payloads(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: int = 8000,
+) -> DataFrame:
+    """Deterministic synthetic WAV corpus from text in one Arrow kernel
+    (the audio analogue of charcount_grid_pngs): sample i is
+    ((codepoint(t[i]) % 128) - 64) * 256 over the lowercased text — a
+    real mono PCM16 RIFF payload whose loudness envelope is a pure
+    integer function of the characters, so an engine with no audio
+    stack can replay audio_fp_bytes exactly while Spark exercises the
+    real encode → parse → envelope path."""
+    from bearysta_spark.functions.dedup import _spread
+
+    df = _spread(df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                samples = [((ord(c) % 128) - 64) * 256 for c in t]
+                rows.append((int(i), wav_encode_pcm16(samples, rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(gen, SYNTH_PNG_SCHEMA)

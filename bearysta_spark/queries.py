@@ -7248,6 +7248,40 @@ _PHASH_CELL_SQL = f"""
                ''))"""
 
 
+# shared oracle tail: C(8,2) block-pair candidate keys from any
+# hb(doc_id, band, val) row-byte table — used by the image phash
+# queries AND the audio fingerprint query (the banding is
+# hash-agnostic, exactly like multimodal.phash_near_pairs)
+_BANDPAIR_KEYS_CTES = f"""bp(bk, i, j) AS (VALUES {", ".join(
+    f"({k}, {i}, {j})"
+    for k, (i, j) in enumerate(
+        (a, b) for a in range(8) for b in range(a + 1, 8)
+    )
+)}),
+    keys AS (
+      SELECT h1.doc_id, bp.bk, h1.val + 256 * h2.val AS kv
+      FROM bp
+      JOIN hb h1 ON h1.band = bp.i
+      JOIN hb h2 ON h2.band = bp.j AND h2.doc_id = h1.doc_id
+    )"""
+
+_PAIR_VERIFY_SQL = """cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.bk = b.bk AND a.kv = b.kv AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(bit_count(xor(x.val, y.val))) AS INT) AS hamming
+      FROM cand c
+      JOIN hb x ON x.doc_id = c.id_a
+      JOIN hb y ON y.doc_id = c.id_b AND y.band = x.band
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           hamming
+    FROM ham WHERE hamming <= 6"""
+
 # shared oracle CTE chain: text -> 72-cell grid -> dHash row bytes (hb)
 # -> C(8,2) block-pair keys — used by both image_phash queries
 _PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -7289,22 +7323,7 @@ _PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
     scoped_caches=True,
     oracle=f"""
     WITH {_PHASH_HB_CTES},
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keys a JOIN keys b
-        ON a.bk = b.bk AND a.kv = b.kv AND a.doc_id < b.doc_id
-    ),
-    ham AS (
-      SELECT c.id_a, c.id_b,
-             CAST(sum(bit_count(xor(x.val, y.val))) AS INT) AS hamming
-      FROM cand c
-      JOIN hb x ON x.doc_id = c.id_a
-      JOIN hb y ON y.doc_id = c.id_b AND y.band = x.band
-      GROUP BY c.id_a, c.id_b
-    )
-    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-           hamming
-    FROM ham WHERE hamming <= 6
+    {_PAIR_VERIFY_SQL}
     """,
 )
 def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7399,6 +7418,82 @@ def image_phash_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "audio_fp_stats",
+    scoped_caches=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    aw AS (
+      SELECT doc_id, w.w,
+             CAST(w.w * length(t) // 72 AS INT) AS lo,
+             CAST((w.w + 1) * length(t) // 72 AS INT) AS hi, t
+      FROM t, (SELECT unnest(range(0, 72)) AS w) w
+    ),
+    en AS (
+      SELECT doc_id, w,
+             CASE WHEN hi > lo THEN
+               list_sum([abs(((ascii(substr(t, CAST(i AS INT), 1)) % 128) - 64)
+                         * 256) for i in range(lo + 1, hi + 1)]) // (hi - lo)
+             ELSE 0 END AS e
+      FROM aw
+    ),
+    bits AS (
+      SELECT a.doc_id, a.w // 9 AS r, a.w % 9 AS c,
+             CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      WHERE a.w % 9 < 8
+    ),
+    hb AS (SELECT doc_id, CAST(r AS INT) AS band,
+           CAST(sum(bit * (1 << c)) AS INT) AS val FROM bits GROUP BY doc_id, r),
+    sizes AS (SELECT band, val, count(*) AS cnt FROM hb GROUP BY band, val)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_vals,
+           CAST(max(cnt) AS BIGINT) AS top_bucket,
+           round(CAST(sum(bit_count(val) * cnt) AS DOUBLE) / sum(cnt), 6)
+             AS mean_popcount
+    FROM sizes GROUP BY band ORDER BY band
+    """,
+)
+def audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint discriminativeness audit: synthesize a REAL
+    mono PCM16 WAV corpus from the documents table
+    (multimodal.charcode_wav_payloads), fingerprint it through the real
+    RIFF parse → integer loudness-envelope → gradient-bit path
+    (audio_fp_rows, byte-compatible with the image dHash), and report
+    per byte-band how discriminative the fingerprint is: distinct
+    values, hottest collision bucket, mean popcount. This is the audit
+    a pipeline runs BEFORE trusting a fingerprint for dedup banding —
+    building it here surfaced that the envelope hash is robust to
+    substitution edits but not to insertions (window boundaries are
+    length-relative), which is exactly what this report shows. The
+    oracle replays the envelope integer arithmetic per character
+    window, the bit packing, and the per-band aggregation in SQL, so
+    the WAV encode/parse round trip is verified to be lossless."""
+    import bearysta_spark.functions.multimodal as M
+
+    d = _t(spark, sf_dir, "documents")
+    hashes = M.audio_fp_rows(M.charcode_wav_payloads(d))
+    b = scoped_cache(
+        hashes.filter(F.col("hash_bytes").isNotNull()).select(
+            "doc_id", F.posexplode("hash_bytes").alias("band", "val")
+        )
+    )
+    sizes = b.groupBy("band", "val").agg(F.count("*").alias("cnt"))
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_vals"),
+            F.max("cnt").cast("long").alias("top_bucket"),
+            F.round(
+                F.sum(F.bit_count("val") * F.col("cnt")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("mean_popcount"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
     "bpe_token_stats",
     oracle=f"""
     WITH RECURSIVE {TK.bpe_oracle_ctes()},
@@ -7465,6 +7560,7 @@ _DRIVER_PRIORITY = [
     "image_phash_pairs",
     "image_phash_increment_persisted",
     "semantic_decontam_report",
+    "audio_fp_stats",
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",

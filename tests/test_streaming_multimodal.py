@@ -1342,3 +1342,47 @@ def test_streaming_image_neardup_matches_batch_and_survives_replay(
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_wav_fingerprint_roundtrip_and_robustness():
+    # encode -> parse round trip is lossless (int16 survives the float
+    # normalization), and substitution edits stay at tiny hamming
+    t = "the quick brown fox jumps over the lazy dog 0123456789 " * 5
+    samples = [((ord(c) % 128) - 64) * 256 for c in t]
+    wav = MM.wav_encode_pcm16(samples)
+    rate, ch, bits, x = MM._parse_wav(wav)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert [int(round(v * 32768)) for v in x[:, 0]] == samples
+    fp = MM.audio_fp_bytes(wav)
+    t2 = t[:100] + "x" + t[101:]  # substitution, same length
+    fp2 = MM.audio_fp_bytes(
+        MM.wav_encode_pcm16([((ord(c) % 128) - 64) * 256 for c in t2])
+    )
+    assert sum(bin(a ^ b).count("1") for a, b in zip(fp, fp2)) <= 2
+
+
+def test_audio_fp_rows_and_pairing(spark):
+    # the audio fingerprint is byte-compatible with the image banding:
+    # near-identical WAVs pair through phash_near_pairs unchanged
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    variants = {
+        1: base,
+        2: base[:50] + "X" + base[51:],          # tiny substitution
+        3: "completely different content " * 12,  # unrelated
+    }
+    rows = [
+        (i, bytearray(MM.wav_encode_pcm16(
+            [((ord(c) % 128) - 64) * 256 for c in t.lower()]
+        )))
+        for i, t in variants.items()
+    ] + [(4, bytearray(b"not audio")), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = MM.audio_fp_rows(df)
+    got = {r["doc_id"]: r["hash_bytes"] for r in hashes.collect()}
+    assert got[4] is None and got[5] is None
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in MM.phash_near_pairs(hashes, max_hamming=6).collect()
+    ]
+    assert (1, 2) in pairs
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
