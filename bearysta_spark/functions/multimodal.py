@@ -1238,3 +1238,156 @@ def charcode_wav_payloads(
             yield pd.DataFrame(rows, columns=[id_col, "payload"])
 
     return df.select(id_col, text_col).mapInPandas(gen, SYNTH_PNG_SCHEMA)
+
+
+def y4m_encode_mono(frames, width: int, height: int) -> bytes:
+    """Minimal YUV4MPEG2 writer: Cmono (Y plane only), one FRAME marker
+    per frame — companion to _parse_y4m for round-trip tests and
+    synthetic video-corpus generation."""
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    )
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame must be width*height Y bytes")
+        out += b"FRAME\n" + bytes(fr)
+    return bytes(out)
+
+
+VIDEO_FRAME_HASH_SCHEMA = "doc_id long, frame int, hash_bytes array<int>"
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 1,
+) -> DataFrame:
+    """(id, frame, hash_bytes[8]) — per-frame dHash over a Y4M video
+    payload's luma plane: the scan stage of video near-dup dedup. One
+    Arrow pass decodes each payload (zero-dep _parse_y4m), samples
+    every_n-th frame, box-resamples the Y plane to 9×8 and emits the
+    gradient-bit row bytes (same layout as the image dHash — all the
+    banding/index machinery applies per frame). Payload bytes never
+    survive into the output; undecodable payloads yield no rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames = _parse_y4m(bytes(p or b""))
+                except ValueError:
+                    continue
+                for f_idx in range(0, len(frames), every_n):
+                    y = frames[f_idx][: w * h]  # luma plane leads
+                    px = box_resample_gray(y, w, h, 9, 8)
+                    hb = []
+                    for r in range(8):
+                        v = 0
+                        for c in range(8):
+                            if px[r * 9 + c] < px[r * 9 + c + 1]:
+                                v |= 1 << c
+                        hb.append(v)
+                    rows.append((int(i), f_idx, hb))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame", "hash_bytes"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, VIDEO_FRAME_HASH_SCHEMA
+    )
+
+
+def video_shared_frame_pairs(
+    frame_hashes: DataFrame,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    align_frames: bool = True,
+) -> DataFrame:
+    """Video near-dup pairs by shared frame hashes: two videos are
+    near-dups when ≥ min_shared of their frames hash identically —
+    re-encodes and overlays move a frame by a few gradient bits at
+    most, and a shared SCENE survives as an exact dHash match at the
+    9×8 scale. align_frames=True matches frame positions too (same cut
+    of the same video); False matches content at any offset (trimmed /
+    re-cut variants). Returns (id_a, id_b, shared_frames).
+
+    100 TB shape: the join key is the (frame,) 8-byte hash — an exact
+    equi-join, no banding needed (frame-grain exactness is the point);
+    shuffle carries ids + 8 ints per sampled frame. Degenerate keys
+    (title cards, black frames shared by everything) are the
+    hot-bucket risk — drop them with dedup._drop_hot_keys on the key
+    column before the join for adversarial corpora."""
+    from bearysta_spark.cachescope import scoped_cache
+
+    key = [F.concat_ws("-", F.transform("hash_bytes", lambda x: x.cast("string"))).alias("fkey")] + (
+        [F.col("frame")] if align_frames else []
+    )
+    # scoped cache: both self-join sides read the hash frame — uncached,
+    # the upstream decode kernels would replay per reference
+    fh = scoped_cache(frame_hashes.select(F.col(id_col), *key))
+    join_cols = ["fkey"] + (["frame"] if align_frames else [])
+    a = fh.withColumnRenamed(id_col, "id_a")
+    b = fh.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, join_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def charcount_video_payloads(
+    df: DataFrame,
+    letters: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    scale: int = 4,
+) -> DataFrame:
+    """Deterministic synthetic Y4M video corpus from text (the video
+    analogue of charcount_grid_pngs): the lowercased text is cut into
+    n_frames*4 slices and frame f's 9×8 grid cell (r, c) holds
+    count(letters[c + 9*(r%2)]) within slice f*4 + r//2 (mod 256),
+    tiled scale× into the luma plane. One Counter pass per slice per
+    doc; the SQL oracle replays the grids directly while Spark runs the
+    real y4m encode → parse → resample → hash path."""
+    if len(letters) != 18:
+        raise ValueError("letters must supply 2 groups of 9")
+    from bearysta_spark.functions.dedup import _spread
+
+    df = _spread(df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        w, h = 9 * scale, 8 * scale
+        n_slices = n_frames * 4
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                t = (text or "").lower()
+                n = len(t)
+                counts = [
+                    Counter(t[s * n // n_slices : (s + 1) * n // n_slices])
+                    for s in range(n_slices)
+                ]
+                frames = []
+                for f in range(n_frames):
+                    grid = [
+                        counts[f * 4 + r // 2][letters[c + 9 * (r % 2)]] % 256
+                        for r in range(8)
+                        for c in range(9)
+                    ]
+                    buf = bytearray(w * h)
+                    for y in range(h):
+                        base = (y // scale) * 9
+                        for x in range(w):
+                            buf[y * w + x] = grid[base + x // scale]
+                    frames.append(bytes(buf))
+                rows.append((int(i), y4m_encode_mono(frames, w, h)))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(gen, SYNTH_PNG_SCHEMA)

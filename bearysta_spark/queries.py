@@ -7418,6 +7418,72 @@ def image_phash_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "video_frame_dedup",
+    scoped_caches=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    cells AS (
+      SELECT doc_id, f.f, r.r, c.c,
+         length(substr(t, CAST((f.f * 4 + r.r // 2) * length(t) // 16 AS INT) + 1,
+                  CAST((f.f * 4 + r.r // 2 + 1) * length(t) // 16 AS INT)
+                  - CAST((f.f * 4 + r.r // 2) * length(t) // 16 AS INT)))
+         - length(replace(substr(t, CAST((f.f * 4 + r.r // 2) * length(t) // 16 AS INT) + 1,
+                  CAST((f.f * 4 + r.r // 2 + 1) * length(t) // 16 AS INT)
+                  - CAST((f.f * 4 + r.r // 2) * length(t) // 16 AS INT)),
+              substr('{_PHASH_LETTERS}', CAST(c.c + 9 * (r.r % 2) AS INT) + 1, 1),
+              '')) AS cnt
+      FROM t,
+           (SELECT unnest(range(0, 4)) AS f) f,
+           (SELECT unnest(range(0, 8)) AS r) r,
+           (SELECT unnest(range(0, 9)) AS c) c
+    ),
+    px AS (SELECT doc_id, f, r, c, CAST(cnt % 256 AS INT) AS v FROM cells),
+    bits AS (
+      SELECT a.doc_id, a.f, a.r, a.c,
+             CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    rowb AS (SELECT doc_id, f, r, CAST(sum(bit * (1 << c)) AS INT) AS val
+             FROM bits GROUP BY doc_id, f, r),
+    fh AS (SELECT doc_id, f, string_agg(val, '-' ORDER BY r) AS fkey
+           FROM rowb GROUP BY doc_id, f)
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_frames
+    FROM fh a JOIN fh b
+      ON a.fkey = b.fkey AND a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup dedup by shared frame hashes — the video arm of
+    the multimodal dedup stack: synthesize a REAL 4-frame Y4M video per
+    document (multimodal.charcount_video_payloads: text slices →
+    char-count grids → tiled luma planes), dHash every frame through
+    the real y4m parse → box-resample path (video_frame_hashes), and
+    pair videos sharing ≥1 position-aligned identical frame hash
+    (video_shared_frame_pairs). Localized edits change one slice → one
+    frame, so near-dup documents still share the untouched frames —
+    frame-grain matching is what makes video dedup robust where a
+    whole-video hash is not. The oracle replays the grids, per-frame
+    row bytes and the aligned frame-key join in SQL; the y4m
+    encode/parse round trip is verified lossless by construction
+    (uniform-tile resample exactness, as with the PNG path)."""
+    import bearysta_spark.functions.multimodal as M
+
+    d = _t(spark, sf_dir, "documents")
+    fh = M.video_frame_hashes(
+        M.charcount_video_payloads(d, _PHASH_LETTERS, scale=4)
+    )
+    return M.video_shared_frame_pairs(fh, min_shared=1).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("shared_frames").cast("long").alias("shared_frames"),
+    )
+
+
+@query(
     "audio_fp_stats",
     scoped_caches=True,
     oracle=f"""
@@ -7561,6 +7627,7 @@ _DRIVER_PRIORITY = [
     "image_phash_increment_persisted",
     "semantic_decontam_report",
     "audio_fp_stats",
+    "video_frame_dedup",
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "image_phash_increment_persisted",
     "semantic_decontam_report",
     "audio_fp_stats",
+    "video_frame_dedup",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

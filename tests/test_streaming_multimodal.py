@@ -1386,3 +1386,110 @@ def test_audio_fp_rows_and_pairing(spark):
     ]
     assert (1, 2) in pairs
     assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+
+
+def test_gif_lzw_code_width_growth():
+    # literals emitted WITHOUT clear codes force the decoder's table
+    # past 512/1024 entries, exercising the 9->10->11 bit width growth
+    # that the clear-code-early encoder never touches
+    import random
+
+    rnd = random.Random(8)
+    w, h = 40, 30  # 1200 pixels -> next_code reaches ~1458 (11 bits)
+    px = [rnd.randrange(256) for _ in range(w * h)]
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for v in range(256):
+        out += bytes([v, v, v])
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00\x08"
+    codes = [256] + px + [257]  # one CLEAR, then raw literals, EOI
+    acc = nbits = 0
+    width = 9
+    next_code = 258
+    first_literal = True
+    data = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        # mirror the decoder's table growth: every literal after the
+        # first post-clear code adds one entry; width bumps at 2^width
+        if code not in (256, 257):
+            if first_literal:
+                first_literal = False
+            else:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    w2, h2, gray = MM._gif_decode_gray(bytes(out))
+    assert (w2, h2, list(gray)) == (w, h, px)
+
+
+def test_y4m_roundtrip_and_frame_hashes(spark):
+    import random
+
+    rnd = random.Random(21)
+    w, h = 36, 32
+    f0 = bytes(rnd.randrange(256) for _ in range(w * h))
+    f1 = bytes(rnd.randrange(256) for _ in range(w * h))
+    y4m = MM.y4m_encode_mono([f0, f1], w, h)
+    w2, h2, frames = MM._parse_y4m(y4m)
+    assert (w2, h2) == (w, h) and frames == [f0, f1]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(y4m)), (2, bytearray(b"not video"))],
+        "doc_id long, payload binary",
+    )
+    rows = MM.video_frame_hashes(df).collect()
+    got = {(r["doc_id"], r["frame"]): list(r["hash_bytes"]) for r in rows}
+    assert set(got) == {(1, 0), (1, 1)}  # undecodable doc 2 yields no rows
+
+    def direct(frame):
+        px = MM.box_resample_gray(frame, w, h, 9, 8)
+        return [
+            sum(
+                (1 << c) if px[r * 9 + c] < px[r * 9 + c + 1] else 0
+                for c in range(8)
+            )
+            for r in range(8)
+        ]
+
+    assert got[(1, 0)] == direct(f0)
+    assert got[(1, 1)] == direct(f1)
+
+
+def test_video_shared_frame_pairs_alignment(spark):
+    # videos 1/2 share frame A at the SAME position; video 3 has frame A
+    # at a different position; video 4 is unrelated
+    A, B, C, D = [1] * 8, [2] * 8, [3] * 8, [4] * 8
+    rows = [
+        (1, 0, A), (1, 1, B),
+        (2, 0, A), (2, 1, C),
+        (3, 0, C), (3, 1, A),
+        (4, 0, D), (4, 1, D),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, frame int, hash_bytes array<int>")
+    aligned = sorted(
+        (r["id_a"], r["id_b"], r["shared_frames"])
+        for r in MM.video_shared_frame_pairs(df).collect()
+    )
+    # only 1&2 share a hash at the SAME position (A at frame 0); 2&3
+    # share C and 1&3 share A but at different offsets
+    assert aligned == [(1, 2, 1)]
+    any_pos = sorted(
+        (r["id_a"], r["id_b"], r["shared_frames"])
+        for r in MM.video_shared_frame_pairs(df, align_frames=False).collect()
+    )
+    assert (1, 3, 1) in any_pos  # A found at any offset
