@@ -204,10 +204,13 @@ def main() -> None:
     # JSON. BASELINE.md's round-3 notes measured 46-66 s whole-run drift
     # with zero code change — minima over 3 runs make cross-round
     # comparisons like-for-like without manual reconstruction.
+    # r06 refinement: the n runs are INTERLEAVED (n full passes over the
+    # query list) instead of consecutive per query — host-level noise
+    # arrives in multi-minute bursts, and consecutive repeats land all
+    # n samples inside the same burst; spreading a query's samples
+    # across the whole run gives each one a shot at a calm window for
+    # the same total cost.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-
-    def best_of(fn) -> float:
-        return min(run_fn(fn) for _ in range(n_runs))
 
     # Warmup: JVM + codegen + parquet footer caches, plus the md5/explode
     # codepaths of the dedup pipeline at a small SF — C2 JIT on those
@@ -227,10 +230,13 @@ def main() -> None:
             ).save()
 
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in QUERIES:
-            continue
-        times[name] = round(best_of(QUERIES[name]), 4)
+    for _ in range(n_runs):
+        for name in BENCH_QUERIES:
+            if name not in QUERIES:
+                continue
+            t = run_fn(QUERIES[name])
+            times[name] = min(times[name], t) if name in times else t
+    times = {k: round(v, 4) for k, v in times.items()}
 
     total = round(sum(times.values()), 2)
 
@@ -274,7 +280,12 @@ def main() -> None:
         "near_dup": near_dup_prod,
         "simhash": simhash_prod,
     }
-    prod_times = {k: round(best_of(fn), 2) for k, fn in prod.items()}
+    prod_times: dict[str, float] = {}
+    for _ in range(n_runs):
+        for k, fn in prod.items():
+            t = run_fn(fn)
+            prod_times[k] = min(prod_times[k], t) if k in prod_times else t
+    prod_times = {k: round(v, 2) for k, v in prod_times.items()}
     # The driver captures only the LAST 2000 chars of stdout and parses the
     # JSON from that window (BENCH_r01: 2400-char line → "parsed": null).
     # Keep the line well under 2000: compact separators, 2-decimal values,
