@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -828,7 +830,16 @@ def dhash_rows(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     hb = fn(bytes(payload or b""))
-                except (NotImplementedError, ValueError, IndexError):
+                except (
+                    NotImplementedError,  # unsupported container/variant
+                    ValueError,  # bad magic / bad filter / corrupt LZW
+                    IndexError,  # truncated chunk walks
+                    KeyError,  # out-of-range LZW code
+                    ZeroDivisionError,  # degenerate 0-dim headers
+                    struct.error,  # short IHDR/fmt bodies
+                    zlib.error,  # corrupt IDAT streams
+                    OSError,  # Pillow decode errors subclass OSError
+                ):
                     hb = None
                 rows.append((int(i), hb))
             yield pd.DataFrame(rows, columns=[id_col, "hash_bytes"])
@@ -1108,9 +1119,16 @@ def incremental_phash_pairs(
         "kv",
         F.col(bytes_col).alias("__hb_corp"),
     )
+    # dedupe candidate pairs BEFORE verifying: near-identical images
+    # agree on many of the 28 keys, so the raw join emits each pair up
+    # to 28x; dropDuplicates on the pair keys (the byte arrays ride
+    # along — identical on every duplicate row) verifies each pair once
+    # instead of shuffling the 28x expansion through a full-row distinct
     return (
         ik.join(nk, ["bk", "kv"])
         .filter(F.col("corpus_id") != F.col("new_id"))
+        .select("corpus_id", "new_id", "__hb_corp", "__hb_new")
+        .dropDuplicates(["corpus_id", "new_id"])
         .withColumn(
             "hamming",
             F.aggregate(
@@ -1125,7 +1143,6 @@ def incremental_phash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("corpus_id", "new_id", "hamming")
-        .distinct()
     )
 
 
@@ -1203,7 +1220,13 @@ def audio_fp_rows(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     hb = audio_fp_bytes(bytes(payload or b""))
-                except (ValueError, IndexError):
+                except (
+                    ValueError,
+                    IndexError,
+                    KeyError,
+                    ZeroDivisionError,  # fmt chunk declaring channels=0
+                    struct.error,  # fmt body shorter than 16 bytes
+                ):
                     hb = None
                 rows.append((int(i), hb))
             yield pd.DataFrame(rows, columns=[id_col, "hash_bytes"])
@@ -1324,9 +1347,15 @@ def video_shared_frame_pairs(
     key = [F.concat_ws("-", F.transform("hash_bytes", lambda x: x.cast("string"))).alias("fkey")] + (
         [F.col("frame")] if align_frames else []
     )
+    fh = frame_hashes.select(F.col(id_col), *key)
+    if not align_frames:
+        # dedupe repeated frame contents per video (static scenes, title
+        # cards): shared_frames counts DISTINCT shared contents, not the
+        # multiplicative cross product of repeat positions
+        fh = fh.distinct()
     # scoped cache: both self-join sides read the hash frame — uncached,
     # the upstream decode kernels would replay per reference
-    fh = scoped_cache(frame_hashes.select(F.col(id_col), *key))
+    fh = scoped_cache(fh)
     join_cols = ["fkey"] + (["frame"] if align_frames else [])
     a = fh.withColumnRenamed(id_col, "id_a")
     b = fh.withColumnRenamed(id_col, "id_b")

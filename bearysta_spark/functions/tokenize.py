@@ -161,9 +161,12 @@ def load_gpt2_merges(path: str) -> tuple[tuple[str, str], ...]:
     oracle's equivalence proof depends on it."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            # only the FIRST line may be a '#version'-style header — a
+            # later line starting with '#' is a real merge ('#' tokens
+            # are legitimate: GPT-2's table builds '##', '###', ...)
+            if not line or (lineno == 0 and line.startswith("#")):
                 continue
             a, _, b = line.partition(" ")
             merges.append((a, b))

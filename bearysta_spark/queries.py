@@ -167,11 +167,20 @@ def _index_root(sf_dir: str) -> str:
     root = os.environ.get("BEARYSTA_INDEX_DIR")
     if root:
         return root
-    # owner-write MODE BIT, not os.access: processes running as root
-    # pass os.access(W_OK) even on dirs deliberately marked read-only
-    # (e.g. immutable benchmark fixtures, mode r-xr-xr-x)
     try:
-        writable = bool(os.stat(sf_dir).st_mode & stat.S_IWUSR)
+        mode = os.stat(sf_dir).st_mode
+        if os.geteuid() == 0:
+            # root passes os.access(W_OK) unconditionally — honor the
+            # mode bits instead (deliberately read-only fixtures are
+            # mode r-xr-xr-x)
+            writable = bool(
+                mode & (stat.S_IWUSR | stat.S_IWGRP | stat.S_IWOTH)
+            )
+        else:
+            # non-root: os.access resolves ownership/group correctly
+            # (the owner-write bit alone would claim writability of a
+            # root-owned 755 dir)
+            writable = os.access(sf_dir, os.W_OK)
     except OSError:
         writable = False
     if writable:
@@ -2107,7 +2116,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucketing in functions.similarity — kept exact here as the
     verifiable baseline. Registered with on_exceed="route": past the
     measured row budget the query degrades to the SemDeDup cell-bounded
-    pair surface (logged) instead of burning the quadratic bill."""
+    pair surface (logged) instead of burning the quadratic bill. NOTE:
+    the registered oracle is the exact all-pairs SQL, so oracle parity
+    holds only below EXACT_PAIRS_ROW_BUDGET (driver fixtures are 500
+    rows, 20x inside it); past the budget the routed result is a
+    documented subset, not an oracle mismatch to chase."""
     e = _t(spark, sf_dir, "embeddings")
     out = S.cosine_near_dup_pairs(e, threshold=0.3, on_exceed="route")
     return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
@@ -2152,7 +2165,10 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     row budget (similarity.EXACT_PAIRS_ROW_BUDGET) the pair stage
     degrades to the SemDeDup cell-bounded surface with a logged notice
     — the r06 fix for the one measured super-linear query (1.70
-    per-mult at 10×, SCALE_LADDER_r05)."""
+    per-mult at 10×, SCALE_LADDER_r05). As with embedding_near_dup, the
+    exact-SQL oracle is valid below EXACT_PAIRS_ROW_BUDGET; the routed
+    regime is a documented approximation, verified by its own unit
+    tests rather than the oracle."""
     from bearysta_spark.functions.components import connected_components
 
     e = _t(spark, sf_dir, "embeddings")
@@ -7249,9 +7265,8 @@ _PHASH_CELL_SQL = f"""
 
 
 # shared oracle tail: C(8,2) block-pair candidate keys from any
-# hb(doc_id, band, val) row-byte table — used by the image phash
-# queries AND the audio fingerprint query (the banding is
-# hash-agnostic, exactly like multimodal.phash_near_pairs)
+# hb(doc_id, band, val) row-byte table — composed by both image phash
+# oracles (the audio/video oracles stop at hb; their reports don't band)
 _BANDPAIR_KEYS_CTES = f"""bp(bk, i, j) AS (VALUES {", ".join(
     f"({k}, {i}, {j})"
     for k, (i, j) in enumerate(
@@ -7303,18 +7318,6 @@ _PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
       SELECT doc_id, CAST(r AS INT) AS band,
              CAST(sum(bit * (1 << c)) AS INT) AS val
       FROM bits GROUP BY doc_id, r
-    ),
-    bp(bk, i, j) AS (VALUES {", ".join(
-        f"({k}, {i}, {j})"
-        for k, (i, j) in enumerate(
-            (a, b) for a in range(8) for b in range(a + 1, 8)
-        )
-    )}),
-    keys AS (
-      SELECT h1.doc_id, bp.bk, h1.val + 256 * h2.val AS kv
-      FROM bp
-      JOIN hb h1 ON h1.band = bp.i
-      JOIN hb h2 ON h2.band = bp.j AND h2.doc_id = h1.doc_id
     )"""
 
 
@@ -7323,6 +7326,7 @@ _PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
     scoped_caches=True,
     oracle=f"""
     WITH {_PHASH_HB_CTES},
+    {_BANDPAIR_KEYS_CTES},
     {_PAIR_VERIFY_SQL}
     """,
 )
@@ -7330,8 +7334,10 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup via perceptual hash — the image-side twin of
     the text near-dup pipeline: per-image 64-bit dHash
     (functions.multimodal.dhash_bytes: decode → grayscale → 9×8 box
-    resample → gradient bits), then hamming ≤ 6 pairs via pigeonhole
-    byte-banding (phash_near_pairs, lossless for ≤ 7 over 8 bands).
+    resample → gradient bits), then hamming ≤ 6 pairs via the C(8,2)
+    block-pair banding (phash_near_pairs — lossless for ≤ 6: at most 6
+    differing bits over 8 byte-blocks leave at least two blocks
+    agreeing).
 
     The corpus is synthesized deterministically from the documents
     table: each doc's 72-cell char-count grid is rendered into a REAL
@@ -7364,6 +7370,7 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped_caches=True,
     oracle=f"""
     WITH {_PHASH_HB_CTES},
+    {_BANDPAIR_KEYS_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
       FROM keys a JOIN keys b ON a.bk = b.bk AND a.kv = b.kv
@@ -7631,16 +7638,11 @@ _DRIVER_PRIORITY = [
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",
-    "dedup_increment_persisted",
     "knn_ivf_pq_persisted",
-    "subword_token_stats",
-    "token_budget_subword",
     "near_dup_pairs",
     "prefix_jaccard_pairs",
     "bm25_keyword_topk",
     "hll_audience_overlap",
-    "hll_overlap_sketch",
-    "sketch_method_agreement",
     "split_leakage_check",
     "bloom_decontam",
     "fuzzy_dup_pairs",
@@ -7654,10 +7656,8 @@ _DRIVER_PRIORITY = [
     "dedup_increment_persisted",
     "subword_token_stats",
     "token_budget_subword",
-    "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "semantic_dedup_stats",
     "hashed_vector_stats",
-    "knn_ivf_pq_persisted",
     # -- driver-green in r04: refresh, cheapest-first ----------------------
     "winnowing_fingerprints",
     "cross_doc_repeated_spans",
@@ -7670,12 +7670,10 @@ _DRIVER_PRIORITY = [
     "events_ttl_sessions",
     "events_stream_dedup",
     "knn_pq_adc",
-    "bloom_decontam",
     "norm_dedup_stats",
     "quality_decile_stats",
     "events_salted_segment_join",
     "events_value_band_join",
-    "embedding_dup_clusters",
     "mixture_alpha_weights",
     "events_lifetime_totals",
     "cdc_chunk_stats",
@@ -7685,7 +7683,6 @@ _DRIVER_PRIORITY = [
     "events_trending",
     "token_budget_selection",
     "join_key_skew",
-    "prefix_jaccard_pairs",
     "event_funnel",
     "value_histogram",
     "value_trend_by_type",
@@ -7706,10 +7703,7 @@ _DRIVER_PRIORITY = [
     "semantic_source_profile",
     "hll_distinct_users",
     "embedding_dim_stats",
-    "fuzzy_dup_pairs",
-    "bm25_keyword_topk",
     "hist_quantile_values",
-    "split_leakage_check",
     "knn_ivf_pq",
     # -- driver-green in r03 ------------------------------------------------
     "mixture_weighted_sample",
@@ -7739,7 +7733,6 @@ _DRIVER_PRIORITY = [
     "shingle_stats",
     "repetition_filter",
     "lang_id_eval",
-    "near_dup_pairs",
     "knn_ivf",
     "dedup_clusters",
     # -- new in r02 (no driver row yet either) -----------------------------
@@ -7795,7 +7788,6 @@ _DRIVER_PRIORITY = [
     "label_centroids",
     "token_doc_frequency",
     "expected_fill_combos",
-    "embedding_near_dup",
     "q1_pricing_summary",
 ]
 

@@ -1493,3 +1493,54 @@ def test_video_shared_frame_pairs_alignment(spark):
         for r in MM.video_shared_frame_pairs(df, align_frames=False).collect()
     )
     assert (1, 3, 1) in any_pos  # A found at any offset
+
+
+def test_png_roundtrip_property():
+    # randomized sizes, pixel values and per-row filter types: the
+    # forward filter (test-side) and the decoder's reconstruction must
+    # invert each other for every filter in every geometry
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 23),
+        h=st.integers(1, 17),
+        seed=st.integers(0, 2**31),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def check(w, h, seed, filters):
+        import random
+
+        rnd = random.Random(seed)
+        px = [rnd.randrange(256) for _ in range(w * h)]
+        assert list(
+            MM._png_decode_gray(_png_with_filters(px, w, h, 1, 0, filters))[2]
+        ) == px
+        assert list(MM._png_decode_gray(MM.png_encode_gray(px, w, h))[2]) == px
+
+    check()
+
+
+def test_box_resample_uniform_tile_property():
+    # resampling a scale-tiled grid recovers the grid exactly for any
+    # grid values and any integer scale — the property the oracle
+    # queries rely on to replay hashes without decoding
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(seed=st.integers(0, 2**31), scale=st.integers(1, 6))
+    def check(seed, scale):
+        import random
+
+        rnd = random.Random(seed)
+        grid = [rnd.randrange(256) for _ in range(72)]
+        w, h = 9 * scale, 8 * scale
+        buf = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                buf[y * w + x] = grid[(y // scale) * 9 + x // scale]
+        assert MM.box_resample_gray(buf, w, h, 9, 8) == grid
+
+    check()

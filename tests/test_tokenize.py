@@ -206,6 +206,17 @@ def test_external_tokenizer_files_public_formats(spark, tmp_path):
 
     loaded = TK.load_gpt2_merges(str(merges_path))
     assert loaded == (("s", "t"), ("st", "o"), ("a", "b"), ("ab", "c"))
+
+    # only the FIRST line is a header: a later '# #' line is a real
+    # merge (GPT-2's table builds '##' tokens this way)
+    hash_path = tmp_path / "merges_hash.txt"
+    hash_path.write_text("#version: 0.2\n# #\n## #\n", encoding="utf-8")
+    assert TK.load_gpt2_merges(str(hash_path)) == (("#", "#"), ("##", "#"))
+    # non-alnum merges are dropped from the SQL literal but the oracle
+    # generator still emits valid SQL
+    assert "VALUES (0, 'zzunmatchable'" in TK.bpe_oracle_ctes(
+        merges=(("#", "#"),)
+    )
     assert TK.load_vocab_file(str(vocab_path)) == ("sto", "ab", "qu")
 
     docs = spark.createDataFrame(
