@@ -7264,60 +7264,64 @@ _PHASH_CELL_SQL = f"""
                ''))"""
 
 
-# shared oracle tail: C(8,2) block-pair candidate keys from any
-# hb(doc_id, band, val) row-byte table — composed by both image phash
-# oracles (the audio/video oracles stop at hb; their reports don't band)
-_BANDPAIR_KEYS_CTES = f"""bp(bk, i, j) AS (VALUES {", ".join(
-    f"({k}, {i}, {j})"
-    for k, (i, j) in enumerate(
-        (a, b) for a in range(8) for b in range(a + 1, 8)
+def _phash_keys_sql(p: str = "") -> str:
+    """Image-hash oracle CTE chain, every CTE name prefixed with `p`:
+    {p}t (lowercased text) → {p}cells/{p}px (72-cell char-count grid) →
+    {p}bits/{p}hb (dHash row bytes) → {p}bp/{p}keys (the C(8,2)
+    block-pair candidate keys). The prefix lets the chain coexist with
+    other CTE families (e.g. the text LSH chain in the multimodal
+    agreement oracle) inside one WITH."""
+    mv = ", ".join(
+        f"({k}, {i}, {j})"
+        for k, (i, j) in enumerate(
+            (a, b) for a in range(8) for b in range(a + 1, 8)
+        )
     )
-)}),
-    keys AS (
-      SELECT h1.doc_id, bp.bk, h1.val + 256 * h2.val AS kv
-      FROM bp
-      JOIN hb h1 ON h1.band = bp.i
-      JOIN hb h2 ON h2.band = bp.j AND h2.doc_id = h1.doc_id
-    )"""
-
-_PAIR_VERIFY_SQL = """cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM keys a JOIN keys b
-        ON a.bk = b.bk AND a.kv = b.kv AND a.doc_id < b.doc_id
-    ),
-    ham AS (
-      SELECT c.id_a, c.id_b,
-             CAST(sum(bit_count(xor(x.val, y.val))) AS INT) AS hamming
-      FROM cand c
-      JOIN hb x ON x.doc_id = c.id_a
-      JOIN hb y ON y.doc_id = c.id_b AND y.band = x.band
-      GROUP BY c.id_a, c.id_b
-    )
-    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-           hamming
-    FROM ham WHERE hamming <= 6"""
-
-# shared oracle CTE chain: text -> 72-cell grid -> dHash row bytes (hb)
-# -> C(8,2) block-pair keys — used by both image_phash queries
-_PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
-    cells AS (
+    return f"""{p}t AS (SELECT doc_id, lower(text) AS t FROM documents),
+    {p}cells AS (
       SELECT doc_id, r.r, c.c, {_PHASH_CELL_SQL} AS cnt
-      FROM t,
+      FROM {p}t,
            (SELECT unnest(range(0, 8)) AS r) r,
            (SELECT unnest(range(0, 9)) AS c) c
     ),
-    px AS (SELECT doc_id, r, c, CAST(cnt % 256 AS INT) AS v FROM cells),
-    bits AS (
+    {p}px AS (SELECT doc_id, r, c, CAST(cnt % 256 AS INT) AS v FROM {p}cells),
+    {p}bits AS (
       SELECT a.doc_id, a.r, a.c,
              CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-      FROM px a JOIN px b
+      FROM {p}px a JOIN {p}px b
         ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
       WHERE a.c < 8
     ),
-    hb AS (
+    {p}hb AS (
       SELECT doc_id, CAST(r AS INT) AS band,
              CAST(sum(bit * (1 << c)) AS INT) AS val
-      FROM bits GROUP BY doc_id, r
+      FROM {p}bits GROUP BY doc_id, r
+    ),
+    {p}bp(bk, i, j) AS (VALUES {mv}),
+    {p}keys AS (
+      SELECT h1.doc_id, {p}bp.bk, h1.val + 256 * h2.val AS kv
+      FROM {p}bp
+      JOIN {p}hb h1 ON h1.band = {p}bp.i
+      JOIN {p}hb h2 ON h2.band = {p}bp.j AND h2.doc_id = h1.doc_id
+    )"""
+
+
+def _phash_pairs_sql(p: str = "") -> str:
+    """{p}cand/{p}ham tail over a _phash_keys_sql(p) chain: candidate
+    pairs from the block-pair key equi-join, then exact hamming via
+    per-band XOR/bit_count."""
+    return f"""{p}cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM {p}keys a JOIN {p}keys b
+        ON a.bk = b.bk AND a.kv = b.kv AND a.doc_id < b.doc_id
+    ),
+    {p}ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(bit_count(xor(x.val, y.val))) AS INT) AS hamming
+      FROM {p}cand c
+      JOIN {p}hb x ON x.doc_id = c.id_a
+      JOIN {p}hb y ON y.doc_id = c.id_b AND y.band = x.band
+      GROUP BY c.id_a, c.id_b
     )"""
 
 
@@ -7325,9 +7329,11 @@ _PHASH_HB_CTES = f"""t AS (SELECT doc_id, lower(text) AS t FROM documents),
     "image_phash_pairs",
     scoped_caches=True,
     oracle=f"""
-    WITH {_PHASH_HB_CTES},
-    {_BANDPAIR_KEYS_CTES},
-    {_PAIR_VERIFY_SQL}
+    WITH {_phash_keys_sql()},
+    {_phash_pairs_sql()}
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           hamming
+    FROM ham WHERE hamming <= 6
     """,
 )
 def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7369,8 +7375,7 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_phash_increment_persisted",
     scoped_caches=True,
     oracle=f"""
-    WITH {_PHASH_HB_CTES},
-    {_BANDPAIR_KEYS_CTES},
+    WITH {_phash_keys_sql()},
     cand AS (
       SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
       FROM keys a JOIN keys b ON a.bk = b.bk AND a.kv = b.kv
@@ -7487,6 +7492,76 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("shared_frames").cast("long").alias("shared_frames"),
+    )
+
+
+@query(
+    "multimodal_dedup_agreement",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_SH_CTE}, {_CAND_CTE},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    tpairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz x ON i.id_a = x.doc_id
+                   JOIN sz y ON i.id_b = y.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
+    ),
+    {_phash_keys_sql("i")},
+    {_phash_pairs_sql("i")},
+    ipairs AS (SELECT id_a, id_b FROM iham WHERE hamming <= 6),
+    u AS (SELECT id_a, id_b FROM tpairs UNION
+          SELECT id_a, id_b FROM ipairs)
+    SELECT CAST((SELECT count(*) FROM tpairs) AS BIGINT) AS n_text,
+           CAST((SELECT count(*) FROM ipairs) AS BIGINT) AS n_image,
+           CAST((SELECT count(*) FROM tpairs JOIN ipairs
+                 USING (id_a, id_b)) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM u) AS BIGINT) AS n_union
+    """,
+)
+def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal dedup audit across MODALITIES — the multimodal
+    extension of dedup_method_agreement: the text near-dup pair list
+    (MinHash+LSH → exact Jaccard ≥ 0.5) against the image near-dup
+    pair list (the same documents rendered as the synthetic PNG corpus
+    → dHash → hamming ≤ 6), reporting each signal's pair count, their
+    intersection and their union. This is the report a pipeline reads
+    to decide whether a second modality's detector is adding recall
+    (pairs the text signal misses) or only re-finding the same
+    duplicates — the operational question multimodal dedup exists to
+    answer. Both pair lists are sketch/band-bounded; the agreement join
+    carries ids only. The oracle composes the text LSH CTE chain with
+    the i-prefixed image chain in one WITH (the prefix parameterization
+    exists exactly for this composition)."""
+    import bearysta_spark.functions.multimodal as M
+
+    d = _t(spark, sf_dir, "documents")
+    tpairs = D.minhash_dedup_verified(
+        d, num_hashes=12, bands=3, threshold=0.5
+    ).select("id_a", "id_b", F.lit(True).alias("in_text"))
+    ipairs = M.phash_near_pairs(
+        M.dhash_rows(M.charcount_grid_pngs(d, _PHASH_LETTERS, scale=4)),
+        max_hamming=6,
+    ).select("id_a", "id_b", F.lit(True).alias("in_image"))
+    j = tpairs.join(ipairs, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("in_text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_text"),
+        F.sum(F.when(F.col("in_image"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_image"),
+        F.sum(F.when(F.col("in_text") & F.col("in_image"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.count("*").cast("long").alias("n_union"),
     )
 
 
@@ -7635,6 +7710,7 @@ _DRIVER_PRIORITY = [
     "semantic_decontam_report",
     "audio_fp_stats",
     "video_frame_dedup",
+    "multimodal_dedup_agreement",
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "semantic_decontam_report",
     "audio_fp_stats",
     "video_frame_dedup",
+    "multimodal_dedup_agreement",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
