@@ -348,6 +348,72 @@ def hashed_doc_vectors(
     )
 
 
+def hashed_knn(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free text similarity search: cosine top-k over the
+    feature-hashed document vectors — the hashing-trick retrieval
+    baseline that needs no embeddings, no vocabulary and no trained
+    model, just `dim` integer counters per document. Returns
+    (qid, nid, sim, rank) for each query id.
+
+    Engine-exactness: weights are integers, so the sparse dot product
+    (Σ w_q·w_d over shared dims) and the squared norms are EXACT longs
+    — order-independent under partial aggregation — and sim =
+    dot/√(n2_q·n2_d) is one deterministic double per pair; ranking on
+    (sim desc, nid) is therefore replayable by any engine.
+
+    100 TB shape: the query side is a tiny broadcast (≤ dim rows per
+    query), the corpus is scanned once into ≤ dim-rows-per-doc sparse
+    form, the dot is a map-side-combinable sum keyed on (qid, nid), and
+    only docs sharing ≥1 dimension with a query ever join — the
+    candidate pruning falls out of the sparse representation."""
+    # scoped cache (see cachescope): the sparse-vector frame feeds the
+    # query side, the corpus side and the norms — uncached, the corpus
+    # token explode would replay once per reference
+    vec = scoped_cache(hashed_doc_vectors(df, dim, text_col, id_col))
+    q = vec.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("qid"),
+        "dim",
+        F.col("weight").alias("__wq"),
+    )
+    d = vec.select(
+        F.col(id_col).alias("nid"), "dim", F.col("weight").alias("__wd")
+    )
+    dot = (
+        F.broadcast(q)
+        .join(d, "dim")
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("__wq") * F.col("__wd")).cast("long").alias("__dot"))
+    )
+    n2 = vec.groupBy(id_col).agg(
+        F.sum(F.col("weight") * F.col("weight")).cast("long").alias("__n2")
+    )
+    scored = (
+        dot.join(n2.withColumnsRenamed({id_col: "qid", "__n2": "__nq"}), "qid")
+        .join(n2.withColumnsRenamed({id_col: "nid", "__n2": "__nd"}), "nid")
+        .withColumn(
+            "sim",
+            F.col("__dot").cast("double")
+            / F.sqrt((F.col("__nq") * F.col("__nd")).cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
 def classifier_margins(
     df: DataFrame,
     weights_milli: list[int],

@@ -7496,6 +7496,66 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_sparse_text",
+    scoped_caches=True,
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 15))::BIGINT % 256 AS INT) AS dim,
+             CASE WHEN ('0x' || substr(md5(word), 16, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM occ
+    ), vec AS (
+      SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+      FROM hv GROUP BY doc_id, dim HAVING sum(s) != 0
+    ),
+    n2 AS (SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS n2
+           FROM vec GROUP BY doc_id),
+    dot AS (
+      SELECT q.doc_id AS qid, d.doc_id AS nid,
+             CAST(sum(q.weight * d.weight) AS BIGINT) AS dot
+      FROM vec q JOIN vec d ON q.dim = d.dim AND q.doc_id != d.doc_id
+      WHERE q.doc_id < 5
+      GROUP BY q.doc_id, d.doc_id
+    ),
+    scored AS (
+      SELECT dot.qid, dot.nid,
+             CAST(dot.dot AS DOUBLE) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS sim
+      FROM dot JOIN n2 a ON a.doc_id = dot.qid JOIN n2 b ON b.doc_id = dot.nid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+           round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_sparse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text similarity search (functions.text.hashed_knn):
+    cosine top-5 over 256-dim feature-hashed document vectors — the
+    hashing-trick retrieval baseline that needs no embedding model and
+    no vocabulary table. Exact-integer sparse dots and norms make the
+    double cosine deterministic, so the full ranking replays in SQL.
+    100 TB shape: tiny broadcast query side, one corpus scan into
+    ≤dim-rows-per-doc sparse form, map-side-combined dot sums; only
+    docs sharing a dimension with a query join at all."""
+    d = _t(spark, sf_dir, "documents")
+    out = T.hashed_knn(d, query_ids=[0, 1, 2, 3, 4], k=5, dim=256)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
     "multimodal_dedup_agreement",
     scoped_caches=True,
     oracle=f"""
@@ -7711,6 +7771,7 @@ _DRIVER_PRIORITY = [
     "audio_fp_stats",
     "video_frame_dedup",
     "multimodal_dedup_agreement",
+    "knn_sparse_text",
     "bpe_token_stats",  # oracle-paired in r06 (recursive-CTE merge walk)
     "embedding_dup_clusters",
     "embedding_near_dup",

@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "audio_fp_stats",
     "video_frame_dedup",
     "multimodal_dedup_agreement",
+    "knn_sparse_text",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

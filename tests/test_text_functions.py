@@ -218,3 +218,33 @@ def test_hashed_doc_vectors_sparse_and_deterministic(spark):
     # partition-layout determinism
     again = sorted(map(tuple, hashed_doc_vectors(df.repartition(5), dim=8).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_hashed_knn_exact_and_self_excluded(spark):
+    from bearysta_spark.functions.text import hashed_doc_vectors, hashed_knn
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),      # identical to the query
+            (2, "alpha beta totally different"),
+            (3, "unrelated words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["rank"]: r for r in hashed_knn(docs, [0], k=3, dim=64).collect()}
+    assert all(r["qid"] == 0 and r["nid"] != 0 for r in out.values())
+    assert out[1]["nid"] == 1 and abs(out[1]["sim"] - 1.0) < 1e-12
+    # sim equals the explicit integer sparse-cosine computation
+    import math
+
+    vec = {}
+    for r in hashed_doc_vectors(docs, 64).collect():
+        vec.setdefault(r["doc_id"], {})[r["dim"]] = r["weight"]
+    for r in out.values():
+        q, d = vec[0], vec[r["nid"]]
+        dot = sum(w * d[k] for k, w in q.items() if k in d)
+        want = dot / math.sqrt(
+            sum(w * w for w in q.values()) * sum(w * w for w in d.values())
+        )
+        assert abs(r["sim"] - want) < 1e-12
