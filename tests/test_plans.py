@@ -346,6 +346,14 @@ SCAN_BUDGETS = [
     ("token_lift_pairs", "documents", 2),
     ("bm25_keyword_topk", "documents", 2),
     ("unigram_surprise", "documents", 3),
+    # r06 additions: one corpus scan each (scoped caches make the
+    # multi-reference frames single-read); the agreement query runs two
+    # independent signal pipelines, so two scans is its floor
+    ("knn_sparse_text", "documents", 1),
+    ("image_phash_pairs", "documents", 1),
+    ("audio_fp_stats", "documents", 1),
+    ("video_frame_dedup", "documents", 1),
+    ("multimodal_dedup_agreement", "documents", 2),
 ]
 
 
