@@ -400,8 +400,12 @@ def hashed_knn(
         .join(n2.withColumnsRenamed({id_col: "nid", "__n2": "__nd"}), "nid")
         .withColumn(
             "sim",
+            # cast EACH norm before multiplying: the long product
+            # overflows int64 for multi-MB docs (n2 ~ 4e9 each); the
+            # double product is identical where both fit and correct
+            # where they don't
             F.col("__dot").cast("double")
-            / F.sqrt((F.col("__nq") * F.col("__nd")).cast("double")),
+            / F.sqrt(F.col("__nq").cast("double") * F.col("__nd").cast("double")),
         )
     )
     from pyspark.sql import Window

@@ -169,7 +169,7 @@ def _index_root(sf_dir: str) -> str:
         return root
     try:
         mode = os.stat(sf_dir).st_mode
-        if os.geteuid() == 0:
+        if getattr(os, "geteuid", lambda: -1)() == 0:
             # root passes os.access(W_OK) unconditionally — honor the
             # mode bits instead (deliberately read-only fixtures are
             # mode r-xr-xr-x)
@@ -6486,21 +6486,30 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = mh.join(fz, ["id_a", "id_b"], "full_outer")
     return j.agg(
-        F.sum(
-            F.when(F.col("in_mh").isNotNull() & F.col("in_fz").isNotNull(), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_mh").isNotNull() & F.col("in_fz").isNotNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_both"),
-        F.sum(
-            F.when(F.col("in_mh").isNotNull() & F.col("in_fz").isNull(), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_mh").isNotNull() & F.col("in_fz").isNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_minhash_only"),
-        F.sum(
-            F.when(F.col("in_fz").isNotNull() & F.col("in_mh").isNull(), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_fz").isNotNull() & F.col("in_mh").isNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_fuzzy_only"),
@@ -6840,21 +6849,30 @@ def sketch_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = lsh.join(shp, ["id_a", "id_b"], "full_outer")
     return j.agg(
-        F.sum(
-            F.when(F.col("in_lsh").isNotNull() & F.col("in_sh").isNotNull(), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_lsh").isNotNull() & F.col("in_sh").isNotNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_both"),
-        F.sum(
-            F.when(F.col("in_lsh").isNotNull() & F.col("in_sh").isNull(), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_lsh").isNotNull() & F.col("in_sh").isNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_lsh_only"),
-        F.sum(
-            F.when(F.col("in_sh").isNotNull() & F.col("in_lsh").isNull(), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_sh").isNotNull() & F.col("in_lsh").isNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_simhash_only"),
@@ -7523,7 +7541,8 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT dot.qid, dot.nid,
-             CAST(dot.dot AS DOUBLE) / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS sim
+             CAST(dot.dot AS DOUBLE)
+             / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS sim
       FROM dot JOIN n2 a ON a.doc_id = dot.qid JOIN n2 b ON b.doc_id = dot.nid
     )
     SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
@@ -7611,14 +7630,25 @@ def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=6,
     ).select("id_a", "id_b", F.lit(True).alias("in_image"))
     j = tpairs.join(ipairs, ["id_a", "id_b"], "full_outer")
+    # coalesce: on a corpus with NO pairs from either signal the global
+    # agg's sums are NULL while the oracle's scalar counts are 0
     return j.agg(
-        F.sum(F.when(F.col("in_text"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("in_text"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_text"),
-        F.sum(F.when(F.col("in_image"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("in_image"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_image"),
-        F.sum(F.when(F.col("in_text") & F.col("in_image"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_text") & F.col("in_image"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_both"),
         F.count("*").cast("long").alias("n_union"),
