@@ -507,6 +507,12 @@ def image_dimensions(
 
 GRAY_R, GRAY_G, GRAY_B = 299, 587, 114  # ITU-R BT.601 luma, milli-units
 
+# Decode ceiling for untrusted crawl payloads: reject any raster whose
+# declared dimensions exceed this BEFORE allocating (16M px = 4096² —
+# RGBA raw raster 64 MB, bounded per Arrow batch row). Raise for
+# trusted corpora of large stills.
+MAX_PIXELS = 16_777_216
+
 
 def png_encode_gray(pixels, width: int, height: int) -> bytes:
     """Minimal 8-bit grayscale PNG writer (zlib + stdlib only): one IDAT,
@@ -572,6 +578,15 @@ def _png_decode_gray(b: bytes):
         pos += 12 + ln
     if width is None:
         raise ValueError("PNG without IHDR")
+    if width * height > MAX_PIXELS:
+        # decompression-bomb guard (r06 ADVICE): a crafted IHDR can
+        # declare a huge raster and drive the allocations below into
+        # executor OOM — MemoryError is not reliably catchable by the
+        # NULL-hash policy, so reject BEFORE allocating. ValueError so
+        # dhash_rows et al. treat it like any other bad payload.
+        raise ValueError(
+            f"PNG raster {width}x{height} exceeds MAX_PIXELS={MAX_PIXELS}"
+        )
     if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG depth={depth} ctype={ctype} interlace={interlace}: only "
@@ -579,51 +594,81 @@ def _png_decode_gray(b: bytes):
             "zero-dep; install Pillow for the rest"
         )
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(bytes(idat))
     stride = width * nch
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
+    # inflate at most the raster we expect (height filter bytes + pixel
+    # rows): a small zip-bomb IDAT cannot expand past the bound, and a
+    # stream that inflates to LESS than the raster is truncated
+    expected = height * (stride + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    if len(raw) < expected:
+        raise ValueError("truncated PNG IDAT")
+    import numpy as np
+
+    # filter reconstruction, numpy-vectorized where the recurrence
+    # allows (r06 ADVICE — the per-pixel Python loop was seconds per
+    # megapixel): None is a copy, Up is one wrapping uint8 add, Sub is
+    # a per-channel prefix sum (uint8 accumulate wraps mod 256 — the
+    # & 0xFF of the scalar code). Average/Paeth depend on the
+    # reconstructed LEFT pixel, a sequential recurrence, and stay
+    # scalar — identical arithmetic, just rarer filters.
+    arr = np.frombuffer(raw[:expected], dtype=np.uint8).reshape(
+        height, stride + 1
+    )
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        f = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if f == 1:  # Sub
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
+        f = int(arr[y, 0])
+        row = arr[y, 1:]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub
+            rec = np.add.accumulate(
+                row.reshape(width, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif f == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = row[i - nch] if i >= nch else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - nch] if i >= nch else 0
-                c = prev[i - nch] if i >= nch else 0
-                p = a + prev[i] - c
-                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (prev[i] if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif f != 0:
+            rec = row + prev  # uint8 wraps mod 256
+        elif f in (3, 4):
+            rb = bytearray(row.tobytes())
+            pb = prev.tobytes()
+            if f == 3:  # Average
+                for i in range(stride):
+                    a = rb[i - nch] if i >= nch else 0
+                    rb[i] = (rb[i] + ((a + pb[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    a = rb[i - nch] if i >= nch else 0
+                    c = pb[i - nch] if i >= nch else 0
+                    p = a + pb[i] - c
+                    pa, pp, pc = abs(p - a), abs(p - pb[i]), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pp and pa <= pc
+                        else (pb[i] if pp <= pc else c)
+                    )
+                    rb[i] = (rb[i] + pred) & 0xFF
+            rec = np.frombuffer(bytes(rb), dtype=np.uint8)
+        else:
             raise ValueError(f"bad PNG filter {f}")
-        out[y * stride : (y + 1) * stride] = row
-        prev = row
-    gray = bytearray(width * height)
-    for i in range(width * height):
-        if ctype == 0:
-            gray[i] = out[i]
-        elif ctype == 4:
-            gray[i] = out[2 * i]
-        elif ctype == 3:
-            pi = out[i] * 3
-            r, g, bl = palette[pi], palette[pi + 1], palette[pi + 2]
-            gray[i] = (GRAY_R * r + GRAY_G * g + GRAY_B * bl) // 1000
-        else:  # 2 or 6
-            o = i * nch
-            gray[i] = (
-                GRAY_R * out[o] + GRAY_G * out[o + 1] + GRAY_B * out[o + 2]
-            ) // 1000
-    return width, height, gray
+        out[y] = rec
+        prev = out[y]
+    # grayscale conversion: same BT.601 milli-unit integer formula as
+    # the scalar code, vectorized (floor-div keeps it bit-exact)
+    flat = out.reshape(-1)
+    if ctype == 0:
+        g = flat
+    elif ctype == 4:
+        g = flat[0::2]
+    elif ctype == 3:
+        pal = np.frombuffer(palette, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].astype(np.int64).reshape(-1, 3)
+        pg = (GRAY_R * pal[:, 0] + GRAY_G * pal[:, 1] + GRAY_B * pal[:, 2]) // 1000
+        g = pg[flat.astype(np.int64)].astype(np.uint8)  # OOB → IndexError
+    else:  # 2 or 6
+        px = flat.reshape(-1, nch).astype(np.int64)
+        g = (
+            (GRAY_R * px[:, 0] + GRAY_G * px[:, 1] + GRAY_B * px[:, 2]) // 1000
+        ).astype(np.uint8)
+    return width, height, bytearray(g.tobytes())
 
 
 def _gif_decode_gray(b: bytes):
@@ -649,6 +694,13 @@ def _gif_decode_gray(b: bytes):
         elif block == 0x2C:  # image descriptor
             width = int.from_bytes(b[pos + 5 : pos + 7], "little")
             height = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            if width * height > MAX_PIXELS:
+                # same bomb guard as _png_decode_gray (GIF dims are
+                # 16-bit so the ceiling is 2^32 px without this)
+                raise ValueError(
+                    f"GIF raster {width}x{height} exceeds "
+                    f"MAX_PIXELS={MAX_PIXELS}"
+                )
             ipacked = b[pos + 9]
             pos += 10
             table = gct
@@ -759,19 +811,30 @@ def box_resample_gray(gray, width: int, height: int, out_w: int, out_h: int):
     mean of its source rectangle (floor-boundary partition of the
     image). Exact — no floats — so both engines of a differential test
     agree bit-for-bit; when width/height are exact multiples the blocks
-    are uniform tiles and the mean of a constant tile is its value."""
-    out = []
-    for r in range(out_h):
-        y0, y1 = r * height // out_h, max((r + 1) * height // out_h, r * height // out_h + 1)
-        for c in range(out_w):
-            x0, x1 = c * width // out_w, max((c + 1) * width // out_w, c * width // out_w + 1)
-            s = 0
-            for y in range(y0, y1):
-                base = y * width
-                for x in range(x0, x1):
-                    s += gray[base + x]
-            out.append(s // ((y1 - y0) * (x1 - x0)))
-    return out
+    are uniform tiles and the mean of a constant tile is its value.
+    Computed via an int64 integral image (r06 ADVICE: the triple
+    Python loop was the per-megapixel hot spot) — identical floor
+    arithmetic, vectorized block sums."""
+    import numpy as np
+
+    g = np.frombuffer(bytes(gray), dtype=np.uint8).astype(np.int64)
+    g = g[: width * height].reshape(height, width)
+    ii = np.zeros((height + 1, width + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    r = np.arange(out_h)
+    y0 = r * height // out_h
+    y1 = np.maximum((r + 1) * height // out_h, y0 + 1)
+    c = np.arange(out_w)
+    x0 = c * width // out_w
+    x1 = np.maximum((c + 1) * width // out_w, x0 + 1)
+    s = (
+        ii[np.ix_(y1, x1)]
+        - ii[np.ix_(y0, x1)]
+        - ii[np.ix_(y1, x0)]
+        + ii[np.ix_(y0, x0)]
+    )
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (s // area).reshape(-1).tolist()
 
 
 def dhash_bytes(payload: bytes) -> list[int]:
@@ -1185,6 +1248,18 @@ def audio_fp_bytes(payload: bytes, windows: int = 72) -> list[int]:
     layout is identical to dhash_bytes so phash_near_pairs /
     write_phash_index / incremental_phash_pairs work unchanged on audio
     corpora."""
+    # the gradient grid is 8 rows (one output byte each) of
+    # windows//8 spans, comparing adjacent spans within a row — so
+    # `windows` must be a multiple of 8 with 2..9 spans per row (a row
+    # byte holds at most 8 comparison bits). The previous signature
+    # accepted any value and then indexed a hardcoded 8x9 grid
+    # (r06 ADVICE).
+    if windows % 8 != 0 or not 2 <= windows // 8 <= 9:
+        raise ValueError(
+            f"windows={windows}: need a multiple of 8 in [16, 72] "
+            "(8 grid rows x 2..9 spans)"
+        )
+    cols = windows // 8
     _, _, bits, x = _parse_wav(bytes(payload or b""))
     ch0 = x[:, 0]
     scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}.get(bits, 32768.0)
@@ -1197,8 +1272,8 @@ def audio_fp_bytes(payload: bytes, windows: int = 72) -> list[int]:
     out = []
     for r in range(8):
         v = 0
-        for c in range(8):
-            if env[r * 9 + c] < env[r * 9 + c + 1]:
+        for c in range(cols - 1):
+            if env[r * cols + c] < env[r * cols + c + 1]:
                 v |= 1 << c
         out.append(v)
     return out

@@ -429,4 +429,40 @@ def test_cache_scoped_query_leaves_no_pinned_blocks(spark, name):
     df = QUERIES[name](spark, SF)
     leaked = _persistent_rdd_ids(spark) - before
     assert not leaked, f"{name} left pinned RDDs {leaked} after return"
-    assert df.count() >= 0  # result survives as a local relation
+    assert df.count() >= 0  # result survives the cache release
+
+
+@pytest.mark.parametrize("name", ["near_dup_pairs", "image_phash_pairs"])
+def test_finalized_pair_query_result_is_distributed(spark, name):
+    # r06 VERDICT finding #1: pair-emitting scoped queries must NOT
+    # funnel their (corpus-proportional) result through the driver —
+    # the finalized frame is a distributed parquet scan of the
+    # materialized result, not a driver-local relation
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan, f"{name} finalized on the driver"
+    assert "parquet" in plan.lower()
+    assert df.count() >= 0
+
+
+def test_cache_scope_isolation(spark):
+    # r06 ADVICE: releasing one query's scope must not steal caches a
+    # concurrent caller registered outside it (global) or in another
+    # open scope
+    from bearysta_spark.cachescope import (
+        cache_scope,
+        release_scoped_caches,
+        scoped_cache,
+    )
+
+    release_scoped_caches()
+    outer = scoped_cache(spark.range(5))
+    outer.count()
+    with cache_scope() as inner_scope:
+        inner = scoped_cache(spark.range(7))
+        inner.count()
+        assert inner_scope.release() == 1  # frees ONLY the inner cache
+    assert outer.storageLevel.useMemory  # global cache untouched
+    assert inner_scope.release() == 0  # idempotent
+    assert release_scoped_caches() == 1  # global drain frees outer
+    assert not outer.storageLevel.useMemory

@@ -1544,3 +1544,102 @@ def test_box_resample_uniform_tile_property():
         assert MM.box_resample_gray(buf, w, h, 9, 8) == grid
 
     check()
+
+
+def test_png_bomb_guards_reject_before_allocating():
+    import struct
+    import zlib
+
+    # crafted IHDR declaring a ~4-gigapixel raster: rejected on the
+    # declared dims (ValueError → NULL-hash policy), no allocation
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        MM._png_decode_gray(bomb)
+
+    # zip-bomb IDAT behind honest small dims: inflate is bounded to the
+    # declared raster, so the decode succeeds with the expected bytes
+    # instead of materializing the bomb
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x07" * 4) * 2
+    bombed_idat = zlib.compress(raw + b"\x00" * 10_000_000)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bombed_idat)
+        + chunk(b"IEND", b"")
+    )
+    w, h, gray = MM._png_decode_gray(png)
+    assert (w, h, list(gray)) == (4, 2, [7] * 8)
+
+    # truncated IDAT (inflates to less than the raster) raises instead
+    # of producing garbage rows
+    short = zlib.compress(raw[:3])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        MM._png_decode_gray(png)
+
+
+def test_gif_bomb_guard_rejects_huge_raster():
+    # GIF with 65535x65535 image descriptor and a 4-byte "stream"
+    hdr = b"GIF89a" + b"\x04\x00\x04\x00" + bytes([0x80, 0, 0]) + b"\x00" * 6
+    desc = b"\x2c" + b"\x00\x00\x00\x00" + b"\xff\xff\xff\xff" + b"\x00"
+    body = b"\x02\x01\x00\x00" + b"\x3b"
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        MM._gif_decode_gray(hdr + desc + body)
+
+
+def test_audio_fp_windows_validation_and_smaller_grid():
+    wav = MM.wav_encode_pcm16([((i % 128) - 64) * 256 for i in range(720)])
+    with pytest.raises(ValueError, match="windows"):
+        MM.audio_fp_bytes(wav, windows=50)
+    with pytest.raises(ValueError, match="windows"):
+        MM.audio_fp_bytes(wav, windows=80)
+    fp16 = MM.audio_fp_bytes(wav, windows=16)  # 8 rows x 2 spans: 1 bit/row
+    assert len(fp16) == 8 and all(0 <= b <= 1 for b in fp16)
+    assert MM.audio_fp_bytes(wav) == MM.audio_fp_bytes(wav, windows=72)
+
+
+def test_box_resample_matches_naive_reference():
+    # the integral-image implementation must reproduce the scalar
+    # floor-arithmetic definition bit-for-bit on awkward sizes
+    import random
+
+    def naive(gray, width, height, out_w, out_h):
+        out = []
+        for r in range(out_h):
+            y0 = r * height // out_h
+            y1 = max((r + 1) * height // out_h, y0 + 1)
+            for c in range(out_w):
+                x0 = c * width // out_w
+                x1 = max((c + 1) * width // out_w, x0 + 1)
+                s = sum(
+                    gray[y * width + x]
+                    for y in range(y0, y1)
+                    for x in range(x0, x1)
+                )
+                out.append(s // ((y1 - y0) * (x1 - x0)))
+        return out
+
+    rnd = random.Random(3)
+    for w, h, ow, oh in [(9, 8, 9, 8), (13, 7, 9, 8), (5, 3, 9, 8), (40, 33, 8, 8)]:
+        buf = bytes(rnd.randrange(256) for _ in range(w * h))
+        assert MM.box_resample_gray(buf, w, h, ow, oh) == naive(buf, w, h, ow, oh)
