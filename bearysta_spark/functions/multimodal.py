@@ -167,6 +167,85 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(kernel, RESIZE_SCHEMA)
 
 
+def read_media_corpus(
+    spark,
+    root: str,
+    glob: str | None = None,
+    id_from: str = "name",
+) -> DataFrame:
+    """Real-media ingestion (r06 VERDICT ask #3): scan a directory of
+    media files through Spark's `binaryFile` source into the
+    (doc_id, path, length, payload) shape every hash pipeline here
+    consumes — dhash_rows, audio_fp_rows, video_frame_hashes take this
+    frame as-is.
+
+    100 TB shape: binaryFile is a real FileFormat — distributed
+    listing, one partition per file group, and predicate pushdown on
+    the path/length/modificationTime metadata columns (filter on
+    `length < cap` BEFORE content bytes are materialized; a
+    pathGlobFilter prunes at listing time). Payload bytes appear once,
+    in the scan, and should be dropped at the first hash/feature stage
+    so shuffles never carry media (the module-wide contract).
+
+    id_from: 'name' parses the file stem as the numeric doc id (the
+    write_media_files layout — exact round trip); 'hash' derives
+    doc_id = xxhash64(path) for arbitrary corpora (collision odds
+    ~n²/2⁶⁵ — record `path` as the authoritative key downstream).
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.option("recursiveFileLookup", "true").load(root)
+    if id_from == "name":
+        stem = F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)", 1
+        )
+        doc_id = stem.cast("long")
+    elif id_from == "hash":
+        doc_id = F.xxhash64(F.col("path"))
+    else:
+        raise ValueError(f"id_from={id_from!r}: expected 'name' or 'hash'")
+    return df.select(
+        doc_id.alias("doc_id"),
+        "path",
+        "length",
+        F.col("content").alias("payload"),
+    )
+
+
+def write_media_files(
+    df: DataFrame,
+    root: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    ext: str = "bin",
+) -> DataFrame:
+    """Write one real file per row (`<id>.<ext>` under root) from the
+    executors — the corpus-writer half of the read_media_corpus round
+    trip. Lazy: returns the (id, path) manifest frame; trigger it with
+    .count() or a manifest write. `root` must be storage every executor
+    can write (shared fs on a cluster; any local dir in local mode).
+    Payload bytes stream through the Arrow kernel once and never enter
+    a shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        os.makedirs(root, exist_ok=True)
+        for pdf in batches:
+            paths = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                fp = os.path.join(root, f"{int(i)}.{ext}")
+                with open(fp, "wb") as f:
+                    f.write(bytes(p))
+                paths.append(fp)
+            yield pd.DataFrame({id_col: pdf[id_col], "path": paths})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, f"{id_col} long, path string"
+    )
+
+
 FRAME_SCHEMA = "doc_id long, frame int, payload binary, width int, height int"
 
 # bytes per pixel numerator/denominator for Y4M colourspace tags
@@ -1307,6 +1386,223 @@ def audio_fp_rows(
             yield pd.DataFrame(rows, columns=[id_col, "hash_bytes"])
 
     return df.select(id_col, payload_col).mapInPandas(gen, PHASH_SCHEMA)
+
+
+LANDMARK_SCHEMA = "doc_id long, key string"
+
+
+def audio_peak_triple_keys(payload: bytes) -> list[str]:
+    """Insertion-robust landmark fingerprint (Shazam-style on the
+    integer amplitude sequence): strict interior local maxima of
+    |amplitude| are the landmarks; every run of three consecutive peaks
+    emits the key 'v1:v2:v3:g1:g2' (peak values + inter-peak gaps).
+    Keys are TRANSLATION-INVARIANT — prepending or inserting audio
+    shifts peak positions but not values or gaps, so only the landmark
+    triples spanning the edit change, unlike audio_fp_bytes whose
+    length-relative windows all shift (the r06 VERDICT's audio
+    finding). Exact integer arithmetic throughout, SQL-replayable.
+    Matching is a plain equi-join on the key string — the same
+    scan-side/shuffle-light shape as video_shared_frame_pairs."""
+    _, _, bits, x = _parse_wav(bytes(payload or b""))
+    ch0 = x[:, 0]
+    scale = {8: 128.0, 16: 32768.0, 32: 2147483648.0}.get(bits, 32768.0)
+    ints = [abs(int(round(v * scale))) for v in ch0]
+    n = len(ints)
+    peaks = [
+        (i, ints[i])
+        for i in range(1, n - 1)
+        if ints[i - 1] < ints[i] > ints[i + 1]
+    ]
+    return [
+        f"{peaks[k][1]}:{peaks[k + 1][1]}:{peaks[k + 2][1]}"
+        f":{peaks[k + 1][0] - peaks[k][0]}:{peaks[k + 2][0] - peaks[k + 1][0]}"
+        for k in range(len(peaks) - 2)
+    ]
+
+
+def audio_landmark_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, key) per landmark triple per WAV payload (explode-shaped
+    mapInPandas, like sample_frames). Payload bytes move through Python
+    once; the output carries only short key strings, never media
+    bytes. Undecodable payloads contribute no rows (filter, don't
+    fail)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, keys = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    ks = audio_peak_triple_keys(bytes(payload or b""))
+                except (
+                    ValueError,
+                    IndexError,
+                    KeyError,
+                    ZeroDivisionError,
+                    struct.error,
+                ):
+                    continue
+                ids.extend([int(i)] * len(ks))
+                keys.extend(ks)
+            yield pd.DataFrame({id_col: ids, "key": keys})
+
+    return df.select(id_col, payload_col).mapInPandas(gen, LANDMARK_SCHEMA)
+
+
+AUDIO_FP_LANDMARK_SCHEMA = (
+    "doc_id long, fp array<int>, keys array<string>"
+)
+
+
+def audio_fp_landmark_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, envelope fp bytes, landmark key list) in ONE decode pass —
+    for audits that need both fingerprints (audio_landmark_recall):
+    each WAV is parsed once instead of once per fingerprint family.
+    Undecodable payloads yield NULL fp and empty keys."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload or b"")
+                try:
+                    fp = audio_fp_bytes(b)
+                    ks = audio_peak_triple_keys(b)
+                except (
+                    ValueError,
+                    IndexError,
+                    KeyError,
+                    ZeroDivisionError,
+                    struct.error,
+                ):
+                    fp, ks = None, []
+                rows.append((int(i), fp, ks))
+            yield pd.DataFrame(rows, columns=[id_col, "fp", "keys"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, AUDIO_FP_LANDMARK_SCHEMA
+    )
+
+
+def audio_landmark_pairs(
+    landmark_keys: DataFrame,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio near-dup pairs by shared landmark keys: (id_a, id_b,
+    shared_keys) for pairs sharing >= min_shared DISTINCT triples.
+    Insertion/prepend edits corrupt only the triples spanning the edit,
+    so near-dups keep most keys in common.
+
+    100 TB shape: exact equi-join on the key string (no banding);
+    repeated triples within one recording are deduped first so counts
+    are distinct-content, not cross products. Degenerate keys (silence
+    patterns, test tones shared by everything) are the hot-bucket
+    risk — cap them with dedup._drop_hot_keys on `key` before calling
+    for adversarial corpora, same policy as video_shared_frame_pairs."""
+    from bearysta_spark.cachescope import scoped_cache
+
+    ks = scoped_cache(landmark_keys.select(id_col, "key").distinct())
+    a = ks.withColumnRenamed(id_col, "id_a")
+    b = ks.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_keys"))
+        .filter(F.col("shared_keys") >= min_shared)
+    )
+
+
+def write_key_index(
+    keys: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    buckets: int = 32,
+) -> DataFrame:
+    """Persist a (id, key) match-key corpus index — the exact-key twin
+    of write_phash_index, shared by the audio landmark and video
+    frame-hash pipelines (both match on exact key equality, no
+    banding). Layout: hive-partitioned by kb = xxhash64(key) mod
+    `buckets` and key-clustered within partitions, so an incremental
+    probe prunes to the batch's buckets and parquet min/max stats skip
+    row groups on the key equi-join. Returns the (file, n_rows)
+    manifest from sinks.write_corpus."""
+    from bearysta_spark.sinks import write_corpus
+
+    kb = keys.select(
+        id_col,
+        key_col,
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+        .cast("int")
+        .alias("kb"),
+    ).distinct()
+    return write_corpus(kb, path, partition_by=["kb"], cluster_by=[key_col])
+
+
+def incremental_key_pairs(
+    index: DataFrame,
+    new_keys: DataFrame,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    buckets: int = 32,
+) -> DataFrame:
+    """Daily-ingest exact-key dedup: probe a persisted key index
+    (write_key_index) with a batch of freshly extracted keys (audio
+    landmarks, video frame hashes) and return (corpus_id, new_id,
+    shared_keys >= min_shared) pairs. Per-batch cost tracks the BATCH:
+    the increment keys only its own rows, the (kb, key) equi-join
+    prunes index partitions to the batch's buckets, and counts are
+    DISTINCT shared keys (repeats within one recording deduped up
+    front). The corpus media is never re-decoded."""
+    from bearysta_spark.cachescope import scoped_cache
+
+    nk = scoped_cache(
+        new_keys.select(
+            F.col(id_col).alias("new_id"),
+            F.col(key_col).alias("key"),
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
+            .cast("int")
+            .alias("kb"),
+        ).distinct()
+    )
+    ik = index.select(
+        F.col(id_col).alias("corpus_id"), F.col(key_col).alias("key"), "kb"
+    )
+    return (
+        ik.join(nk, ["kb", "key"])
+        .filter(F.col("corpus_id") != F.col("new_id"))
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count("*").cast("long").alias("shared_keys"))
+        .filter(F.col("shared_keys") >= min_shared)
+    )
+
+
+def video_frame_keys(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, key) rows from video_frame_hashes output: the frame dHash
+    bytes rendered as the join-key string (content-at-any-offset
+    matching — the align_frames=False flavor of
+    video_shared_frame_pairs), deduped per video so downstream counts
+    are distinct shared contents. Feed to write_key_index /
+    incremental_key_pairs for the persisted/streaming regimes."""
+    return frame_hashes.select(
+        F.col(id_col),
+        F.concat_ws(
+            "-", F.transform("hash_bytes", lambda x: x.cast("string"))
+        ).alias("key"),
+    ).distinct()
 
 
 def charcode_wav_payloads(

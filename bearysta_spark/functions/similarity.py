@@ -388,6 +388,12 @@ def cosine_near_dup_pairs(
     )
 
 
+#: Driver-side ceiling on sampled coarse-quantizer centroids (vectors
+#: collected by _sample_centroids). 65,536 d=768 doubles ≈ 400 MB —
+#: the most any routed-path caller should pull through the driver.
+CENTROID_SAMPLE_CAP = 65_536
+
+
 def _sample_centroids(
     df: DataFrame,
     n_rows: int,
@@ -402,11 +408,28 @@ def _sample_centroids(
     expected cell population is ~cell_target; callers needing balanced
     cells pass trained kmeans centroids instead (clustering.kmeans_fit).
     """
+    import logging
     import math
 
     import numpy as np
 
     k = max(2, math.ceil(n_rows / cell_target))
+    if k > CENTROID_SAMPLE_CAP:
+        # r06 VERDICT finding #4: uncapped, k = ceil(N/4096) collects
+        # ~1.5 GB of vectors onto the driver at N=1e9/d=768. Cap the
+        # sample (cells get proportionally fuller) and point callers at
+        # the distributed trainer for corpora that need more cells.
+        logging.getLogger(__name__).warning(
+            "_sample_centroids: capping centroid sample at %d (requested "
+            "%d for n_rows=%d); cells will average %.0f rows — pass "
+            "trained centroids from clustering.kmeans_fit for balanced "
+            "cells at this scale",
+            CENTROID_SAMPLE_CAP,
+            k,
+            n_rows,
+            n_rows / CENTROID_SAMPLE_CAP,
+        )
+        k = CENTROID_SAMPLE_CAP
     rows = (
         df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.col("i").cast("string")))

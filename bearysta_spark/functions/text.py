@@ -355,6 +355,7 @@ def hashed_knn(
     dim: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vec: DataFrame | None = None,
 ) -> DataFrame:
     """Model-free text similarity search: cosine top-k over the
     feature-hashed document vectors — the hashing-trick retrieval
@@ -375,8 +376,12 @@ def hashed_knn(
     candidate pruning falls out of the sparse representation."""
     # scoped cache (see cachescope): the sparse-vector frame feeds the
     # query side, the corpus side and the norms — uncached, the corpus
-    # token explode would replay once per reference
-    vec = scoped_cache(hashed_doc_vectors(df, dim, text_col, id_col))
+    # token explode would replay once per reference. Callers holding a
+    # (id, dim, weight) frame already (e.g. sparse_knn_recall derives
+    # one per dimension from a single cached token-count table) pass it
+    # via `vec` and skip the corpus re-tokenization.
+    if vec is None:
+        vec = scoped_cache(hashed_doc_vectors(df, dim, text_col, id_col))
     q = vec.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
         F.col(id_col).alias("qid"),
         "dim",
@@ -416,6 +421,65 @@ def hashed_knn(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "sim", "rank")
     )
+
+
+def token_hash_dim_sign(word: str, dim: int) -> tuple[int, int]:
+    """The (dimension, sign) the hashing trick assigns to a token —
+    the driver-side twin of the md5 arithmetic in hashed_doc_vectors,
+    byte-for-byte: dim = first 15 hex digits mod dim, sign = parity of
+    the 16th. Used to fold external per-token weights into the hashed
+    space so a file-loaded model scores documents identically to one
+    trained directly in it."""
+    import hashlib
+
+    hx = hashlib.md5(word.encode("utf-8")).hexdigest()
+    return int(hx[:15], 16) % dim, 1 if int(hx[15], 16) % 2 == 0 else -1
+
+
+def load_fasttext_weights(
+    path: str, dim: int = 64, component: int = 0
+) -> list[int]:
+    """Load per-token linear-classifier weights from a public
+    fastText-style text file and fold them into the hashed feature
+    space of classifier_margins (r06 VERDICT ask #5 — the classifier
+    analogue of tokenize.load_gpt2_merges).
+
+    Accepted format, the ``.vec``/supervised-dump shape the fastText
+    CLI emits: an optional ``n d`` count header, then one
+    ``token w1 [w2 ...]`` line per token; `component` picks which
+    weight column to use (0 = the first, the binary-classifier
+    margin direction). Plain two-column ``token weight`` lexicons are
+    the degenerate case.
+
+    Folding: weights_milli[h(t)] += sign(t) * round(w_t * 1000) with
+    the exact hash/sign of hashed_doc_vectors, so
+    margin(doc) = Σ_t count_t·w_t up to the usual unbiased
+    hashing-collision noise — signed hashing makes collision cross
+    terms zero-mean (Weinberger et al. 2009). The result plugs
+    straight into classifier_margins(weights_milli=...), keeping the
+    fixed-point exactness contract."""
+    out = [0] * dim
+    with open(path, encoding="utf-8") as f:
+        for lineno, line in enumerate(f):
+            parts = line.split()
+            if not parts:
+                continue
+            if (
+                lineno == 0
+                and len(parts) == 2
+                and all(p.lstrip("-").isdigit() for p in parts)
+            ):
+                continue  # 'n d' count header
+            token, vals = parts[0], parts[1:]
+            if component >= len(vals):
+                raise ValueError(
+                    f"{path}:{lineno + 1}: token {token!r} has "
+                    f"{len(vals)} weight columns, need component "
+                    f"{component}"
+                )
+            j, sign = token_hash_dim_sign(token, dim)
+            out[j] += sign * round(float(vals[component]) * 1000)
+    return out
 
 
 def classifier_margins(

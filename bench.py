@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "video_frame_dedup",
     "multimodal_dedup_agreement",
     "knn_sparse_text",
+    "audio_landmark_recall",
+    "sparse_knn_recall",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -176,6 +178,29 @@ BENCH_QUERIES = [
     # is covered by near_dup_pairs (the pair-generation stage
     # dominates) and the replica timings.
 ]
+
+
+# The 22 TPC-H queries have been code-identical since r01 and serve as
+# the host-speed control: their minute-scale drift is hypervisor noise,
+# not code change (r05/r06 calibration runs spanned 1.17x-1.70x on an
+# identical tree). These are the recorded r05 per-query minima at
+# sf0.1/32 cores; the JSON emits control_sec (this run's sum over the
+# same 22) and control_ratio (control_sec / 11.79) IN-BAND so
+# cross-round tooling can normalize without reading BASELINE.md prose
+# (r06 VERDICT finding #3).
+CONTROL_R05_MINIMA = {
+    "q1_pricing_summary": 1.14, "q6_forecast_revenue": 0.21,
+    "q3_shipping_priority": 0.69, "q5_region_volume": 0.71,
+    "q4_order_priority": 0.6, "q13_customer_distribution": 0.34,
+    "q16_supplier_variety": 0.53, "q17_small_qty_revenue": 0.39,
+    "q18_large_orders": 0.66, "q22_dormant_customers": 0.33,
+    "q7_nation_volume": 0.75, "q10_return_losses": 0.54,
+    "q12_late_shipments": 0.56, "q14_promo_revenue": 0.29,
+    "q15_top_supplier": 0.36, "q19_disjunctive_join": 0.32,
+    "q20_bulk_shippers": 0.41, "q2_min_cost_supplier": 0.34,
+    "q8_market_share": 0.92, "q9_product_profit": 0.65,
+    "q11_concentrated_balances": 0.18, "q21_waiting_suppliers": 0.87,
+}
 
 
 def main() -> None:
@@ -241,6 +266,10 @@ def main() -> None:
     times = {k: round(v, 4) for k, v in times.items()}
 
     total = round(sum(times.values()), 2)
+    control_sec = round(
+        sum(times.get(k, 0.0) for k in CONTROL_R05_MINIMA), 2
+    )
+    control_ratio = round(control_sec / sum(CONTROL_R05_MINIMA.values()), 3)
 
     # Production-path variants: the registered dedup queries run
     # oracle_safe=True (md5-based hashing, engine-portable for the DuckDB
@@ -416,6 +445,8 @@ def main() -> None:
         "semantic_dedup_stats": "semdd",
         "hashed_vector_stats": "fhash",
         "knn_ivf_pq_persisted": "ivfpqp",
+        "audio_landmark_recall": "lmrec",
+        "sparse_knn_recall": "sprec",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",
@@ -434,6 +465,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": q,
                 "prod_xxhash": prod_times,
+                "control_sec": control_sec,
+                "control_ratio": control_ratio,
                 "n": n_runs,
                 "sf": sf,
             },

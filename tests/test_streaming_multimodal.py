@@ -1643,3 +1643,313 @@ def test_box_resample_matches_naive_reference():
     for w, h, ow, oh in [(9, 8, 9, 8), (13, 7, 9, 8), (5, 3, 9, 8), (40, 33, 8, 8)]:
         buf = bytes(rnd.randrange(256) for _ in range(w * h))
         assert MM.box_resample_gray(buf, w, h, ow, oh) == naive(buf, w, h, ow, oh)
+
+
+def test_audio_landmark_keys_translation_invariant():
+    # prepending audio shifts peak positions but not (values, gaps):
+    # every original triple key survives except at the junction
+    samples = [((i * 37 + 11) % 128 - 64) * 256 for i in range(400)]
+    wav = MM.wav_encode_pcm16(samples)
+    wav_ins = MM.wav_encode_pcm16([5000, -9000, 3000] + samples)
+    k0 = set(MM.audio_peak_triple_keys(wav))
+    k1 = set(MM.audio_peak_triple_keys(wav_ins))
+    assert len(k0) > 20
+    assert len(k0 & k1) >= len(k0) - 3  # only junction triples may differ
+    # whereas the envelope hash moves by many bits under the same edit
+    fp0, fp1 = MM.audio_fp_bytes(wav), MM.audio_fp_bytes(wav_ins)
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(fp0, fp1))
+    assert ham > 6
+
+
+def test_audio_landmark_pairs_spark(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "xx" + "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content with nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    wav = MM.charcode_wav_payloads(df)
+    keys = MM.audio_landmark_rows(wav)
+    pairs = MM.audio_landmark_pairs(keys, min_shared=5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    release_scoped_caches()
+
+
+# -- real-media ingestion round trip (r07): write_media_files → on-disk
+# fixture corpus → read_media_corpus (binaryFile) → the SAME hash
+# pipelines the synthetic-path queries use ---------------------------------
+
+
+def _near_dup_texts(spark):
+    t = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches quietly from the garden fence nearby today"
+    )
+    return spark.createDataFrame(
+        [(10, t), (11, t + " x"), (12, "entirely different words " * 5)],
+        "doc_id long, text string",
+    )
+
+
+def test_media_roundtrip_image_dedup(spark, tmp_path):
+    root = str(tmp_path / "imgs")
+    pngs = MM.charcount_grid_pngs(_near_dup_texts(spark), "abcdefghijklmnopqr")
+    assert MM.write_media_files(pngs, root, ext="png").count() == 3
+    corpus = MM.read_media_corpus(spark, root, glob="*.png")
+    assert sorted(r.doc_id for r in corpus.select("doc_id").collect()) == [10, 11, 12]
+    hashes = MM.dhash_rows(corpus)
+    pairs = MM.phash_near_pairs(hashes, max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10, 11) in got and (10, 12) not in got
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    release_scoped_caches()
+
+
+def test_media_roundtrip_audio_dedup(spark, tmp_path):
+    root = str(tmp_path / "wavs")
+    wavs = MM.charcode_wav_payloads(_near_dup_texts(spark))
+    assert MM.write_media_files(wavs, root, ext="wav").count() == 3
+    corpus = MM.read_media_corpus(spark, root, glob="*.wav")
+    keys = MM.audio_landmark_rows(corpus)
+    pairs = MM.audio_landmark_pairs(keys, min_shared=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10, 11) in got and (10, 12) not in got
+    # envelope fingerprints flow through the same frame too
+    fps = MM.audio_fp_rows(corpus)
+    assert fps.filter("hash_bytes is not null").count() == 3
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    release_scoped_caches()
+
+
+def test_media_roundtrip_video_dedup(spark, tmp_path):
+    root = str(tmp_path / "vids")
+    # video near-dup needs SAME-LENGTH texts (slice boundaries are
+    # length-relative): doc 11 differs from 10 only in the final 10
+    # chars, so the first 3 of 4 frames are identical
+    t = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches quietly from the garden fence nearby today"
+    )
+    texts = spark.createDataFrame(
+        [(10, t), (11, t[:-10] + "qqqqqqqqqq"), (12, "z o " * 27 + "end")],
+        "doc_id long, text string",
+    )
+    vids = MM.charcount_video_payloads(texts, "abcdefghijklmnopqr")
+    assert MM.write_media_files(vids, root, ext="y4m").count() == 3
+    corpus = MM.read_media_corpus(spark, root, glob="*.y4m")
+    fh = MM.video_frame_hashes(corpus)
+    pairs = MM.video_shared_frame_pairs(fh, min_shared=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10, 11) in got and (10, 12) not in got
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    release_scoped_caches()
+
+
+def test_media_corpus_plan_single_binaryfile_pass(spark, tmp_path):
+    # plan pin (r06 VERDICT ask #3): the hash stage reads the
+    # binaryFile relation ONCE, and a length predicate reaches the scan
+    # as a pushed data filter (binaryFile supports length/path
+    # pushdown) — payload bytes are never read twice
+    import contextlib
+    import io
+
+    root = str(tmp_path / "imgs")
+    pngs = MM.charcount_grid_pngs(_near_dup_texts(spark), "abcdefghijklmnopqr")
+    MM.write_media_files(pngs, root, ext="png").count()
+    corpus = MM.read_media_corpus(spark, root, glob="*.png")
+    hashes = MM.dhash_rows(corpus.filter(F.col("length") < 10_000_000))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hashes.explain("formatted")
+    p = buf.getvalue()
+    # one scan node = exactly two mentions in formatted output (tree
+    # line + detail header); payload bytes are read once
+    assert p.count("Scan binaryFile") == 2
+    assert "LessThan(length,10000000)" in p
+    # column pruning: modificationTime never read
+    assert "modificationTime" not in p
+
+
+def test_read_media_corpus_id_modes(spark, tmp_path):
+    root = str(tmp_path / "m")
+    wavs = MM.charcode_wav_payloads(_near_dup_texts(spark))
+    MM.write_media_files(wavs, root, ext="wav").count()
+    by_hash = MM.read_media_corpus(spark, root, id_from="hash")
+    rows = by_hash.select("doc_id", "path").collect()
+    assert len({r.doc_id for r in rows}) == 3  # distinct per path
+    with pytest.raises(ValueError, match="id_from"):
+        MM.read_media_corpus(spark, root, id_from="bogus")
+
+
+def test_streaming_audio_neardup_matches_batch_and_survives_replay(
+    spark, documents, tmp_path
+):
+    # audio arm of the streaming dedup family: landmark keys stream in
+    # two micro-batches against the persisted key index; union of
+    # outputs equals the batch incremental result, and a truncated
+    # checkpoint (mid-batch kill) must not duplicate pairs
+    from bearysta_spark.streaming.neardup import start_streaming_audio_neardup
+
+    wavs = MM.charcode_wav_payloads(documents.limit(200))
+    corp_keys = MM.audio_landmark_rows(wavs.filter(F.col("doc_id") % 10 != 0))
+    inc = wavs.filter(F.col("doc_id") % 10 == 0)
+
+    index = str(tmp_path / "lm_index")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    MM.write_key_index(corp_keys, index)
+
+    inc.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+            land
+        )
+        q = start_streaming_audio_neardup(stream, index, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    _truncate_last_commit(ckpt)
+    inc.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = sorted(
+        (r["corpus_id"], r["new_id"], r["shared_keys"])
+        for r in spark.read.parquet(out)
+        .select("corpus_id", "new_id", "shared_keys")
+        .collect()
+    )
+    want = sorted(
+        (r["corpus_id"], r["new_id"], r["shared_keys"])
+        for r in MM.incremental_key_pairs(
+            spark.read.parquet(index), MM.audio_landmark_rows(inc)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_streaming_audio_neardup_envelope_method(spark, documents, tmp_path):
+    # the cheap-variant arm: envelope fingerprints probed against a
+    # phash index, same machinery as the image stream
+    from bearysta_spark.streaming.neardup import start_streaming_audio_neardup
+
+    docs = documents.limit(60).select("doc_id", "text")
+    # plant an exact duplicate of corpus doc 1 in the increment id
+    # space so the stream provably emits at least one pair
+    dup = docs.filter(F.col("doc_id") == 1).select(
+        F.lit(10000).alias("doc_id"), "text"
+    )
+    wavs = MM.charcode_wav_payloads(docs.unionAll(dup))
+    corp_h = MM.audio_fp_rows(wavs.filter(F.col("doc_id") % 10 != 0))
+    inc = wavs.filter(F.col("doc_id") % 10 == 0)
+
+    index = str(tmp_path / "fp_index")
+    land = str(tmp_path / "land")
+    MM.write_phash_index(corp_h, index)
+    inc.coalesce(1).write.parquet(land)
+
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(land)
+    q = start_streaming_audio_neardup(
+        stream, index, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        method="envelope",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["corpus_id"], r["new_id"], r["hamming"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("corpus_id", "new_id", "hamming")
+        .collect()
+    )
+    want = sorted(
+        (r["corpus_id"], r["new_id"], r["hamming"])
+        for r in MM.incremental_phash_pairs(
+            spark.read.parquet(index), MM.audio_fp_rows(inc)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="method"):
+        start_streaming_audio_neardup(stream, index, "x", "y", method="nope")
+
+
+def test_streaming_video_neardup_matches_batch_and_survives_replay(
+    spark, documents, tmp_path
+):
+    from bearysta_spark.queries import _PHASH_LETTERS
+    from bearysta_spark.streaming.neardup import start_streaming_video_neardup
+
+    docs = documents.limit(120).select("doc_id", "text")
+    # plant exact duplicates of corpus docs 1 and 3 in the increment id
+    # space (one per micro-batch: 10000 % 20 == 0 lands in batch 0,
+    # 10010 % 20 != 0 in batch 1) so both batches emit pairs
+    dups = docs.filter(F.col("doc_id").isin([1, 3])).select(
+        F.when(F.col("doc_id") == 1, F.lit(10000))
+        .otherwise(F.lit(10010))
+        .alias("doc_id"),
+        "text",
+    )
+    vids = MM.charcount_video_payloads(
+        docs.unionAll(dups), _PHASH_LETTERS
+    )
+    corp_fh = MM.video_frame_hashes(vids.filter(F.col("doc_id") % 10 != 0))
+    inc = vids.filter(F.col("doc_id") % 10 == 0)
+
+    index = str(tmp_path / "vf_index")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    MM.write_key_index(MM.video_frame_keys(corp_fh), index)
+
+    inc.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+            land
+        )
+        q = start_streaming_video_neardup(stream, index, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    _truncate_last_commit(ckpt)
+    inc.filter(F.col("doc_id") % 20 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+
+    got = sorted(
+        (r["corpus_id"], r["new_id"], r["shared_keys"])
+        for r in spark.read.parquet(out)
+        .select("corpus_id", "new_id", "shared_keys")
+        .collect()
+    )
+    want = sorted(
+        (r["corpus_id"], r["new_id"], r["shared_keys"])
+        for r in MM.incremental_key_pairs(
+            spark.read.parquet(index),
+            MM.video_frame_keys(MM.video_frame_hashes(inc)),
+            min_shared=2,
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -441,3 +441,64 @@ def test_hll_weekly_merge_equals_direct(spark, sf_dir):
 
     for r in QUERIES["hll_weekly_rollup"](spark, sf_dir).collect():
         assert r["est_merged"] == r["est_direct"], r
+
+
+def test_load_fasttext_weights_roundtrip(tmp_path, spark):
+    from bearysta_spark.functions import text as T
+
+    dim = 64
+    vec = tmp_path / "model.vec"
+    vec.write_text(
+        "3 2\n"
+        "good 2.5 0.1\n"
+        "bad -1.75 0.2\n"
+        "meh 0.25 -3.0\n"
+    )
+    w = T.load_fasttext_weights(str(vec), dim=dim)
+    assert len(w) == dim
+    # verify the fold against the hash arithmetic directly
+    toks = {"good": 2500, "bad": -1750, "meh": 250}
+    dims = {t: T.token_hash_dim_sign(t, dim) for t in toks}
+    assert len({j for j, _ in dims.values()}) == 3  # no collisions at 64
+    for t, wm in toks.items():
+        j, s = dims[t]
+        assert w[j] == s * wm
+    # margins through the real classifier match the per-token model
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "meh"), (3, "bad bad bad")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.margin_milli
+        for r in T.classifier_margins(df, w, bias_milli=100).collect()
+    }
+    assert got == {1: 2 * 2500 - 1750 + 100, 2: 250 + 100, 3: -3 * 1750 + 100}
+    # second weight column via component=
+    w2 = T.load_fasttext_weights(str(vec), dim=dim, component=1)
+    j, s = dims["meh"]
+    assert w2[j] == s * -3000
+    # missing component is a hard error, not a silent zero
+    with pytest.raises(ValueError, match="component"):
+        T.load_fasttext_weights(str(vec), dim=dim, component=5)
+
+
+def test_sample_centroids_cap(spark, monkeypatch, caplog):
+    import logging
+
+    from bearysta_spark.functions import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    monkeypatch.setattr(S, "CENTROID_SAMPLE_CAP", 4)
+    with caplog.at_level(logging.WARNING, logger="bearysta_spark.functions.similarity"):
+        cents = S._sample_centroids(df, n_rows=40, id_col="vec_id",
+                                    vec_col="embedding", cell_target=1)
+    assert len(cents) == 4
+    assert any("capping centroid sample" in r.message for r in caplog.records)
+    # under the cap: no warning, k honored
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="bearysta_spark.functions.similarity"):
+        cents = S._sample_centroids(df, n_rows=40, id_col="vec_id",
+                                    vec_col="embedding", cell_target=10)
+    assert len(cents) == 4 and not caplog.records
