@@ -988,3 +988,109 @@ def edit_distance_pairs(
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
     )
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499 —
+    re-expressed for Spark): any run of `n` consecutive words whose
+    exact sequence appears in >= min_docs distinct documents is
+    duplicated text; every word position covered by such a span is
+    scrubbed and the document is rebuilt from the surviving words.
+    keep_first=True (the paper's semantics) leaves the span intact in
+    its lowest-doc_id occurrence and scrubs the copies; False scrubs
+    everywhere (boilerplate-removal mode, pair with a higher
+    min_docs). Returns (id, cleaned_text, n_words, n_removed) — one row
+    per input document, cleaned_text possibly empty.
+
+    This is the operator that catches what DOCUMENT-grain dedup cannot:
+    two distinct articles quoting the same syndicated paragraph keep
+    their distinct prose and lose only the shared span.
+
+    100 TB shape: suffix arrays (the paper's tool) don't distribute;
+    the Spark-native equivalent is stride-1 span keys + one span-grain
+    aggregate — rows ~= total corpus words at every stage, all codegen
+    (zero Python): posexplode words, sequence-explode spans, count
+    distinct docs per span (map-side combinable), explode covered
+    positions for flagged spans only, anti-join, rebuild via
+    array_sort(collect_list(struct(pos, word))). Span keys here are the
+    literal word strings for oracle replay; at petabyte scale hash them
+    (xxhash64) — the aggregate is the same shape either way."""
+    words = df.select(
+        id_col,
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("_w"),
+    )
+    pos = words.select(
+        id_col, F.posexplode("_w").alias("pos", "word")
+    )
+    win = (
+        words.filter(F.size("_w") >= n)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.size("_w") - n)).alias("p"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "p",
+            F.concat_ws(
+                " ",
+                F.col("_w")[F.col("p")],
+                *[F.col("_w")[F.col("p") + j] for j in range(1, n)],
+            ).alias("span"),
+        )
+    )
+    hot = (
+        win.select(id_col, "span")
+        .distinct()
+        .groupBy("span")
+        .agg(
+            F.count("*").alias("__df"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("__df") >= min_docs)
+    )
+    flagged = win.join(hot, "span")
+    if keep_first:
+        flagged = flagged.filter(F.col(id_col) != F.col("__keeper"))
+    bad = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = pos.join(bad, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("cleaned_text")
+    )
+    totals = words.select(
+        id_col, F.size("_w").cast("long").alias("n_words")
+    )
+    removed = bad.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_removed")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            "n_words",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

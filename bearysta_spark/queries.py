@@ -7820,6 +7820,99 @@ def sparse_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "span_exact_dedup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+win AS (
+  SELECT doc_id, u.p AS p, u.s AS span
+  FROM (SELECT doc_id,
+               unnest([{'p': i, 's': array_to_string(ws[i+1:i+8], ' ')}
+                       for i in range(0, len(ws) - 7)]) AS u
+        FROM w WHERE len(ws) >= 8)
+),
+hot AS (
+  SELECT span, min(doc_id) AS keeper
+  FROM (SELECT DISTINCT doc_id, span FROM win)
+  GROUP BY span HAVING count(*) >= 2
+),
+bad AS (
+  SELECT DISTINCT doc_id, u AS pos
+  FROM (SELECT win.doc_id, unnest([win.p + j for j in range(0, 8)]) AS u
+        FROM win JOIN hot USING (span) WHERE win.doc_id != hot.keeper)
+),
+poss AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w
+  FROM (SELECT doc_id,
+               unnest([{'pos': i - 1, 'w': ws[i]}
+                       for i in range(1, len(ws) + 1)]) AS u
+        FROM w)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.w
+  FROM poss p LEFT JOIN bad b ON b.doc_id = p.doc_id AND b.pos = p.pos
+  WHERE b.doc_id IS NULL
+),
+clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS t
+          FROM kept GROUP BY doc_id),
+rep AS (
+  SELECT w.doc_id, len(w.ws) AS n_words, coalesce(c.t, '') AS cleaned,
+         coalesce(r.nrem, 0) AS n_removed
+  FROM w LEFT JOIN clean c USING (doc_id)
+         LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM bad
+                    GROUP BY doc_id) r USING (doc_id)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(rep.n_words) AS BIGINT) AS words_total,
+       CAST(sum(rep.n_removed) AS BIGINT) AS words_removed,
+       round(CAST(sum(rep.n_removed) AS DOUBLE) / sum(rep.n_words), 6)
+         AS removed_rate,
+       CAST(sum(('0x' || substr(md5(rep.cleaned), 1, 15))::BIGINT
+                % 1000000007) AS BIGINT) AS cleaned_checksum
+FROM rep JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup report (functions.dedup.
+    scrub_repeated_spans — Lee et al. 2022 re-expressed Spark-native):
+    every 8-word run appearing verbatim in >= 2 documents is scrubbed
+    from all but its lowest-doc_id occurrence and the documents are
+    rebuilt from the surviving words; reported per source as doc/word
+    counts, removal rate, and an order-independent checksum over the
+    REBUILT texts (sum of md5-prefix residues mod 1e9+7) — the oracle
+    therefore verifies the full scrub-and-rebuild round trip
+    byte-for-byte, not just the counts. This catches what
+    document-grain dedup cannot: distinct articles quoting the same
+    syndicated span keep their prose and lose only the shared run.
+    100 TB shape: no suffix array — stride-1 span keys, one span-grain
+    distinct-doc aggregate, covered-position explode for flagged spans
+    only, anti-join + per-doc rebuild; all codegen, rows ~ corpus
+    words at every stage."""
+    d = _t(spark, sf_dir, "documents")
+    rep = D.scrub_repeated_spans(d, n=8, min_docs=2)
+    checksum = F.conv(
+        F.substring(F.md5("cleaned_text"), 1, 15), 16, 10
+    ).cast("long") % F.lit(1000000007)
+    return (
+        rep.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("words_total"),
+            F.sum("n_removed").cast("long").alias("words_removed"),
+            F.round(
+                F.sum("n_removed").cast("double") / F.sum("n_words"), 6
+            ).alias("removed_rate"),
+            F.sum(checksum).cast("long").alias("cleaned_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "multimodal_dedup_agreement",
     scoped_caches=True,
     oracle=f"""
@@ -8285,6 +8378,7 @@ _DRIVER_PRIORITY = [
     # -- r07-new queries -------------------------------------------------
     "audio_landmark_recall",
     "sparse_knn_recall",
+    "span_exact_dedup",
     # -- r06 window head: new queries (first CORRECTNESS rows) and the
     # r06-changed ones (bpe gains its oracle; the embedding queries run
     # through the exact-budget gate; the persisted queries moved index

@@ -196,6 +196,108 @@ def start_streaming_audio_neardup(
     )
 
 
+def start_streaming_self_neardup(
+    stream_payloads: DataFrame,
+    index_root: str,
+    out_path: str,
+    checkpoint: str,
+    extractor,
+    min_shared: int = 5,
+    id_col: str = "doc_id",
+    buckets: int = 32,
+):
+    """Streaming dedup with a SELF-GROWING index: each micro-batch is
+    matched against everything that arrived before it AND within
+    itself, then its own keys are appended to the index — the full
+    production ingest loop, where yesterday's stream is today's
+    corpus (the static-index streams only ever match against a fixed
+    snapshot).
+
+    `extractor` maps a payload batch to (id, key) rows — e.g.
+    ``lambda df: audio_landmark_rows(df)`` or
+    ``lambda df: video_frame_keys(video_frame_hashes(df))`` — so one
+    loop serves every exact-key signal.
+
+    Exactly-once under foreachBatch replay, by construction:
+    - the index is hive-partitioned by batch_id; a replayed batch
+      overwrites ITS OWN partition (dynamic overwrite), never
+      duplicating keys;
+    - the probe filters the index to batch_id < current, so a replay
+      that already appended its keys cannot match the batch against
+      itself (within-batch pairs come from the explicit self-join,
+      once);
+    - the pair sink uses the same batch-id dynamic-partition
+      overwrite as every stream here.
+    Each emitted pair appears exactly once, at the batch where its
+    LATER member arrived. Seed a pre-existing corpus by writing its
+    keys under batch_id=-1 (write_corpus partition layout), or start
+    empty."""
+    from bearysta_spark.cachescope import release_scoped_caches
+    from bearysta_spark.functions.multimodal import incremental_key_pairs
+
+    spark = stream_payloads.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        keys = (
+            extractor(batch_df)
+            .select(
+                F.col(id_col),
+                "key",
+                F.pmod(F.xxhash64(F.col("key")), F.lit(buckets))
+                .cast("int")
+                .alias("kb"),
+            )
+            .distinct()
+        )
+        try:
+            idx = spark.read.parquet(index_root).filter(
+                F.col("batch_id") < batch_id
+            )
+        except Exception:  # first batch: no index written yet
+            idx = None
+        within = (
+            keys.select(F.col(id_col).alias("id_a"), "key")
+            .join(keys.select(F.col(id_col).alias("id_b"), "key"), "key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("shared_keys"))
+            .filter(F.col("shared_keys") >= min_shared)
+            .select(
+                F.col("id_a").alias("corpus_id"),
+                F.col("id_b").alias("new_id"),
+                "shared_keys",
+            )
+        )
+        pairs = within
+        if idx is not None:
+            cross = incremental_key_pairs(
+                idx, keys, min_shared=min_shared, id_col=id_col,
+                buckets=buckets,
+            )
+            pairs = cross.unionAll(within)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        (
+            keys.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "kb")
+            .parquet(index_root)
+        )
+        release_scoped_caches()  # foreachBatch is the terminal action
+
+    return (
+        stream_payloads.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def start_streaming_video_neardup(
     stream_payloads: DataFrame,
     index_path: str,

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "knn_sparse_text",
     "audio_landmark_recall",
     "sparse_knn_recall",
+    "span_exact_dedup",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -447,6 +448,7 @@ def main() -> None:
         "knn_ivf_pq_persisted": "ivfpqp",
         "audio_landmark_recall": "lmrec",
         "sparse_knn_recall": "sprec",
+        "span_exact_dedup": "spdd",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

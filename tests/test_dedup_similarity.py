@@ -644,3 +644,46 @@ def test_ivfpq_persisted_index_parity_and_pruning(spark, embeddings, tmp_path):
     # solely for the 25-row query side (vec_id < 5 pushed down)
     assert "dynamicpruning" in p or "PartitionFilters" in p
     assert "CartesianProduct" not in p
+
+
+def test_scrub_repeated_spans_keep_first_semantics(spark):
+    from bearysta_spark.functions.dedup import scrub_repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, f"intro one two {shared} tail words here"),
+        (2, f"other opening {shared} different ending now"),
+        (3, "no duplicated content in this document at all ok"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_repeated_spans(df, n=8, min_docs=2).collect()}
+    assert len(out) == 4  # every input doc has a row, even empty text
+    # keeper (lowest id) keeps the span intact
+    assert out[1].n_removed == 0
+    assert shared in out[1].cleaned_text
+    # the copy loses exactly the span's 8 positions
+    assert out[2].n_removed == 8
+    assert shared not in out[2].cleaned_text
+    assert out[2].cleaned_text == "other opening different ending now"
+    assert out[3].n_removed == 0 and out[4].n_words == 0
+    # boilerplate mode scrubs the keeper too
+    out_all = {
+        r.doc_id: r
+        for r in scrub_repeated_spans(df, n=8, min_docs=2, keep_first=False).collect()
+    }
+    assert out_all[1].n_removed == 8 and shared not in out_all[1].cleaned_text
+
+
+def test_scrub_repeated_spans_overlapping_spans_union(spark):
+    from bearysta_spark.functions.dedup import scrub_repeated_spans
+
+    # a 9-word shared run = two overlapping 8-word spans; removed
+    # positions are the UNION (9 words), not 16
+    shared = "one two three four five six seven eight nine"
+    rows = [(1, f"{shared} filler"), (2, f"prefix {shared} suffix")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_repeated_spans(df, n=8, min_docs=2).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 9
+    assert out[2].cleaned_text == "prefix suffix"

@@ -1953,3 +1953,71 @@ def test_streaming_video_neardup_matches_batch_and_survives_replay(
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_self_neardup_grows_index_and_survives_replay(
+    spark, tmp_path
+):
+    # the self-growing loop: batch 1 docs must match batch 0 docs (the
+    # index grew), within-batch dups match once, and a truncated
+    # checkpoint replay neither duplicates pairs nor matches a batch
+    # against its own replayed keys
+    from bearysta_spark.streaming.neardup import start_streaming_self_neardup
+
+    t1 = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches quietly from the garden fence nearby today"
+    )
+    t2 = "completely different content with nothing in common here at all okay"
+    rows = [
+        (0, t1),            # batch 0
+        (1, t2),            # batch 0
+        (2, "x " + t1),     # batch 0: within-batch near-dup of 0
+        (10, t1 + " yz"),   # batch 1: cross-batch near-dup of 0 and 2
+        (11, "unrelated words strung together for a quiet control row"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wavs = MM.charcode_wav_payloads(docs).cache()
+    b0 = wavs.filter(F.col("doc_id") < 10)
+    b1 = wavs.filter(F.col("doc_id") >= 10)
+
+    index = str(tmp_path / "grow_index")
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+            land
+        )
+        q = start_streaming_self_neardup(
+            stream, index, out, ckpt,
+            extractor=lambda df: MM.audio_landmark_rows(df),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    b0.coalesce(1).write.mode("append").parquet(land)
+    run_once()
+    _truncate_last_commit(ckpt)  # die between execute and commit
+    b1.coalesce(1).write.mode("append").parquet(land)
+    run_once()  # replays batch 0 against an index that already has its keys
+
+    got = sorted(
+        (min(r.corpus_id, r.new_id), max(r.corpus_id, r.new_id), r.shared_keys)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.shared_keys)
+        for r in MM.audio_landmark_pairs(
+            MM.audio_landmark_rows(wavs), min_shared=5
+        ).collect()
+    )
+    assert got == want
+    assert {(a, b) for a, b, _ in got} >= {(0, 2), (0, 10), (2, 10)}
+    wavs.unpersist()
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    release_scoped_caches()
