@@ -461,3 +461,247 @@ def wordpiece_oracle_ctes(
       SELECT word, CAST(max(n) AS INT) AS n_tokens
       FROM walk WHERE p > len(word) GROUP BY word
     )"""
+
+
+def bpe_train(
+    words: DataFrame, num_merges: int = 10, return_state: bool = False
+):
+    """Distributed BPE TRAINING (Sennrich et al. 2016 learn-merges loop,
+    re-expressed relationally): from a (word, freq) vocabulary table,
+    learn `num_merges` merges — per round, count every adjacent symbol
+    pair weighted by word frequency, pick the most frequent (ties:
+    count DESC, then pair lexicographic — deterministic across
+    engines), and batch-apply it leftmost-greedy-non-overlapping to
+    every word. Returns [(left, right, pair_count), ...] in learned
+    (= rank) order; the table is well-formed by construction, so it
+    plugs straight into make_bpe_len / bpe_oracle_ctes. With
+    return_state=True, returns (merges, state) where state is the
+    final (word, freq, pos, sym) frame — one row per symbol of each
+    word under the learned table, i.e. the trained tokenization of the
+    vocabulary, ready for per-word token counts without re-encoding.
+
+    Everything is JVM codegen — no Python kernel at all:
+    - state: (word, freq, pos, sym) rows, one per current symbol;
+      vocabulary-char-bounded (Heaps-sublinear in corpus bytes), NEVER
+      corpus-bounded;
+    - pair counts: lead() window per word + a weighted group-agg;
+    - the argmax is a 1-row bounded collect per round (the merge table
+      IS driver-sized model state — K rows total);
+    - leftmost-greedy application is pure window algebra: candidate
+      positions chain into runs when one candidate's npos is the next
+      candidate's pos (only possible for self-pairs like (a,a) in
+      'aaaa'), and every odd row_number within a run is selected —
+      exactly the scan-left-skip-after-merge loop, without a scan;
+    - each round's state is materialized to scratch parquet
+      (scratch.materialize_distributed) and re-read, so the logical
+      plan stays CONSTANT-SIZE across rounds (each round references
+      its state ~4×; persist() would leave the plan growing
+      multiplicatively until plan stringification alone OOMs the
+      driver) and zero blocks are ever pinned (no persist at all).
+
+    100 TB shape: rounds are K sequential vocab-bounded jobs (window
+    shuffle partitioned by word — max partition = longest word, no
+    skew); the corpus is touched only by the caller building the
+    (word, freq) table (one scan + one agg)."""
+    from pyspark.sql import Window
+
+    from bearysta_spark.scratch import materialize_distributed
+
+    rows = words.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos", "sym"),
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    merges: list[tuple[str, str, int]] = []
+    cur = materialize_distributed(rows, "bpe")
+    for _ in range(num_merges):
+        ann = cur.withColumn("nsym", F.lead("sym").over(w)).withColumn(
+            "npos", F.lead("pos").over(w)
+        )
+        best = (
+            ann.filter(F.col("nsym").isNotNull())
+            .groupBy("sym", "nsym")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nsym"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["sym"], best[0]["nsym"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        cand = ann.filter(
+            (F.col("sym") == a) & (F.col("nsym") == b)
+        ).select("word", "pos", "npos")
+        cand = cand.withColumn(
+            "brk",
+            F.when(F.lag("npos").over(w) == F.col("pos"), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        ).withColumn("run", F.sum("brk").over(wcum))
+        sel = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("word", "run").orderBy("pos")
+                ),
+            )
+            .filter(F.col("rn") % 2 == 1)
+            .select("word", "pos", "npos")
+        )
+        nxt = (
+            cur.join(
+                sel.select("word", "pos", F.lit(1).alias("m")),
+                ["word", "pos"],
+                "left",
+            )
+            .join(
+                sel.select(
+                    "word", F.col("npos").alias("pos"), F.lit(1).alias("dl")
+                ),
+                ["word", "pos"],
+                "left",
+            )
+            .filter(F.col("dl").isNull())
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(F.col("m") == 1, F.lit(a + b))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        # truncate the plan EVERY round: one round references its state
+        # ~4x (ann, sel x2, nxt itself), so un-truncated growth OOMs
+        # plan stringification by ~round 8 — and measured, per-round
+        # materialization also beats materialize-every-3 (13.5 s vs
+        # 29.2 s at sf0.01: re-deriving 1-2 window rounds per argmax
+        # costs more than the vocab-bounded write)
+        cur = materialize_distributed(nxt, "bpe")
+    check_well_formed_merges(tuple((a, b) for a, b, _ in merges))
+    if return_state:
+        return merges, cur
+    return merges
+
+
+def _bpe_train_stage_ctes(num_merges: int, doc_table: str) -> str:
+    """The shared CTE chain for the training-replay oracles: seed
+    (words, rows1) + K unrolled stages (annK, bestK, selK, rowsK+1,
+    mK). State CTEs are MATERIALIZED — each is referenced by the next
+    stage and its own annotate step, and DuckDB would otherwise inline
+    the chain multiplicatively. After the chain, `rows{K+1}` is the
+    trained tokenization of the vocabulary and m1..mK are the learned
+    merges (rank, left, right, pair_count); a stage whose corpus has
+    no remaining pair contributes no merge row and leaves state
+    unchanged, matching the trainer's early break."""
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+        FROM {doc_table})
+  GROUP BY word
+),
+rows1 AS MATERIALIZED (
+  SELECT word, freq, i AS pos, word[i] AS sym
+  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        FROM words)
+)"""
+    ]
+    for s in range(1, num_merges + 1):
+        parts.append(
+            f"""ann{s} AS MATERIALIZED (
+  SELECT word, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym,
+         lead(pos) OVER (PARTITION BY word ORDER BY pos) AS npos
+  FROM rows{s}
+),
+best{s} AS MATERIALIZED (
+  SELECT sym AS a, nsym AS b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM ann{s} WHERE nsym IS NOT NULL
+  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+),
+sel{s} AS MATERIALIZED (
+  SELECT word, pos, npos FROM (
+    SELECT word, pos, npos,
+           row_number() OVER (PARTITION BY word, run ORDER BY pos) AS rn
+    FROM (SELECT word, pos, npos,
+                 sum(brk) OVER (PARTITION BY word ORDER BY pos) AS run
+          FROM (SELECT word, pos, npos,
+                       CASE WHEN lag(npos) OVER (PARTITION BY word ORDER BY pos)
+                                 = pos THEN 0 ELSE 1 END AS brk
+                FROM (SELECT n.word, n.pos, n.npos
+                      FROM ann{s} n JOIN best{s} x
+                        ON n.sym = x.a AND n.nsym = x.b))))
+  WHERE rn % 2 = 1
+),
+rows{s + 1} AS MATERIALIZED (
+  SELECT r.word, r.freq, r.pos,
+         CASE WHEN m.pos IS NOT NULL THEN x.a || x.b ELSE r.sym END AS sym
+  FROM rows{s} r
+  CROSS JOIN (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b
+              FROM best{s}) x
+  LEFT JOIN sel{s} m ON m.word = r.word AND m.pos = r.pos
+  LEFT JOIN (SELECT word, npos AS pos FROM sel{s}) dl
+         ON dl.word = r.word AND dl.pos = r.pos
+  WHERE dl.pos IS NULL
+)"""
+        )
+        parts.append(
+            f"m{s} AS (SELECT CAST({s} AS BIGINT) AS rank, a AS left,"
+            f" b AS right, cnt AS pair_count FROM best{s})"
+        )
+    return ",\n".join(parts)
+
+
+def bpe_train_oracle_sql(num_merges: int = 10, doc_table: str = "documents") -> str:
+    """Self-contained DuckDB query replaying bpe_train over the
+    lowercased [a-z0-9]+ word stream of `doc_table`: K unrolled stages,
+    each one the same window algebra as the Spark round (pair counts ->
+    deterministic argmax -> chained-candidate odd-row selection ->
+    rebuild). Emits (rank, left, right, pair_count) ORDER BY rank."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{s}" for s in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + _bpe_train_stage_ctes(num_merges, doc_table)
+        + f"\n{union}\nORDER BY rank"
+    )
+
+
+def bpe_trained_compression_oracle_sql(
+    num_merges: int = 10, doc_table: str = "documents"
+) -> str:
+    """DuckDB replay of the train-then-bill pipeline: after the K
+    training stages, rows{K+1} IS the vocabulary tokenized under the
+    learned table, so per-word token counts are one GROUP BY away —
+    no re-encode walk. Emits per-source compression stats (all
+    integers until one final division)."""
+    k1 = num_merges + 1
+    return (
+        "WITH "
+        + _bpe_train_stage_ctes(num_merges, doc_table)
+        + f""",
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+       FROM rows{k1} GROUP BY word),
+occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+  FROM {doc_table}
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(o.word)) AS BIGINT) AS chars_total,
+       CAST(sum(w.n_tok) AS BIGINT) AS tokens_total,
+       round(CAST(sum(w.n_tok) AS DOUBLE) / count(*), 6) AS tokens_per_word
+FROM occ o
+JOIN wc w USING (word)
+JOIN {doc_table} d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source"""
+    )

@@ -171,6 +171,10 @@ BENCH_QUERIES = [
     "audio_landmark_recall",
     "sparse_knn_recall",
     "span_exact_dedup",
+    "bigram_backoff_surprise",
+    "bpe_train_merges",
+    "bpe_trained_compression",
+    "pretrain_funnel_report",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -449,6 +453,10 @@ def main() -> None:
         "audio_landmark_recall": "lmrec",
         "sparse_knn_recall": "sprec",
         "span_exact_dedup": "spdd",
+        "bigram_backoff_surprise": "bglm",
+        "bpe_train_merges": "bpetr",
+        "bpe_trained_compression": "bpecmp",
+        "pretrain_funnel_report": "funnel",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

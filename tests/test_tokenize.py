@@ -277,3 +277,104 @@ def test_merge_table_well_formedness_guard():
     with pytest.raises(ValueError, match="not well-formed"):
         # "th" used before any merge produces it
         TK.check_well_formed_merges((("th", "e"), ("t", "h")))
+
+
+# ---------------------------------------------------------------------------
+# BPE training (bpe_train): differential vs an independent pure-Python
+# Sennrich-style trainer, overlap semantics, and well-formedness.
+# ---------------------------------------------------------------------------
+
+
+def _train_ref(
+    word_freqs: dict[str, int], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Independent reference trainer: dict-of-tuples state, explicit
+    scan-left merge — the textbook loop bpe_train re-expresses
+    relationally."""
+    state = {tuple(w): f for w, f in word_freqs.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # argmax: count DESC, then pair lexicographic ASC
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new_state: dict[tuple[str, ...], int] = {}
+        for syms, f in state.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_state[t] = new_state.get(t, 0) + f
+        state = new_state
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    word_freqs = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "west": 4,
+        "the": 9, "then": 3, "there": 2, "aaaa": 7, "aaab": 2,
+        "banana": 4, "bandana": 1,
+    }
+    words = spark.createDataFrame(
+        list(word_freqs.items()), "word string, freq long"
+    )
+    got = TK.bpe_train(words, num_merges=8)
+    assert got == _train_ref(word_freqs, 8)
+
+
+def test_bpe_train_overlap_chain_is_leftmost_greedy(spark):
+    # 'aaaa' counts (a,a) three times (overlaps included, Sennrich
+    # get_stats) and merges leftmost-non-overlapping: aa|aa
+    words = spark.createDataFrame([("aaaa", 1)], "word string, freq long")
+    got = TK.bpe_train(words, num_merges=2)
+    assert got == _train_ref({"aaaa": 1}, 2)
+    assert got[0] == ("a", "a", 3)
+    assert got[1] == ("aa", "aa", 1)
+
+
+def test_bpe_train_exhausts_and_stops_early(spark):
+    words = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    got = TK.bpe_train(words, num_merges=5)
+    # one merge fuses the word to a single symbol; no pairs remain
+    assert got == [("a", "b", 1)]
+
+
+def test_bpe_train_learned_table_is_well_formed_and_applies(spark):
+    words = spark.createDataFrame(
+        [("stress", 3), ("stresses", 2), ("tresses", 1)],
+        "word string, freq long",
+    )
+    got = TK.bpe_train(words, num_merges=6)
+    table = tuple((a, b) for a, b, _ in got)
+    TK.check_well_formed_merges(table)  # raises on violation
+    blen = TK.make_bpe_len(table)
+    assert blen("stresses") <= len("stresses")
+
+
+def test_bpe_train_leaves_no_pinned_blocks(spark):
+    spark.catalog.clearCache()
+    before = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    words = spark.createDataFrame(
+        [("abcabc", 2), ("bcabca", 1)], "word string, freq long"
+    )
+    TK.bpe_train(words, num_merges=3)
+    after = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert not (after - before)
