@@ -7879,11 +7879,11 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bigram_backoff_surprise",
-    scoped_caches=True,
-    oracle="""
-WITH base AS (
+# Shared bigram-LM oracle CTE chain (train split, count tables, per-
+# held-bigram fixed-point scores) — used by bigram_backoff_surprise
+# (top-20 most surprising) and lm_perplexity_buckets (head/middle/tail
+# binning); the text is shared so the two oracles cannot drift.
+_LM_SC_CTES = """base AS (
   SELECT doc_id, source,
          CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':lm') < 'c0000000'
               THEN 'train' ELSE 'held' END AS split,
@@ -7927,7 +7927,14 @@ sc AS (
   LEFT JOIN tr_bi b ON b.prev = h.prev AND b.cur = h.cur
   LEFT JOIN tr_uni up ON up.tok = h.prev
   LEFT JOIN tr_uni uc ON uc.tok = h.cur
-)
+)"""
+
+
+@query(
+    "bigram_backoff_surprise",
+    scoped_caches=True,
+    oracle=f"""
+WITH {_LM_SC_CTES}
 SELECT p.doc_id, d.source, p.n_bigrams, p.n_backoff, p.n_oov,
        p.mean_cond_prob
 FROM (SELECT doc_id,
@@ -7966,10 +7973,40 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE picks the strategy); everything else is map-side partial
     aggregation and a top-k TakeOrdered. Shuffles: train uni agg,
     train bi agg, held⋈bigram, per-doc agg."""
+    d = _t(spark, sf_dir, "documents")
+    scored = _bigram_lm_scored(d)
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bo").cast("long").alias("n_backoff"),
+        F.sum("ov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("s").cast("double") / (F.count("*") * F.lit(_LM_SCALE)), 10
+        ).alias("mean_cond_prob"),
+    )
+    return (
+        perdoc.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source", "n_bigrams", "n_backoff", "n_oov",
+            "mean_cond_prob",
+        )
+        .orderBy("mean_cond_prob", "doc_id")
+        .limit(20)
+    )
+
+
+_LM_SCALE = 1_000_000_000_000
+
+
+def _bigram_lm_scored(d: DataFrame) -> DataFrame:
+    """Shared bigram-LM scoring pipeline (the Spark twin of
+    _LM_SC_CTES): 75/25 hash split, train-side unigram/bigram count
+    tables, per-held-bigram fixed-point conditional-probability
+    scores. Returns (doc_id, s, bo, ov) at held-bigram grain. The
+    unigram table is scoped-cached — callers must be registered
+    scoped_caches=True."""
     from bearysta_spark.functions.sampling import hash_split
 
-    SCALE = 1_000_000_000_000
-    d = _t(spark, sf_dir, "documents")
+    SCALE = _LM_SCALE
     base = hash_split(
         d, {"train": 0.75, "held": 0.25}, id_col="doc_id", salt="lm"
     ).select(
@@ -8043,23 +8080,7 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)).alias("ov"),
         )
     )
-    perdoc = scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        F.sum("bo").cast("long").alias("n_backoff"),
-        F.sum("ov").cast("long").alias("n_oov"),
-        F.round(
-            F.sum("s").cast("double") / (F.count("*") * F.lit(SCALE)), 10
-        ).alias("mean_cond_prob"),
-    )
-    return (
-        perdoc.join(d.select("doc_id", "source"), "doc_id")
-        .select(
-            "doc_id", "source", "n_bigrams", "n_backoff", "n_oov",
-            "mean_cond_prob",
-        )
-        .orderBy("mean_cond_prob", "doc_id")
-        .limit(20)
-    )
+    return scored
 
 
 @query(
@@ -8819,6 +8840,657 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared CTE prefix for the repetition-signal oracles: per-doc word
+# arrays with total word count (tw) and total word chars (tc)
+_REP_DOCS_CTE = """
+rep_docs AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS ws,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS tw,
+         CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '[a-z0-9]+'), w -> len(w))), 0)
+           AS BIGINT) AS tc
+  FROM documents
+)"""
+
+
+def _rep_topgram_cte(n: int) -> str:
+    """Per-doc chars inside the most frequent word n-gram (count ×
+    gram chars, ties: count DESC then gram ASC — binary collation over
+    [a-z0-9 ] in both engines)."""
+    return f"""
+top{n} AS (
+  SELECT doc_id, CAST(cnt * gchars AS BIGINT) AS topc{n} FROM (
+    SELECT doc_id, cnt, gchars,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, g ASC) AS rn
+    FROM (
+      SELECT doc_id, g, count(*) AS cnt, len(replace(g, ' ', '')) AS gchars
+      FROM (
+        SELECT doc_id,
+               unnest([list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ')
+                       for i in range(1, len(ws) - {n - 2})]) AS g
+        FROM rep_docs WHERE tw >= {n})
+      GROUP BY doc_id, g)
+  ) WHERE rn = 1
+)"""
+
+
+@query(
+    "gopher_repetition_report",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_REP_DOCS_CTE},
+    {_rep_topgram_cte(2)},
+    {_rep_topgram_cte(3)},
+    {_rep_topgram_cte(4)},
+    topw AS (
+      SELECT doc_id, CAST(cnt AS BIGINT) AS topwc FROM (
+        SELECT doc_id, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, w ASC) AS rn
+        FROM (SELECT doc_id, u AS w, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(ws) AS u
+                    FROM rep_docs WHERE tw >= 1)
+              GROUP BY doc_id, u)
+      ) WHERE rn = 1
+    ),
+    g2p AS (
+      SELECT doc_id, u.p AS pos, u.g AS g
+      FROM (SELECT doc_id,
+                   unnest([{{'p': i, 'g': ws[i] || ' ' || ws[i+1]}}
+                           for i in range(1, len(ws))]) AS u
+            FROM rep_docs WHERE tw >= 2)
+    ),
+    dup2g AS (SELECT doc_id, g FROM g2p
+              GROUP BY doc_id, g HAVING count(*) >= 2),
+    cov2 AS (
+      SELECT DISTINCT doc_id, wpos FROM (
+        SELECT d.doc_id, unnest([d.pos, d.pos + 1]) AS wpos
+        FROM (SELECT g2p.doc_id, g2p.pos
+              FROM g2p JOIN dup2g USING (doc_id, g)) d)
+    ),
+    dup2 AS (
+      SELECT c.doc_id,
+             CAST(sum(len(r.ws[CAST(c.wpos AS INT)])) AS BIGINT) AS dupc
+      FROM cov2 c JOIN rep_docs r USING (doc_id)
+      GROUP BY c.doc_id
+    ),
+    flags AS (
+      SELECT r.source,
+             CASE WHEN 5 * coalesce(t2.topc2, 0) > r.tc THEN 1 ELSE 0 END AS f2,
+             CASE WHEN 50 * coalesce(t3.topc3, 0) > 9 * r.tc THEN 1 ELSE 0 END AS f3,
+             CASE WHEN 25 * coalesce(t4.topc4, 0) > 4 * r.tc THEN 1 ELSE 0 END AS f4,
+             CASE WHEN 20 * coalesce(tw.topwc, 0) > 3 * r.tw THEN 1 ELSE 0 END AS fw,
+             CASE WHEN 5 * coalesce(d2.dupc, 0) > r.tc THEN 1 ELSE 0 END AS fd
+      FROM rep_docs r
+      LEFT JOIN top2 t2 USING (doc_id)
+      LEFT JOIN top3 t3 USING (doc_id)
+      LEFT JOIN top4 t4 USING (doc_id)
+      LEFT JOIN topw tw USING (doc_id)
+      LEFT JOIN dup2 d2 USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f2) AS BIGINT) AS top2_flagged,
+           CAST(sum(f3) AS BIGINT) AS top3_flagged,
+           CAST(sum(f4) AS BIGINT) AS top4_flagged,
+           CAST(sum(fw) AS BIGINT) AS topword_flagged,
+           CAST(sum(fd) AS BIGINT) AS dup2_flagged,
+           CAST(sum(CASE WHEN f2 + f3 + f4 + fw + fd = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-filter family (Rae et al. 2021 §A1.1) as a
+    per-source gate report — the signals a pretraining pipeline uses to
+    drop degenerately repetitive documents, INTEGER-EXACT end to end:
+
+    - top-{{2,3,4}}-gram char fraction: chars inside occurrences of the
+      doc's most frequent word n-gram / total word chars, flagged at
+      the published thresholds 0.20 / 0.18 / 0.16 via cross-multiply
+      (5·c > tc, 50·c > 9·tc, 25·c > 4·tc) — no float compare can flip
+      a boundary doc between engines; tie on count broken by gram ASC
+      (binary collation over [a-z0-9 ] — identical in both engines);
+    - most-common-word fraction: the top word's count / total words,
+      flagged over 0.15 (20·c > 3·tw);
+    - duplicate-2-gram char COVERAGE: chars of word positions covered
+      by any 2-gram occurring ≥ 2× within the doc / total word chars,
+      flagged over 0.20 — coverage counts each character once however
+      many overlapping duplicated grams contain it (the Dolma/Gopher
+      definition), computed by the same covered-position-explode idiom
+      as span_exact_dedup, within-doc;
+    - clean_docs: documents passing every gate.
+
+    The line/paragraph-grain Gopher signals are deliberately absent:
+    this corpus has no newlines, so those gates would be vacuous
+    (0 = 0 oracle rows prove nothing); the n-gram family is the part
+    that bites here (measured at sf0.01: top2 flags 12/500, topword
+    39/500, dup2 coverage 91/500). Gopher's dup-{{5..10}}-gram gates are
+    likewise vacuous on this corpus (zero within-doc repeated 5-grams
+    measured) — span_exact_dedup covers the long-run case ACROSS docs.
+
+    100 TB shape: one corpus scan builds the cached word-array frame;
+    every signal is gram- or word-grain (never pairwise), aggregated by
+    (doc_id, gram) hash-agg then a per-doc top-1 window (partition =
+    one doc's distinct grams, bounded by doc length); the five signal
+    frames join back doc-grain. Shuffles are all keyed on doc_id or
+    (doc_id, gram) — AQE coalesces; nothing is corpus-quadratic."""
+    ws = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    d = _t(spark, sf_dir, "documents")
+    base = scoped_cache(
+        d.select(
+            "doc_id",
+            "source",
+            ws.alias("ws"),
+            F.size(ws).cast("long").alias("tw"),
+            F.length(F.concat_ws("", ws)).cast("long").alias("tc"),
+        )
+    )
+
+    def top_gram(n: int) -> DataFrame:
+        g = base.filter(F.col("tw") >= n).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, tw - {n - 1}),"
+                    f" i -> array_join(slice(ws, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        cnt = g.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+        rn = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+        )
+        return (
+            cnt.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                (
+                    F.col("cnt") * (F.length("g") - F.lit(n - 1))
+                ).cast("long").alias(f"topc{n}"),
+            )
+        )
+
+    topw = (
+        base.filter(F.col("tw") >= 1)
+        .select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("w"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cnt").cast("long").alias("topwc"))
+    )
+    g2p = base.filter(F.col("tw") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, tw - 1),"
+                " i -> struct(i AS pos, concat_ws(' ', ws[i-1], ws[i]) AS g))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.pos", "u.g")
+    dup2g = (
+        g2p.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "g")
+    )
+    cov2 = (
+        g2p.join(dup2g, ["doc_id", "g"])
+        .select(
+            "doc_id",
+            F.explode(F.array(F.col("pos"), F.col("pos") + 1)).alias("wpos"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        "doc_id", F.posexplode("ws").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("wpos"), F.length("w").alias("wl"))
+    dup2 = (
+        cov2.join(words, ["doc_id", "wpos"])
+        .groupBy("doc_id")
+        .agg(F.sum("wl").cast("long").alias("dupc"))
+    )
+    flags = (
+        base.select("doc_id", "source", "tw", "tc")
+        .join(top_gram(2), "doc_id", "left")
+        .join(top_gram(3), "doc_id", "left")
+        .join(top_gram(4), "doc_id", "left")
+        .join(topw, "doc_id", "left")
+        .join(dup2, "doc_id", "left")
+        .select(
+            "source",
+            (5 * F.coalesce("topc2", F.lit(0)) > F.col("tc"))
+            .cast("int").alias("f2"),
+            (50 * F.coalesce("topc3", F.lit(0)) > 9 * F.col("tc"))
+            .cast("int").alias("f3"),
+            (25 * F.coalesce("topc4", F.lit(0)) > 4 * F.col("tc"))
+            .cast("int").alias("f4"),
+            (20 * F.coalesce("topwc", F.lit(0)) > 3 * F.col("tw"))
+            .cast("int").alias("fw"),
+            (5 * F.coalesce("dupc", F.lit(0)) > F.col("tc"))
+            .cast("int").alias("fd"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("f2").cast("long").alias("top2_flagged"),
+            F.sum("f3").cast("long").alias("top3_flagged"),
+            F.sum("f4").cast("long").alias("top4_flagged"),
+            F.sum("fw").cast("long").alias("topword_flagged"),
+            F.sum("fd").cast("long").alias("dup2_flagged"),
+            F.sum(
+                ((F.col("f2") + F.col("f3") + F.col("f4") + F.col("fw")
+                  + F.col("fd")) == 0).cast("int")
+            ).cast("long").alias("clean_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "lm_perplexity_buckets",
+    scoped_caches=True,
+    oracle=f"""
+WITH {_LM_SC_CTES},
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST((1000000 * CAST(sum(s) AS HUGEINT)) // count(*) AS BIGINT)
+           AS score
+  FROM sc GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n, score,
+         CAST(length(printf('%b', score + 1)) AS INT) AS lbin,
+         CAST(score >> greatest(
+             CAST(length(printf('%b', score + 1)) AS INT) - 8, 0)
+           AS BIGINT) AS qbin
+  FROM perdoc
+),
+hist AS (
+  SELECT lbin, qbin, CAST(count(*) AS BIGINT) AS cnt
+  FROM keyed GROUP BY lbin, qbin
+),
+cum AS (
+  SELECT lbin, qbin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY lbin DESC, qbin DESC) AS BIGINT)
+           AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+  FROM hist
+),
+bb AS (
+  SELECT lbin, qbin,
+         CASE WHEN 3 * (cum - cnt) < n_total THEN 1
+              WHEN 3 * (cum - cnt) < 2 * n_total THEN 2
+              ELSE 3 END AS bucket
+  FROM cum
+)
+SELECT b.bucket,
+       CASE b.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k.n) AS BIGINT) AS n_bigrams,
+       CAST(min(k.score) AS BIGINT) AS min_score,
+       CAST(max(k.score) AS BIGINT) AS max_score
+FROM keyed k JOIN bb b USING (lbin, qbin)
+GROUP BY b.bucket ORDER BY b.bucket
+""",
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3:
+    score every document with a held-out LM, split the corpus into
+    head/middle/tail thirds, keep head+middle for training) over the
+    SAME fixed-point bigram-LM scores as bigram_backoff_surprise
+    (shared _bigram_lm_scored pipeline / _LM_SC_CTES oracle text, so
+    the two queries cannot drift). Per held doc the score is the exact
+    integer floor(1e6 · Σs / n) — mean conditional probability in 1e18
+    fixed point.
+
+    The tertile split deliberately does NOT sort the corpus: a global
+    ntile() is a single-partition window over every doc — the exact
+    scale-killer the histogram sketch family exists to avoid. Instead
+    docs land in QUANTIZED-FLOAT integer bins — lbin = bit-length of
+    score+1 (the octave; exact in both engines: Spark conv/length,
+    DuckDB printf('%b')) plus qbin = the score's top 8 bits
+    (score >> max(lbin−8, 0)) — ≤ 61·128 cells, relative resolution
+    2⁻⁸ ≈ 0.4% (plain log2 octaves were measured too coarse: every
+    sf0.01 doc scored inside one octave, collapsing the split). The
+    tiny histogram is cumulated from the most-probable cell down and
+    each CELL is assigned head/middle/tail by integer cross-multiply
+    on the cumulative count (3·(cum−cnt) < N ⇒ head, < 2N ⇒ middle).
+    Buckets are therefore cell-granular — boundary error ≤ one 0.4%
+    cell, the documented histogram-quantile trade (see
+    hist_quantile_values) — and every doc's assignment is a scan-side
+    broadcast-join lookup, no sort anywhere.
+    100 TB shape: LM scoring as bigram_backoff_surprise; the
+    histogram is ≤ 7.8k rows (map-side combined), the bucket table
+    broadcasts back onto the doc-grain frame."""
+    d = _t(spark, sf_dir, "documents")
+    scored = _bigram_lm_scored(d)
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST((1000000 * CAST(sum(s) AS DECIMAL(38,0))) div count(*)"
+            " AS BIGINT)"
+        ).alias("score"),
+    )
+    keyed = perdoc.select(
+        "doc_id",
+        "n",
+        "score",
+        F.length(F.conv(F.col("score") + 1, 10, 2)).cast("int").alias("lbin"),
+    ).withColumn(
+        "qbin",
+        F.expr("shiftright(score, greatest(lbin - 8, 0))").cast("long"),
+    )
+    hist = keyed.groupBy("lbin", "qbin").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wdesc = Window.orderBy(F.desc("lbin"), F.desc("qbin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "lbin",
+        "qbin",
+        "cnt",
+        F.sum("cnt").over(wdesc).cast("long").alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_total"),
+    )
+    bb = cum.select(
+        "lbin",
+        "qbin",
+        F.when(3 * (F.col("cum") - F.col("cnt")) < F.col("n_total"), 1)
+        .when(3 * (F.col("cum") - F.col("cnt")) < 2 * F.col("n_total"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(bb), ["lbin", "qbin"])
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("label"),
+            "n_docs",
+            "n_bigrams",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("bucket")
+    )
+
+
+# One UniMax waterfilling round as an unrolled CTE stage (the _KM_ITER
+# idiom): a{p} is (lang, tok, cap, alloc, rnd) with alloc NULL while the
+# language is still active; the round caps every active language whose
+# cap fits under the current fair share. A round where nothing caps is
+# a no-op (CASE matches no row), so unrolling more stages than
+# languages is safe.
+_UNIMAX_ROUND = """
+s{n} AS (
+  SELECT CAST((SELECT b FROM budget)
+              - coalesce(sum(alloc), 0) AS BIGINT) AS r,
+         CAST(count(*) FILTER (alloc IS NULL) AS BIGINT) AS n_active
+  FROM a{p}
+),
+a{n} AS (
+  SELECT lang, tok, cap,
+         CASE WHEN alloc IS NULL AND cap <= r // nullif(n_active, 0)
+              THEN cap ELSE alloc END AS alloc,
+         CASE WHEN alloc IS NULL AND cap <= r // nullif(n_active, 0)
+              THEN {n} ELSE rnd END AS rnd
+  FROM a{p} CROSS JOIN s{n}
+)"""
+
+
+@query(
+    "unimax_mixture_plan",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+')))
+               AS BIGINT) AS tok
+      FROM documents GROUP BY lang
+    ),
+    budget AS (SELECT CAST((8 * sum(tok)) // 5 AS BIGINT) AS b FROM lt),
+    a0 AS (SELECT lang, tok, CAST(2 * tok AS BIGINT) AS cap,
+                  CAST(NULL AS BIGINT) AS alloc, CAST(NULL AS INT) AS rnd
+           FROM lt),
+    {_UNIMAX_ROUND.format(n=1, p=0)},
+    {_UNIMAX_ROUND.format(n=2, p=1)},
+    {_UNIMAX_ROUND.format(n=3, p=2)},
+    {_UNIMAX_ROUND.format(n=4, p=3)},
+    {_UNIMAX_ROUND.format(n=5, p=4)},
+    {_UNIMAX_ROUND.format(n=6, p=5)},
+    fin AS (
+      SELECT CAST((SELECT b FROM budget)
+                  - coalesce(sum(alloc), 0) AS BIGINT) AS r,
+             CAST(count(*) FILTER (alloc IS NULL) AS BIGINT) AS n_active
+      FROM a6
+    ),
+    res AS (
+      SELECT lang, tok, cap,
+             CASE WHEN alloc IS NOT NULL THEN alloc
+                  ELSE r // nullif(n_active, 0)
+                       + CASE WHEN row_number() OVER
+                                   (PARTITION BY alloc IS NULL
+                                    ORDER BY lang) <= r % nullif(n_active, 0)
+                              THEN 1 ELSE 0 END
+             END AS alloc,
+             coalesce(rnd, 0) AS rnd
+      FROM a6 CROSS JOIN fin
+    )
+    SELECT lang, tok AS n_tokens, cap, CAST(alloc AS BIGINT) AS alloc,
+           CAST((1000000 * alloc) // tok AS BIGINT) AS epochs_ppm,
+           CAST(CASE WHEN rnd > 0 THEN 1 ELSE 0 END AS INT) AS capped,
+           CAST(rnd AS INT) AS rnd
+    FROM res ORDER BY lang
+    """,
+)
+def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-mixture planning (Chung et al. 2023): allocate
+    a token budget across languages as uniformly as possible subject
+    to a max-epochs cap per language — the sampling plan a multilingual
+    pretraining run derives before it starts, and the principled
+    replacement for temperature sampling (mixture_alpha_weights is the
+    alpha-weighted baseline this complements). Budget = ⌊8·T/5⌋
+    (1.6× the corpus) with a 2-epoch cap: round 1 waterfills the fair
+    share ⌊B/L⌋, languages whose cap 2·tok fits under it are frozen at
+    their cap, and the freed budget re-waterfills among survivors
+    until no cap binds; the remainder of the final integer division
+    goes to the lexicographically first remaining languages (fully
+    deterministic — every quantity is a BIGINT, every division a
+    floor). At sf0.01 this bites: de/es/fr/zh cap in round 1, en
+    absorbs the freed budget in round 2 at ~1.08 epochs.
+
+    Engine twin-ness: the Spark side computes the per-language token
+    table DISTRIBUTED (one corpus scan + hash agg), collects the ≤ L
+    language rows — bounded model state, the same argument as
+    bpe_train's 1-row argmax — and runs the loop in exact Python ints;
+    the oracle unrolls 6 waterfilling rounds as CTE stages (the
+    kmeans-oracle idiom; a round where nothing caps is a provable
+    no-op, so 6 ≥ L stages is always enough).
+    100 TB shape: the corpus is touched exactly once (scan + agg to
+    language grain); the plan itself is O(L²) driver arithmetic on a
+    frame that fits in a cache line. Consumers join the L-row plan
+    back as a broadcast to drive per-language hash-rate sampling."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    lt = (
+        d.select("lang", F.size(ws).cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("tok"))
+        .collect()
+    )
+    langs = sorted((r["lang"], int(r["tok"])) for r in lt)
+    total = sum(t for _, t in langs)
+    budget = (8 * total) // 5
+    cap = {l: 2 * t for l, t in langs}
+    alloc: dict[str, int] = {}
+    rnd: dict[str, int] = {}
+    r, n = budget, 1
+    active = [l for l, _ in langs]
+    while active:
+        fair = r // len(active)
+        newly = [l for l in active if cap[l] <= fair]
+        if not newly:
+            break
+        for l in newly:
+            alloc[l] = cap[l]
+            rnd[l] = n
+            r -= cap[l]
+        active = [l for l in active if l not in alloc]
+        n += 1
+    if active:
+        fair, rem = r // len(active), r % len(active)
+        for i, l in enumerate(sorted(active)):
+            alloc[l] = fair + (1 if i < rem else 0)
+            rnd[l] = 0
+    tokmap = dict(langs)
+    rows = [
+        (
+            l,
+            tokmap[l],
+            cap[l],
+            alloc[l],
+            (1_000_000 * alloc[l]) // tokmap[l],
+            1 if rnd[l] > 0 else 0,
+            rnd[l],
+        )
+        for l, _ in langs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_tokens long, cap long, alloc long,"
+        " epochs_ppm long, capped int, rnd int",
+    ).orderBy("lang")
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH cm0(cell, c) AS (VALUES
+      {_KM_CM0}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_KM_ITER.format(n=1, p=0)},
+    {_KM_ITER.format(n=2, p=1)},
+    asg AS (
+      SELECT vec_id, CAST(cell AS INT) AS cluster FROM (
+        SELECT e.vec_id, cm2.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cm2.c) DESC,
+                          cm2.cell DESC) AS rn
+        FROM e, cm2
+      ) WHERE rn = 1
+    ),
+    sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+           FROM asg GROUP BY cluster),
+    m AS (SELECT CAST(min(size) AS BIGINT) AS target FROM sz),
+    rates AS (
+      SELECT cluster, size, m.target,
+             CAST((1000000 * m.target) // size AS BIGINT) AS rate_ppm
+      FROM sz CROSS JOIN m
+    ),
+    kept AS (
+      SELECT a.cluster, CAST(count(*) AS BIGINT) AS kept
+      FROM asg a JOIN rates r USING (cluster)
+      WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':cbs'),
+                            1, 15))::BIGINT % 1000000 < r.rate_ppm
+      GROUP BY a.cluster
+    )
+    SELECT r.cluster, r.size, r.target, r.rate_ppm,
+           CAST(coalesce(k.kept, 0) AS BIGINT) AS kept
+    FROM rates r LEFT JOIN kept k USING (cluster)
+    ORDER BY r.cluster
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling over embeddings — the
+    topic-diversity rebalancer (the DoReMi/cluster-resampling shape):
+    train the k-means coarse quantizer (the proven
+    kmeans_fit machinery: k=4, two DECIMAL-exact Lloyd iterations,
+    seed 42), assign every vector to its cluster scan-side, and
+    hash-downsample every cluster to the SMALLEST cluster's size in
+    expectation — per-cluster acceptance rate_ppm = ⌊10⁶·min_size/
+    size⌋ applied as an md5-residue threshold (residue = first 15 md5
+    hex digits of vec_id||':cbs' mod 10⁶, the mixture_weighted_sample
+    idiom) — so dominant modes stop dominating the training mix.
+    Reported per cluster: size, target, acceptance rate, kept count
+    (the kept counts are hash-exact, so the oracle verifies the
+    actual sampled membership, not just expectations).
+    Assignment ties follow nearest_cells (score DESC, cell DESC —
+    the reverse-sort literal-expression path; the oracle mirrors it).
+    100 TB shape: training touches the corpus twice (bounded by k·d
+    driver state); assignment + sampling is one scan with the 4-row
+    rate table broadcast — no shuffle for the sample itself, one hash
+    agg for the audit counts."""
+    from bearysta_spark.functions.clustering import assign_clusters, kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=4, max_iters=2, tol=0.0, seed=42)
+    a = assign_clusters(e, cents).select("vec_id", "cluster")
+    sz = a.groupBy("cluster").agg(F.count("*").cast("long").alias("size"))
+    m = sz.agg(F.min("size").cast("long").alias("target"))
+    rates = sz.crossJoin(F.broadcast(m)).select(
+        "cluster",
+        "size",
+        "target",
+        F.expr("CAST((1000000 * target) div size AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+    )
+    residue = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":cbs"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    kept = (
+        a.join(F.broadcast(rates.select("cluster", "rate_ppm")), "cluster")
+        .filter(residue < F.col("rate_ppm"))
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("kept"))
+    )
+    return (
+        rates.join(kept, "cluster", "left")
+        .select(
+            "cluster",
+            "size",
+            "target",
+            "rate_ppm",
+            F.coalesce("kept", F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -8832,6 +9504,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     # -- r07-new queries -------------------------------------------------
+    "gopher_repetition_report",
+    "lm_perplexity_buckets",
+    "unimax_mixture_plan",
+    "cluster_balanced_sample",
     "bigram_backoff_surprise",
     "bpe_train_merges",
     "bpe_trained_compression",

@@ -172,6 +172,10 @@ BENCH_QUERIES = [
     "sparse_knn_recall",
     "span_exact_dedup",
     "bigram_backoff_surprise",
+    "gopher_repetition_report",
+    "lm_perplexity_buckets",
+    "unimax_mixture_plan",
+    "cluster_balanced_sample",
     "bpe_train_merges",
     "bpe_trained_compression",
     "pretrain_funnel_report",
@@ -454,6 +458,10 @@ def main() -> None:
         "sparse_knn_recall": "sprec",
         "span_exact_dedup": "spdd",
         "bigram_backoff_surprise": "bglm",
+        "gopher_repetition_report": "gopher",
+        "lm_perplexity_buckets": "lmbkt",
+        "unimax_mixture_plan": "unimax",
+        "cluster_balanced_sample": "cbsamp",
         "bpe_train_merges": "bpetr",
         "bpe_trained_compression": "bpecmp",
         "pretrain_funnel_report": "funnel",
