@@ -7974,7 +7974,7 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation and a top-k TakeOrdered. Shuffles: train uni agg,
     train bi agg, held⋈bigram, per-doc agg."""
     d = _t(spark, sf_dir, "documents")
-    scored = _bigram_lm_scored(d)
+    scored, base = _bigram_lm_scored(d)
     perdoc = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("bo").cast("long").alias("n_backoff"),
@@ -7984,7 +7984,7 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cond_prob"),
     )
     return (
-        perdoc.join(d.select("doc_id", "source"), "doc_id")
+        perdoc.join(base.select("doc_id", "source"), "doc_id")
         .select(
             "doc_id", "source", "n_bigrams", "n_backoff", "n_oov",
             "mean_cond_prob",
@@ -7997,23 +7997,35 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_SCALE = 1_000_000_000_000
 
 
-def _bigram_lm_scored(d: DataFrame) -> DataFrame:
+def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared bigram-LM scoring pipeline (the Spark twin of
     _LM_SC_CTES): 75/25 hash split, train-side unigram/bigram count
     tables, per-held-bigram fixed-point conditional-probability
-    scores. Returns (doc_id, s, bo, ov) at held-bigram grain. The
-    unigram table is scoped-cached — callers must be registered
-    scoped_caches=True."""
+    scores. Returns (scored, base): scored is (doc_id, s, bo, ov) at
+    held-bigram grain; base is the scoped-cached split+tokenized
+    corpus frame (doc_id, source, split, ws) for metadata reuse.
+    Both base and the unigram table are scoped-cached — callers must
+    be registered scoped_caches=True. Caching base buys the single
+    corpus scan (uncached, the train side is read twice for the
+    unigram/bigram tables, the held side once, and the source join
+    once more — 4 scans measured); at 100 TB the cache spills to
+    executor disk lz4-compressed, roughly one corpus-size write read
+    back three times versus three extra parquet scans, and keeps the
+    split/tokenize work from re-running per branch."""
     from bearysta_spark.functions.sampling import hash_split
 
     SCALE = _LM_SCALE
-    base = hash_split(
-        d, {"train": 0.75, "held": 0.25}, id_col="doc_id", salt="lm"
-    ).select(
-        "doc_id",
-        "source",
-        "split",
-        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0).alias("ws"),
+    base = scoped_cache(
+        hash_split(
+            d, {"train": 0.75, "held": 0.25}, id_col="doc_id", salt="lm"
+        ).select(
+            "doc_id",
+            "source",
+            "split",
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z0-9]+"), 0
+            ).alias("ws"),
+        )
     )
     bigrams = F.when(
         F.size("ws") >= 2,
@@ -8080,7 +8092,7 @@ def _bigram_lm_scored(d: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0)).alias("ov"),
         )
     )
-    return scored
+    return scored, base
 
 
 @query(
@@ -8308,15 +8320,20 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bearysta_spark.functions.sampling import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    g2 = (
-        gram_rows(d, 2, "text", ("doc_id",))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("g_total"),
-            F.countDistinct("gram").cast("long").alias("g_distinct"),
-        )
-    )
     ws = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    # per-doc 2-gram stats as ARRAY ops in the same projection — no
+    # explode, no (doc_id, gram) shuffle, and one fewer corpus pass
+    # than the gram_rows+groupBy form this replaced (the flags cache
+    # build is now a single scan)
+    g2arr = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            "transform(sequence(1, size(regexp_extract_all(text,"
+            " '[a-z0-9]+', 0)) - 1), i -> concat_ws(' ',"
+            " regexp_extract_all(text, '[a-z0-9]+', 0)[i-1],"
+            " regexp_extract_all(text, '[a-z0-9]+', 0)[i]))"
+        ),
+    )
     flags = scoped_cache(
         d.select(
             "doc_id",
@@ -8324,8 +8341,9 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(ws).cast("long").alias("tc"),
             F.length(F.concat_ws("", ws)).cast("long").alias("nch"),
             F.md5(T.normalize_text("text")).alias("norm_key"),
+            F.size(g2arr).cast("long").alias("g_total"),
+            F.size(F.array_distinct(g2arr)).cast("long").alias("g_distinct"),
         )
-        .join(g2, "doc_id", "left")
         .select(
             "*",
             (F.col("lang") == "en").alias("lang_ok"),
@@ -9175,7 +9193,7 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is ≤ 7.8k rows (map-side combined), the bucket table
     broadcasts back onto the doc-grain frame."""
     d = _t(spark, sf_dir, "documents")
-    scored = _bigram_lm_scored(d)
+    scored, _ = _bigram_lm_scored(d)
     perdoc = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n"),
         F.expr(
@@ -9389,6 +9407,7 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cluster_balanced_sample",
+    scoped_caches=True,
     oracle=f"""
     WITH cm0(cell, c) AS (VALUES
       {_KM_CM0}),
@@ -9449,7 +9468,9 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(e, k=4, max_iters=2, tol=0.0, seed=42)
-    a = assign_clusters(e, cents).select("vec_id", "cluster")
+    # narrow (vec_id, cluster) frame read by the size agg, the sample
+    # filter, and the kept agg — scoped-cached so assignment runs once
+    a = scoped_cache(assign_clusters(e, cents).select("vec_id", "cluster"))
     sz = a.groupBy("cluster").agg(F.count("*").cast("long").alias("size"))
     m = sz.agg(F.min("size").cast("long").alias("target"))
     rates = sz.crossJoin(F.broadcast(m)).select(
@@ -9491,6 +9512,183 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qlog2_sql(x: str, shl: str, shr: str, blen: str) -> str:
+    """256·log2(x) linearly interpolated within the octave, as pure
+    integer ops: 256·(bitlen−1) + (9-bit mantissa − 256). Monotone,
+    deterministic in both engines (max deviation from true 256·log2 is
+    ~22 units, the within-octave linear-interpolation error — the same
+    granularity trade as lm_perplexity_buckets' quantized-float bins).
+    `shl`/`shr`/`blen` are the engine's shift-left / shift-right /
+    bit-length spellings."""
+    lb = blen.format(x=x)
+    return (
+        f"(256 * {lb} + CASE WHEN {lb} <= 9 THEN {shl.format(x=x, s=f'9 - {lb}')}"
+        f" ELSE {shr.format(x=x, s=f'{lb} - 9')} END - 512)"
+    )
+
+
+def _qlog2_duck(x: str) -> str:
+    return _qlog2_sql(
+        x,
+        shl="({x}) << ({s})",
+        shr="({x}) >> ({s})",
+        blen=f"length(printf('%b', {x}))",
+    )
+
+
+def _qlog2_spark(x: str) -> str:
+    return _qlog2_sql(
+        x,
+        shl="shiftleft({x}, {s})",
+        shr="shiftright({x}, {s})",
+        blen=f"length(conv({x}, 10, 2))",
+    )
+
+
+def _dsir_split_sql() -> str:
+    from bearysta_spark.functions.sampling import hash_split_case_sql
+
+    return hash_split_case_sql(
+        {"target": 0.1, "raw": 0.9}, "CAST(doc_id AS VARCHAR)", salt="dsir"
+    )
+
+
+@query(
+    "dsir_importance_select",
+    scoped_caches=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_dsir_split_sql()} AS split,
+             regexp_extract_all(text, '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split,
+             ('0x' || substr(md5(u), 1, 15))::BIGINT % 1024 AS b
+      FROM (SELECT doc_id, split, unnest(ws) AS u FROM base)
+    ),
+    bc AS (
+      SELECT b,
+             CAST(count(*) FILTER (split = 'target') AS BIGINT) AS ct,
+             CAST(count(*) FILTER (split = 'raw') AS BIGINT) AS cr
+      FROM toks GROUP BY b
+    ),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                   CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+    w AS (
+      SELECT b, CAST({_qlog2_duck('ct + 1')} - {_qlog2_duck('nt + 1024')}
+                     - {_qlog2_duck('cr + 1')} + {_qlog2_duck('nr + 1024')}
+                  AS BIGINT) AS w
+      FROM bc CROSS JOIN tot
+    ),
+    dc AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE split = 'raw' GROUP BY doc_id, b
+    ),
+    sc AS (
+      SELECT doc_id, CAST(sum(c * w.w) AS BIGINT) AS score
+      FROM dc JOIN w USING (b) GROUP BY doc_id
+    )
+    SELECT s.doc_id, b.source,
+           CAST(len(b.ws) AS BIGINT) AS n_tokens, s.score
+    FROM sc s JOIN base b USING (doc_id)
+    ORDER BY s.score DESC, s.doc_id LIMIT 20
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023) over hashed unigram features: estimate a target and a raw
+    feature distribution from a 10/90 hash split, weight every feature
+    by its log importance ratio, score every raw document by
+    Σ count_f · w_f, and report the 20 most target-like raw documents —
+    the importance-sampling counterpart to the discriminative
+    quality_classifier_filter (completing the data-selection family:
+    heuristic gates → classifier → perplexity → importance
+    resampling → cluster balance → mixture planning).
+
+    The log-ratio is the exactness problem: true log() differs in the
+    last ulp between engines and Σ c_f·w_f amplifies it, so w uses
+    QUANTIZED log2 — 256·log2 linearly interpolated inside each octave
+    from pure bit arithmetic (bit-length + 9-bit mantissa; max ~22/256
+    of a bit from true log2, granularity documented like the
+    lm_perplexity_buckets bins). Every weight and score is a BIGINT:
+    hash-exact parity, ranking ties broken by doc_id. Add-1 smoothing
+    on bucket counts, add-D on totals (D = 1024 hashed buckets, the
+    hashed_vector_stats md5-residue idiom). Raw docs with zero tokens
+    are excluded by construction (no feature rows — a no-token doc has
+    no importance evidence either way).
+    100 TB shape: ONE corpus scan (the split+tokenized base frame is
+    scoped-cached): token rows feed a single 1024-row dual-count agg
+    (map-side combined), the weight table is a broadcast, and scoring
+    is (doc, bucket)-grain agg + broadcast join — no shuffle wider
+    than the doc-grain aggregate, nothing pairwise. The 1024-row model
+    is the entire state DSIR needs (the paper's n-gram variant raises
+    D; the shape is unchanged)."""
+    from bearysta_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    base = scoped_cache(
+        hash_split(
+            d, {"target": 0.1, "raw": 0.9}, id_col="doc_id", salt="dsir"
+        ).select(
+            "doc_id",
+            "source",
+            "split",
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z0-9]+"), 0
+            ).alias("ws"),
+        )
+    )
+    toks = base.select(
+        "doc_id", "split", F.explode("ws").alias("tok")
+    ).select(
+        "doc_id",
+        "split",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % 1024
+        ).alias("b"),
+    )
+    bc = toks.groupBy("b").agg(
+        F.count_if(F.col("split") == "target").cast("long").alias("ct"),
+        F.count_if(F.col("split") == "raw").cast("long").alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST({_qlog2_spark('ct + 1')} - {_qlog2_spark('nt + 1024')}"
+            f" - {_qlog2_spark('cr + 1')} + {_qlog2_spark('nr + 1024')}"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    dc = (
+        toks.filter(F.col("split") == "raw")
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sc = (
+        dc.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("score"))
+    )
+    return (
+        sc.join(base.select("doc_id", "source", F.size("ws").alias("tw")),
+                "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("tw").cast("long").alias("n_tokens"),
+            "score",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -9508,6 +9706,7 @@ _DRIVER_PRIORITY = [
     "lm_perplexity_buckets",
     "unimax_mixture_plan",
     "cluster_balanced_sample",
+    "dsir_importance_select",
     "bigram_backoff_surprise",
     "bpe_train_merges",
     "bpe_trained_compression",

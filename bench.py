@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "lm_perplexity_buckets",
     "unimax_mixture_plan",
     "cluster_balanced_sample",
+    "dsir_importance_select",
     "bpe_train_merges",
     "bpe_trained_compression",
     "pretrain_funnel_report",
@@ -462,6 +463,7 @@ def main() -> None:
         "lm_perplexity_buckets": "lmbkt",
         "unimax_mixture_plan": "unimax",
         "cluster_balanced_sample": "cbsamp",
+        "dsir_importance_select": "dsir",
         "bpe_train_merges": "bpetr",
         "bpe_trained_compression": "bpecmp",
         "pretrain_funnel_report": "funnel",

@@ -354,6 +354,19 @@ SCAN_BUDGETS = [
     ("audio_fp_stats", "documents", 1),
     ("video_frame_dedup", "documents", 1),
     ("multimodal_dedup_agreement", "documents", 2),
+    # r07 additions: the LM pair and the repetition report are single
+    # corpus passes (the split+tokenized base frame is scoped-cached;
+    # uncached they measured 4-5 scans); the sampler's assignment frame
+    # is scoped-cached (uncached: 5 embeddings scans); the funnel's 4 is
+    # its contract floor (quality-flags build + the two LSH pipeline
+    # passes + the 8-gram decontam pass over survivors)
+    ("gopher_repetition_report", "documents", 1),
+    ("bigram_backoff_surprise", "documents", 1),
+    ("lm_perplexity_buckets", "documents", 1),
+    ("cluster_balanced_sample", "embeddings", 1),
+    ("pretrain_funnel_report", "documents", 4),
+    ("dsir_importance_select", "documents", 1),
+    ("bpe_trained_compression", "documents", 2),
 ]
 
 
@@ -399,6 +412,12 @@ CACHE_SCOPED_SAMPLE = [
     "bm25_keyword_topk",
     "bloom_decontam",
     "split_leakage_check",
+    "gopher_repetition_report",
+    "bigram_backoff_surprise",
+    "lm_perplexity_buckets",
+    "cluster_balanced_sample",
+    "pretrain_funnel_report",
+    "dsir_importance_select",
 ]
 
 
