@@ -9689,6 +9689,502 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One power-iteration round as an unrolled CTE stage (the _KM_ITER
+# idiom). cx is the centered long-form matrix (vec_id, dim, c); v{p}
+# is the previous unit vector (dim, vv). Every cross-row/cross-dim sum
+# accumulates in DECIMAL(38,18) (order-free, engine-exact); the only
+# floating ops are per-element double multiplies/subtractions on
+# identical inputs and one correctly-rounded sqrt — so all three
+# rounds stay bit-identical across engines.
+_PCA_ITER = """
+d{n} AS (
+  SELECT cx.vec_id,
+         CAST(sum(CAST(cx.c * v{p}.vv AS DECIMAL(38,18))) AS DOUBLE) AS d
+  FROM cx JOIN v{p} USING (dim) GROUP BY cx.vec_id
+),
+w{n} AS (
+  SELECT cx.dim,
+         CAST(sum(CAST(cx.c * d{n}.d AS DECIMAL(38,18))) AS DOUBLE) AS w
+  FROM cx JOIN d{n} USING (vec_id) GROUP BY cx.dim
+),
+nm{n} AS (
+  SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nm
+  FROM w{n}
+),
+v{n} AS (SELECT dim, w / nm AS vv FROM w{n} CROSS JOIN nm{n})"""
+
+
+@query(
+    "pca_top_component",
+    scoped_caches=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    x AS (
+      SELECT vec_id, CAST(t.i - 1 AS INT) AS dim, v[CAST(t.i AS INT)] AS val
+      FROM e, generate_series(1, 64) AS t(i)
+    ),
+    mu AS (
+      SELECT dim,
+             CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+               / (SELECT count(*) FROM e) AS mu
+      FROM x GROUP BY dim
+    ),
+    cx AS (SELECT x.vec_id, x.dim, x.val - mu.mu AS c
+           FROM x JOIN mu USING (dim)),
+    v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS vv FROM mu),
+    {_PCA_ITER.format(n=1, p=0)},
+    {_PCA_ITER.format(n=2, p=1)},
+    {_PCA_ITER.format(n=3, p=2)}
+    SELECT v3.dim, round(v3.vv, 6) AS loading,
+           round(nm3.nm, 4) AS eig
+    FROM v3 CROSS JOIN nm3 ORDER BY v3.dim
+    """,
+)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by three unrolled
+    power iterations on the CENTERED second-moment matrix — the
+    embedding-decorrelation primitive (whitening, anisotropy audits,
+    ABTT "all-but-the-top" postprocessing start exactly here), built so
+    training is bit-identical on any cluster layout, like
+    kmeans_centroids:
+
+    - the matrix is never formed: each round is two long-form
+      aggregations, dᵢ = Σ_d c_{{id}}·v_d (per-vector) then
+      w_d = Σ_i c_{{id}}·dᵢ (per-dimension), over the scoped-cached
+      (vec_id, dim, centered-value) frame;
+    - every cross-row/cross-dim sum accumulates in DECIMAL(38,18) —
+      order-free, so partial-aggregation order can't shift a bit;
+      per-element arithmetic is double-on-identical-inputs and sqrt is
+      IEEE correctly-rounded, so the DuckDB oracle replays all three
+      rounds exactly (unrolled CTE stages, the kmeans idiom);
+    - v₀ = 0.125 (= 1/√64, exactly representable) — deterministic
+      init, sign fixed by construction;
+    - the per-round 64-row collect is bounded model state (the
+      bpe_train argmax argument); λ is estimated by ‖w₃‖ (the Rayleigh
+      estimate at a unit input).
+    Output: (dim, loading rounded 6dp, eig rounded 4dp).
+    100 TB shape: one embeddings scan builds the cached long form
+    (N·64 rows, the dataset itself); each round is two keyed hash-aggs
+    over it (map-side combined) plus 64-row driver state — no
+    d×d matrix materialization, no all-pairs anything."""
+    e = _t(spark, sf_dir, "embeddings")
+    mu, v, last_nm = _pca_fit(e)
+    rows = [(dim, v[dim], last_nm) for dim in range(64)]
+    out = spark.createDataFrame(rows, "dim int, loading double, eig double")
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eig", 4).alias("eig"),
+    ).orderBy("dim")
+
+
+def _pca_fit(e: DataFrame) -> tuple[list[float], list[float], float]:
+    """Shared power-iteration fit (the Spark twin of the _PCA_ITER
+    oracle chain): returns (mu, v, nm) — the per-dim mean, the unit
+    top principal component after 3 rounds, and its Rayleigh
+    eigenvalue estimate. Scoped-caches the long-form matrix — callers
+    must be registered scoped_caches=True. Model state is 64-row
+    collects per round (bounded, the bpe_train argmax argument)."""
+    n_dim = 64
+    x = scoped_cache(
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            ),
+        )
+    )
+    # N comes from the cached long form (count(*) per dim = N), so the
+    # embeddings parquet is scanned exactly once
+    mu_rows = (
+        x.groupBy("dim")
+        .agg(
+            (
+                F.expr(
+                    "CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)"
+                )
+                / F.count("*").cast("double")
+            ).alias("mu")
+        )
+        .collect()
+    )
+    mu = [0.0] * n_dim
+    for r in mu_rows:
+        mu[r["dim"]] = float(r["mu"])
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    cx = x.select(
+        "vec_id",
+        "dim",
+        (F.col("val") - F.element_at(mu_arr, F.col("dim") + 1)).alias("c"),
+    )
+    v = [0.125] * n_dim
+    w_frame = None
+    for _ in range(3):
+        v_arr = F.array(*[F.lit(float(c)) for c in v])
+        d = (
+            cx.select(
+                "vec_id",
+                (
+                    F.col("c") * F.element_at(v_arr, F.col("dim") + 1)
+                ).alias("t"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE)"
+                ).alias("d")
+            )
+        )
+        w_frame = (
+            cx.join(d, "vec_id")
+            .select("dim", (F.col("c") * F.col("d")).alias("t"))
+            .groupBy("dim")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE)"
+                ).alias("w")
+            )
+        )
+        nm = w_frame.agg(
+            F.sqrt(
+                F.expr(
+                    "CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)"
+                )
+            ).alias("nm")
+        )
+        vout = (
+            w_frame.crossJoin(F.broadcast(nm))
+            .select("dim", (F.col("w") / F.col("nm")).alias("vv"), "nm")
+            .collect()
+        )
+        v = [0.0] * n_dim
+        last_nm = 0.0
+        for r in vout:
+            v[r["dim"]] = float(r["vv"])
+            last_nm = float(r["nm"])
+    return mu, v, last_nm
+
+
+@query(
+    "anisotropy_abtt_report",
+    scoped_caches=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    x AS (
+      SELECT vec_id, CAST(t.i - 1 AS INT) AS dim, v[CAST(t.i AS INT)] AS val
+      FROM e, generate_series(1, 64) AS t(i)
+    ),
+    mu AS (
+      SELECT dim,
+             CAST(sum(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+               / (SELECT count(*) FROM e) AS mu
+      FROM x GROUP BY dim
+    ),
+    cx AS (SELECT x.vec_id, x.dim, x.val - mu.mu AS c
+           FROM x JOIN mu USING (dim)),
+    v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS vv FROM mu),
+    {_PCA_ITER.format(n=1, p=0)},
+    {_PCA_ITER.format(n=2, p=1)},
+    {_PCA_ITER.format(n=3, p=2)},
+    s AS (
+      SELECT vec_id FROM e
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':abtt'),
+                            1, 15))::BIGINT % 8 = 0
+    ),
+    dp AS (
+      SELECT cx.vec_id,
+             CAST(sum(CAST(cx.c * v3.vv AS DECIMAL(38,18))) AS DOUBLE) AS d
+      FROM cx JOIN s USING (vec_id) JOIN v3 USING (dim)
+      GROUP BY cx.vec_id
+    ),
+    sl AS (
+      SELECT x.vec_id, x.dim, x.val AS raw,
+             cx.c - dp.d * v3.vv AS resid
+      FROM x
+      JOIN s USING (vec_id)
+      JOIN cx ON cx.vec_id = x.vec_id AND cx.dim = x.dim
+      JOIN dp ON dp.vec_id = x.vec_id
+      JOIN v3 ON v3.dim = x.dim
+    ),
+    nrm AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST(raw * raw AS DECIMAL(38,18)))
+                  AS DOUBLE)) AS nraw,
+             sqrt(CAST(sum(CAST(resid * resid AS DECIMAL(38,18)))
+                  AS DOUBLE)) AS nres
+      FROM sl GROUP BY vec_id
+    ),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(sum(CAST(a.raw * b.raw AS DECIMAL(38,18)))
+               AS DOUBLE) AS draw,
+             CAST(sum(CAST(a.resid * b.resid AS DECIMAL(38,18)))
+               AS DOUBLE) AS dres
+      FROM sl a JOIN sl b ON a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    pc AS (
+      SELECT p.ia, p.ib,
+             p.draw / (na.nraw * nb.nraw) AS craw,
+             p.dres / (na.nres * nb.nres) AS cres
+      FROM pair p
+      JOIN nrm na ON na.vec_id = p.ia
+      JOIN nrm nb ON nb.vec_id = p.ib
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(craw AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos_raw,
+           round(CAST(sum(CAST(cres AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS mean_cos_abtt,
+           round((SELECT nm FROM nm3), 4) AS eig
+    FROM pc
+    """,
+)
+def anisotropy_abtt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit with the all-but-the-top correction
+    (Mu & Viswanath 2018; Ethayarajh 2019's anisotropy measure) — the
+    payoff of pca_top_component: embedding spaces are anisotropic
+    (random pairs have systematically positive cosine because a common
+    direction dominates), which corrupts cosine-based dedup/retrieval
+    thresholds; removing the mean and the top principal component
+    (ABTT) restores near-zero expected cosine. Reported: mean pairwise
+    cosine over a deterministic md5-residue sample (1/8 of vectors,
+    all within-sample pairs) BEFORE (raw vectors) and AFTER (mean- and
+    PC1-removed residuals), plus the PC1 Rayleigh eigenvalue — on a
+    real encoder's outputs the before/after gap IS the anisotropy the
+    correction buys back. On THIS synthetic corpus the measured
+    verdict is "already isotropic" (raw mean cosine ≈ −0.0025 at
+    sf0.01, ABTT moves it to ≈ −0.0052): the audit certifies a
+    near-zero baseline rather than correcting a skew — reported
+    honestly, like audio_fp_stats documenting the envelope hash's
+    insertion fragility. The machinery (fit → project-out → re-audit)
+    is exactly what runs against production encoder embeddings.
+
+    Exactness: PC1 comes from the shared _pca_fit power iteration
+    (bit-identical across engines); every cross-dim/cross-pair sum
+    accumulates in DECIMAL(38,18); cosines divide identically-computed
+    doubles. The oracle replays training AND the audit (the _PCA_ITER
+    chain composes, like the kmeans→IVF oracle).
+    100 TB shape: PCA as pca_top_component (two hash-aggs per round
+    over the cached long form); the audit is pair-grain over a
+    FIXED-RATE sample — at corpus scale the residue modulus rises to
+    keep |S| bounded (the sample is an audit, not a product); the
+    pair join is within-sample only, never corpus-pairwise."""
+    e = _t(spark, sf_dir, "embeddings")
+    mu, v, nm = _pca_fit(e)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    v_arr = F.array(*[F.lit(c) for c in v])
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    ).filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"),
+                               F.lit(":abtt"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+        == 0
+    )
+    cx = x.select(
+        "vec_id",
+        "dim",
+        "val",
+        (F.col("val") - F.element_at(mu_arr, F.col("dim") + 1)).alias("c"),
+    )
+    d = (
+        cx.select(
+            "vec_id",
+            (F.col("c") * F.element_at(v_arr, F.col("dim") + 1)).alias("t"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE)"
+            ).alias("d")
+        )
+    )
+    sl = scoped_cache(
+        cx.join(d, "vec_id").select(
+            "vec_id",
+            "dim",
+            F.col("val").alias("raw"),
+            (
+                F.col("c")
+                - F.col("d") * F.element_at(v_arr, F.col("dim") + 1)
+            ).alias("resid"),
+        )
+    )
+    nrm = sl.groupBy("vec_id").agg(
+        F.sqrt(
+            F.expr("CAST(sum(CAST(raw * raw AS DECIMAL(38,18))) AS DOUBLE)")
+        ).alias("nraw"),
+        F.sqrt(
+            F.expr(
+                "CAST(sum(CAST(resid * resid AS DECIMAL(38,18))) AS DOUBLE)"
+            )
+        ).alias("nres"),
+    )
+    a = sl.select(
+        F.col("vec_id").alias("ia"),
+        "dim",
+        F.col("raw").alias("araw"),
+        F.col("resid").alias("ares"),
+    )
+    b = sl.select(
+        F.col("vec_id").alias("ib"),
+        "dim",
+        F.col("raw").alias("braw"),
+        F.col("resid").alias("bres"),
+    )
+    pair = (
+        a.join(b, "dim")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (F.col("araw") * F.col("braw")).alias("tr"),
+            (F.col("ares") * F.col("bres")).alias("ts"),
+        )
+        .groupBy("ia", "ib")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(tr AS DECIMAL(38,18))) AS DOUBLE)"
+            ).alias("draw"),
+            F.expr(
+                "CAST(sum(CAST(ts AS DECIMAL(38,18))) AS DOUBLE)"
+            ).alias("dres"),
+        )
+    )
+    na = nrm.select(
+        F.col("vec_id").alias("ia"),
+        F.col("nraw").alias("na_raw"),
+        F.col("nres").alias("na_res"),
+    )
+    nb = nrm.select(
+        F.col("vec_id").alias("ib"),
+        F.col("nraw").alias("nb_raw"),
+        F.col("nres").alias("nb_res"),
+    )
+    pc = (
+        pair.join(F.broadcast(na), "ia")
+        .join(F.broadcast(nb), "ib")
+        .select(
+            (F.col("draw") / (F.col("na_raw") * F.col("nb_raw"))).alias(
+                "craw"
+            ),
+            (F.col("dres") / (F.col("na_res") * F.col("nb_res"))).alias(
+                "cres"
+            ),
+        )
+    )
+    nv = sl.select("vec_id").distinct().count()
+    return pc.agg(
+        F.lit(nv).cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.expr("CAST(sum(CAST(craw AS DECIMAL(38,18))) AS DOUBLE)")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos_raw"),
+        F.round(
+            F.expr("CAST(sum(CAST(cres AS DECIMAL(38,18))) AS DOUBLE)")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos_abtt"),
+        F.round(F.lit(nm), 4).alias("eig"),
+    )
+
+
+def _tok_agreement_oracle() -> str:
+    """Composed verbatim from the three tokenizer queries' own oracle
+    texts (ORACLE dict entries as subqueries) — the engines' pipelines
+    and their replicas cannot drift apart because there is only one
+    copy of each."""
+    return f"""
+    SELECT a.source, a.word_tokens,
+           a.tokens_per_word AS bpe_tpw,
+           b.tokens_per_word AS wordpiece_tpw,
+           c.tokens_per_word AS trained10_tpw,
+           CASE WHEN a.tokens_per_word <= b.tokens_per_word
+                     AND a.tokens_per_word <= c.tokens_per_word THEN 'bpe'
+                WHEN b.tokens_per_word <= c.tokens_per_word
+                     THEN 'wordpiece'
+                ELSE 'trained10' END AS best
+    FROM ({ORACLE["bpe_token_stats"]}) a
+    JOIN ({ORACLE["subword_token_stats"]}) b USING (source)
+    JOIN ({ORACLE["bpe_trained_compression"]}) c USING (source)
+    ORDER BY a.source
+    """
+
+
+@query(
+    "tokenizer_fertility_agreement",
+    scoped_caches=True,
+    oracle=_tok_agreement_oracle(),
+)
+def tokenizer_fertility_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-tokenizer fertility audit — the tokenization analog of
+    dedup_method_agreement: tokens-per-word per source under (a) the
+    embedded rank-ordered BPE table, (b) greedy wordpiece, and (c) the
+    10-merge table TRAINED on this corpus by bpe_train, side by side,
+    plus which tokenizer compresses each source best (ties resolved in
+    the fixed bpe → wordpiece → trained10 order). This is the report a
+    pipeline owner reads before committing a token budget: fertility
+    differences between tokenizers change effective corpus size at
+    fixed budget (a 3.4 vs 3.2 tokens/word tokenizer is a 6% budget
+    swing). Composition: the Spark side joins the three REGISTERED
+    query pipelines; the oracle nests the three ORACLE texts verbatim
+    as subqueries — one copy of each pipeline's semantics, zero drift
+    (the compare columns are the already-rounded 6dp ratios, so the
+    CASE compares identical doubles in both engines).
+    100 TB shape: the sum of its three constituents (each documented
+    independently); the agreement join is source-grain."""
+    a = RAW_QUERIES["bpe_token_stats"](spark, sf_dir).select(
+        "source", "word_tokens", F.col("tokens_per_word").alias("bpe_tpw")
+    )
+    b = RAW_QUERIES["subword_token_stats"](spark, sf_dir).select(
+        "source", F.col("tokens_per_word").alias("wordpiece_tpw")
+    )
+    c = RAW_QUERIES["bpe_trained_compression"](spark, sf_dir).select(
+        "source", F.col("tokens_per_word").alias("trained10_tpw")
+    )
+    return (
+        a.join(b, "source")
+        .join(c, "source")
+        .select(
+            "source",
+            "word_tokens",
+            "bpe_tpw",
+            "wordpiece_tpw",
+            "trained10_tpw",
+            F.when(
+                (F.col("bpe_tpw") <= F.col("wordpiece_tpw"))
+                & (F.col("bpe_tpw") <= F.col("trained10_tpw")),
+                "bpe",
+            )
+            .when(
+                F.col("wordpiece_tpw") <= F.col("trained10_tpw"), "wordpiece"
+            )
+            .otherwise("trained10")
+            .alias("best"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-order priority.
 #
@@ -9707,6 +10203,9 @@ _DRIVER_PRIORITY = [
     "unimax_mixture_plan",
     "cluster_balanced_sample",
     "dsir_importance_select",
+    "pca_top_component",
+    "anisotropy_abtt_report",
+    "tokenizer_fertility_agreement",
     "bigram_backoff_surprise",
     "bpe_train_merges",
     "bpe_trained_compression",

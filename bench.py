@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "unimax_mixture_plan",
     "cluster_balanced_sample",
     "dsir_importance_select",
+    "pca_top_component",
+    "anisotropy_abtt_report",
+    "tokenizer_fertility_agreement",
     "bpe_train_merges",
     "bpe_trained_compression",
     "pretrain_funnel_report",
@@ -464,6 +467,9 @@ def main() -> None:
         "unimax_mixture_plan": "unimax",
         "cluster_balanced_sample": "cbsamp",
         "dsir_importance_select": "dsir",
+        "pca_top_component": "pca1",
+        "anisotropy_abtt_report": "abtt",
+        "tokenizer_fertility_agreement": "tokagr",
         "bpe_train_merges": "bpetr",
         "bpe_trained_compression": "bpecmp",
         "pretrain_funnel_report": "funnel",

@@ -418,6 +418,9 @@ CACHE_SCOPED_SAMPLE = [
     "cluster_balanced_sample",
     "pretrain_funnel_report",
     "dsir_importance_select",
+    "pca_top_component",
+    "anisotropy_abtt_report",
+    "tokenizer_fertility_agreement",
 ]
 
 
