@@ -9890,8 +9890,9 @@ def _pca_fit(e: DataFrame) -> tuple[list[float], list[float], float]:
     {_PCA_ITER.format(n=3, p=2)},
     s AS (
       SELECT vec_id FROM e
-      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':abtt'),
-                            1, 15))::BIGINT % 8 = 0
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':abtt'),
+                               1, 15))::BIGINT, vec_id
+      LIMIT 64
     ),
     dp AS (
       SELECT cx.vec_id,
@@ -9953,7 +9954,10 @@ def anisotropy_abtt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ABTT) restores near-zero expected cosine. Reported: mean pairwise
     cosine over a deterministic md5-residue sample (1/8 of vectors,
     all within-sample pairs) BEFORE (raw vectors) and AFTER (mean- and
-    PC1-removed residuals), plus the PC1 Rayleigh eigenvalue — on a
+    PC1-removed residuals, over the 64 lowest-md5-residue vectors —
+    a FIXED-size deterministic sample, so the pairwise audit is
+    constant-cost at any corpus size), plus the PC1 Rayleigh
+    eigenvalue — on a
     real encoder's outputs the before/after gap IS the anisotropy the
     correction buys back. On THIS synthetic corpus the measured
     verdict is "already isotropic" (raw mean cosine ≈ −0.0025 at
@@ -9969,32 +9973,42 @@ def anisotropy_abtt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles. The oracle replays training AND the audit (the _PCA_ITER
     chain composes, like the kmeans→IVF oracle).
     100 TB shape: PCA as pca_top_component (two hash-aggs per round
-    over the cached long form); the audit is pair-grain over a
-    FIXED-RATE sample — at corpus scale the residue modulus rises to
-    keep |S| bounded (the sample is an audit, not a product); the
-    pair join is within-sample only, never corpus-pairwise."""
+    over the cached long form, linear); the audit is pair-grain over a
+    FIXED-SIZE sample (|S| = 64 by lowest md5 residue, a TakeOrdered
+    top-k — no full sort), so its 2016 pairs cost the same at any
+    corpus size. The rate-based form this replaced measured 14.7x at
+    the 10x ladder (sample grows with corpus → quadratic pair join);
+    fixed-|S| is the production-valid registered shape."""
     e = _t(spark, sf_dir, "embeddings")
     mu, v, nm = _pca_fit(e)
     mu_arr = F.array(*[F.lit(m) for m in mu])
     v_arr = F.array(*[F.lit(c) for c in v])
-    x = e.select(
+    res = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":abtt"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # FIXED-size deterministic sample: the 64 lowest md5 residues
+    # (TakeOrdered — map-side partial top-k, no full sort). A rate-based
+    # sample (residue % k) grows with the corpus and makes the
+    # within-sample pair join quadratic — measured 14.7x at the 10x
+    # ladder before this fix; with |S| pinned the audit cost is
+    # CONSTANT in corpus size and only the PCA fit scales (linearly).
+    sample_ids = (
+        e.select("vec_id", res.alias("r"))
+        .orderBy("r", "vec_id")
+        .limit(64)
+        .select("vec_id")
+    )
+    x = e.join(F.broadcast(sample_ids), "vec_id").select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim", "val"
         ),
-    ).filter(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("vec_id").cast("string"),
-                               F.lit(":abtt"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 8
-        == 0
     )
     cx = x.select(
         "vec_id",
