@@ -8321,26 +8321,32 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
-    # per-doc 2-gram stats as ARRAY ops in the same projection — no
-    # explode, no (doc_id, gram) shuffle, and one fewer corpus pass
-    # than the gram_rows+groupBy form this replaced (the flags cache
-    # build is now a single scan)
+    # tokenize ONCE into a column, then build the per-doc 2-gram stats
+    # as ARRAY ops over it — no explode, no (doc_id, gram) shuffle, one
+    # fewer corpus pass than the gram_rows+groupBy form this replaced,
+    # and exactly one regexp evaluation per row (inlining the regexp
+    # into the transform lambda re-ran it per reference: measured 2x
+    # the whole-query cost at sf0.1)
+    pre = d.select(
+        "doc_id",
+        "lang",
+        F.md5(T.normalize_text("text")).alias("norm_key"),
+        ws.alias("ws"),
+    )
     g2arr = F.when(
-        F.size(ws) >= 2,
+        F.size("ws") >= 2,
         F.expr(
-            "transform(sequence(1, size(regexp_extract_all(text,"
-            " '[a-z0-9]+', 0)) - 1), i -> concat_ws(' ',"
-            " regexp_extract_all(text, '[a-z0-9]+', 0)[i-1],"
-            " regexp_extract_all(text, '[a-z0-9]+', 0)[i]))"
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat_ws(' ', ws[i-1], ws[i]))"
         ),
     )
     flags = scoped_cache(
-        d.select(
+        pre.select(
             "doc_id",
             "lang",
-            F.size(ws).cast("long").alias("tc"),
-            F.length(F.concat_ws("", ws)).cast("long").alias("nch"),
-            F.md5(T.normalize_text("text")).alias("norm_key"),
+            F.size("ws").cast("long").alias("tc"),
+            F.length(F.concat_ws("", "ws")).cast("long").alias("nch"),
+            "norm_key",
             F.size(g2arr).cast("long").alias("g_total"),
             F.size(F.array_distinct(g2arr)).cast("long").alias("g_distinct"),
         )

@@ -502,3 +502,41 @@ def test_sample_centroids_cap(spark, monkeypatch, caplog):
         cents = S._sample_centroids(df, n_rows=40, id_col="vec_id",
                                     vec_col="embedding", cell_target=10)
     assert len(cents) == 4 and not caplog.records
+
+
+def test_qlog2_parity_spark_duckdb_python(spark):
+    """The quantized-log2 used by dsir_importance_select must agree
+    bit-for-bit between the Spark spelling (conv/shiftleft/shiftright),
+    the DuckDB spelling (printf('%b'), <<, >>), and a python reference
+    — over small values, octave boundaries, and large BIGINTs."""
+    import duckdb
+
+    from bearysta_spark.queries import _qlog2_duck, _qlog2_spark
+
+    xs = (
+        list(range(1, 600))
+        + [2**k for k in range(1, 62)]
+        + [2**k - 1 for k in range(2, 62)]
+        + [2**k + 1 for k in range(1, 61)]
+        + [123456789012345, 987654321987654321]
+    )
+
+    def ref(x: int) -> int:
+        lb = x.bit_length()
+        m = x << (9 - lb) if lb <= 9 else x >> (lb - 9)
+        return 256 * lb + m - 512
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    duck = dict(
+        con.sql(f"SELECT x, {_qlog2_duck('x')} FROM t").fetchall()
+    )
+    sdf = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = dict(
+        sdf.selectExpr("x", f"{_qlog2_spark('x')} AS q").collect()
+    )
+    for x in xs:
+        r = ref(x)
+        assert duck[x] == r, (x, duck[x], r)
+        assert got[x] == r, (x, got[x], r)
