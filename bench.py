@@ -472,11 +472,16 @@ def main() -> None:
         "tokenizer_fertility_agreement": "tokagr",
         "bpe_train_merges": "bpetr",
         "bpe_trained_compression": "bpecmp",
-        "pretrain_funnel_report": "funnel",
+        "pretrain_funnel_report": "ptfun",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",
     }
+    assert len(set(short.values())) == len(short), (
+        "bench short-key collision: two queries would overwrite each "
+        "other in the JSON (caught in r07: pretrain_funnel_report vs "
+        "event_funnel both mapped to 'funnel')"
+    )
     compact = {
         short.get(
             k, re.match(r"(q\d+)_", k).group(1) if re.match(r"q\d+_", k) else k
