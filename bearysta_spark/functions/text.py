@@ -531,3 +531,68 @@ def classifier_margins(
             / (F.lit(1.0) + F.exp(-F.col("margin_milli").cast("double") / 1000.0))
         ).alias("score"),
     )
+
+
+def curation_gate_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """The pretrain_funnel_report gate block as a reusable frame — the
+    language gate plus the integer-exact Gopher-style quality gates
+    (>= 15 tokens; mean word length in [3.0, 4.8] by cross-multiply;
+    duplicate word-2gram fraction <= 0.08 by cross-multiply), with the
+    normalized-text dedup key. One regexp tokenization per row; the
+    2-gram stats are array ops (no explode, no shuffle). Shared by the
+    batch funnel query and the streaming curation ingest loop so the
+    two cannot drift.
+
+    Returns (id_col, *keep, lang, tc, norm_key, lang_ok, q_ok) where
+    tc is the token count (the funnel's per-stage token metric)."""
+    ws = F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0)
+    pre = df.select(
+        id_col,
+        *keep,
+        "lang",
+        F.md5(normalize_text(text_col)).alias("norm_key"),
+        ws.alias("__ws"),
+    )
+    g2arr = F.when(
+        F.size("__ws") >= 2,
+        F.expr(
+            "transform(sequence(1, size(__ws) - 1),"
+            " i -> concat_ws(' ', __ws[i-1], __ws[i]))"
+        ),
+    )
+    return (
+        pre.select(
+            id_col,
+            *keep,
+            "lang",
+            "norm_key",
+            F.size("__ws").cast("long").alias("tc"),
+            F.length(F.concat_ws("", "__ws")).cast("long").alias("nch"),
+            F.size(g2arr).cast("long").alias("g_total"),
+            F.size(F.array_distinct(g2arr)).cast("long").alias("g_distinct"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "lang",
+            "norm_key",
+            "tc",
+            (F.col("lang") == lang).alias("lang_ok"),
+            (
+                (F.col("tc") >= 15)
+                & (10 * F.col("nch") >= 30 * F.col("tc"))
+                & (10 * F.col("nch") <= 48 * F.col("tc"))
+                & F.coalesce(
+                    25 * (F.col("g_total") - F.col("g_distinct"))
+                    <= 2 * F.col("g_total"),
+                    F.lit(True),
+                )
+            ).alias("q_ok"),
+        )
+    )

@@ -8320,51 +8320,12 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bearysta_spark.functions.sampling import hash_split
 
     d = _t(spark, sf_dir, "documents")
-    ws = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
-    # tokenize ONCE into a column, then build the per-doc 2-gram stats
-    # as ARRAY ops over it — no explode, no (doc_id, gram) shuffle, one
-    # fewer corpus pass than the gram_rows+groupBy form this replaced,
-    # and exactly one regexp evaluation per row (inlining the regexp
-    # into the transform lambda re-ran it per reference: measured 2x
-    # the whole-query cost at sf0.1)
-    pre = d.select(
-        "doc_id",
-        "lang",
-        F.md5(T.normalize_text("text")).alias("norm_key"),
-        ws.alias("ws"),
-    )
-    g2arr = F.when(
-        F.size("ws") >= 2,
-        F.expr(
-            "transform(sequence(1, size(ws) - 1),"
-            " i -> concat_ws(' ', ws[i-1], ws[i]))"
-        ),
-    )
-    flags = scoped_cache(
-        pre.select(
-            "doc_id",
-            "lang",
-            F.size("ws").cast("long").alias("tc"),
-            F.length(F.concat_ws("", "ws")).cast("long").alias("nch"),
-            "norm_key",
-            F.size(g2arr).cast("long").alias("g_total"),
-            F.size(F.array_distinct(g2arr)).cast("long").alias("g_distinct"),
-        )
-        .select(
-            "*",
-            (F.col("lang") == "en").alias("lang_ok"),
-            (
-                (F.col("tc") >= 15)
-                & (10 * F.col("nch") >= 30 * F.col("tc"))
-                & (10 * F.col("nch") <= 48 * F.col("tc"))
-                & F.coalesce(
-                    25 * (F.col("g_total") - F.col("g_distinct"))
-                    <= 2 * F.col("g_total"),
-                    F.lit(True),
-                )
-            ).alias("q_ok"),
-        )
-    )
+    # the gate block lives in functions.text.curation_gate_flags (one
+    # regexp tokenization per row, 2-gram stats as array ops — no
+    # explode, no shuffle) and is SHARED with the streaming curation
+    # ingest loop (streaming/curation.py), so batch and stream gates
+    # cannot drift
+    flags = scoped_cache(T.curation_gate_flags(d))
     s1 = flags.filter("lang_ok")
     s2 = s1.filter("q_ok")
     keeper = s2.groupBy("norm_key").agg(F.min("doc_id").alias("k"))
