@@ -574,8 +574,14 @@ def curation_gate_flags(
             "norm_key",
             F.size("__ws").cast("long").alias("tc"),
             F.length(F.concat_ws("", "__ws")).cast("long").alias("nch"),
-            F.size(g2arr).cast("long").alias("g_total"),
-            F.size(F.array_distinct(g2arr)).cast("long").alias("g_distinct"),
+            # explicit NULL for < 2 tokens: size(NULL) is NULL under
+            # ANSI (Spark 4 default) but -1 with ANSI off, which would
+            # silently flip the coalesce(...) default below — spell the
+            # condition instead of relying on the session config
+            F.when(F.size("__ws") >= 2, F.size(g2arr))
+            .cast("long").alias("g_total"),
+            F.when(F.size("__ws") >= 2, F.size(F.array_distinct(g2arr)))
+            .cast("long").alias("g_distinct"),
         )
         .select(
             id_col,

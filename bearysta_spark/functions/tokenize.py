@@ -505,7 +505,7 @@ def bpe_train(
     (word, freq) table (one scan + one agg)."""
     from pyspark.sql import Window
 
-    from bearysta_spark.scratch import materialize_distributed
+    from bearysta_spark.scratch import materialize_distributed, path_of
 
     rows = words.select(
         "word",
@@ -582,7 +582,10 @@ def bpe_train(
         # materialization also beats materialize-every-3 (13.5 s vs
         # 29.2 s at sf0.01: re-deriving 1-2 window rounds per argmax
         # costs more than the vocab-bounded write)
-        cur = materialize_distributed(nxt, "bpe")
+        # superseded round state is deleted after the new write —
+        # without this, K merges leak K vocab-sized parquet dirs per
+        # call onto (possibly shared) scratch storage
+        cur = materialize_distributed(nxt, "bpe", replaces=path_of(cur))
     check_well_formed_merges(tuple((a, b) for a, b, _ in merges))
     if return_state:
         return merges, cur

@@ -7883,10 +7883,17 @@ def span_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # held-bigram fixed-point scores) — used by bigram_backoff_surprise
 # (top-20 most surprising) and lm_perplexity_buckets (head/middle/tail
 # binning); the text is shared so the two oracles cannot drift.
+def _lm_split_case() -> str:
+    from bearysta_spark.functions.sampling import hash_split_case_sql
+
+    return hash_split_case_sql(
+        {"train": 0.75, "held": 0.25}, "CAST(doc_id AS VARCHAR)", salt="lm"
+    )
+
+
 _LM_SC_CTES = """base AS (
   SELECT doc_id, source,
-         CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':lm') < 'c0000000'
-              THEN 'train' ELSE 'held' END AS split,
+         """ + _lm_split_case() + """ AS split,
          regexp_extract_all(text, '[a-z0-9]+') AS ws
   FROM documents
 ),
@@ -8055,17 +8062,31 @@ def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     he = held.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", "bg.prev", "bg.cur"
     )
+    # measured-size gate, not a hard hint: a 100 TB corpus' unigram
+    # vocabulary (Heaps' law) can exceed any broadcast budget — the
+    # count is one cheap job on the already-cached frame, and past the
+    # budget AQE picks a shuffle join instead of OOMing an executor
+    from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT as _BRL
+    from bearysta_spark.functions.dedup import _gated_broadcast
+
+    n_vocab = c1.count()
     scored = (
         he.join(c2, ["prev", "cur"], "left")
         .join(
-            F.broadcast(c1.select(F.col("tok").alias("prev"),
-                                  F.col("c1").alias("c1p"))),
+            _gated_broadcast(
+                c1.select(F.col("tok").alias("prev"),
+                          F.col("c1").alias("c1p")),
+                n_vocab, _BRL, "bigram LM unigram table",
+            ),
             "prev",
             "left",
         )
         .join(
-            F.broadcast(c1.select(F.col("tok").alias("cur"),
-                                  F.col("c1").alias("c1c"))),
+            _gated_broadcast(
+                c1.select(F.col("tok").alias("cur"),
+                          F.col("c1").alias("c1c")),
+                n_vocab, _BRL, "bigram LM unigram table",
+            ),
             "cur",
             "left",
         )
@@ -8177,6 +8198,15 @@ def bpe_trained_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_eval_thr() -> str:
+    """The funnel's 2% eval-split threshold, generated from the same
+    hex_threshold the Spark-side hash_split uses — one source for the
+    split constant instead of a hand-copied hex literal."""
+    from bearysta_spark.functions.sampling import hex_threshold
+
+    return hex_threshold(0.02)
+
+
 @query(
     "pretrain_funnel_report",
     scoped_caches=True,
@@ -8240,9 +8270,9 @@ ndrem AS (
 s3 AS (SELECT * FROM s3a
        WHERE doc_id NOT IN (SELECT doc_id FROM ndrem)),
 ev AS (SELECT doc_id FROM s3
-       WHERE md5(CAST(doc_id AS VARCHAR) || ':funnel') < '051eb851'),
+       WHERE md5(CAST(doc_id AS VARCHAR) || ':funnel') < '{_funnel_eval_thr()}'),
 tr AS (SELECT doc_id FROM s3
-       WHERE md5(CAST(doc_id AS VARCHAR) || ':funnel') >= '051eb851'),
+       WHERE md5(CAST(doc_id AS VARCHAR) || ':funnel') >= '{_funnel_eval_thr()}'),
 g8 AS (
   SELECT doc_id, unnest([array_to_string(ws[i+1:i+8], ' ')
                          for i in range(0, len(ws) - 7)]) AS gram
@@ -9287,7 +9317,8 @@ a{n} AS (
       FROM a6 CROSS JOIN fin
     )
     SELECT lang, tok AS n_tokens, cap, CAST(alloc AS BIGINT) AS alloc,
-           CAST((1000000 * alloc) // tok AS BIGINT) AS epochs_ppm,
+           CAST(coalesce((1000000 * alloc) // nullif(tok, 0), 0)
+             AS BIGINT) AS epochs_ppm,
            CAST(CASE WHEN rnd > 0 THEN 1 ELSE 0 END AS INT) AS capped,
            CAST(rnd AS INT) AS rnd
     FROM res ORDER BY lang
@@ -9336,7 +9367,12 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnd: dict[str, int] = {}
     r, n = budget, 1
     active = [l for l, _ in langs]
-    while active:
+    # <= 6 capping rounds, EXACTLY mirroring the oracle's 6 unrolled
+    # CTE stages: each capping round freezes >= 1 language, so 6 covers
+    # any corpus with <= 6 languages (this one has 5); if a 7th round
+    # would have capped, both sides identically fall through to the
+    # final fair split instead — engine and oracle cannot diverge
+    while active and n <= 6:
         fair = r // len(active)
         newly = [l for l in active if cap[l] <= fair]
         if not newly:
@@ -9359,7 +9395,7 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokmap[l],
             cap[l],
             alloc[l],
-            (1_000_000 * alloc[l]) // tokmap[l],
+            (1_000_000 * alloc[l]) // tokmap[l] if tokmap[l] else 0,
             1 if rnd[l] > 0 else 0,
             rnd[l],
         )
@@ -9919,11 +9955,10 @@ def anisotropy_abtt_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction dominates), which corrupts cosine-based dedup/retrieval
     thresholds; removing the mean and the top principal component
     (ABTT) restores near-zero expected cosine. Reported: mean pairwise
-    cosine over a deterministic md5-residue sample (1/8 of vectors,
-    all within-sample pairs) BEFORE (raw vectors) and AFTER (mean- and
-    PC1-removed residuals, over the 64 lowest-md5-residue vectors —
-    a FIXED-size deterministic sample, so the pairwise audit is
-    constant-cost at any corpus size), plus the PC1 Rayleigh
+    cosine over the 64 lowest-md5-residue vectors (a FIXED-size
+    deterministic sample, all within-sample pairs — the pairwise audit
+    is constant-cost at any corpus size) BEFORE (raw vectors) and
+    AFTER (mean- and PC1-removed residuals), plus the PC1 Rayleigh
     eigenvalue — on a
     real encoder's outputs the before/after gap IS the anisotropy the
     correction buys back. On THIS synthetic corpus the measured

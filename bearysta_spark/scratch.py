@@ -15,6 +15,11 @@ plan *stringification* alone OOMs the driver), unlike localCheckpoint()
 it pins no RDD blocks (the zero-pinned-blocks contract, r05 VERDICT),
 and unlike collect() it never funnels rows through the driver (r06
 VERDICT finding #1).
+
+Paths are namespaced per process (`mat_{run}_{seq}_{tag}`, run = a
+random hex token): two drivers pointed at the SAME shared scratch root
+— the documented deployment — must never overwrite files a sibling
+run's returned DataFrames still scan lazily.
 """
 
 from __future__ import annotations
@@ -23,11 +28,14 @@ import atexit
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame
 
 _FALLBACK: str | None = None
 _SEQ = 0
+#: per-process namespace token — collision-proofs shared scratch roots
+_RUN = uuid.uuid4().hex[:12]
 
 
 def scratch_root() -> str:
@@ -43,12 +51,38 @@ def scratch_root() -> str:
     return _FALLBACK
 
 
-def materialize_distributed(df: DataFrame, tag: str = "df") -> DataFrame:
+def materialize_distributed(
+    df: DataFrame, tag: str = "df", replaces: str | None = None
+) -> DataFrame:
     """Write `df` to scratch parquet (executor-side) and return a
     distributed scan of the result with the identical schema (incl.
-    nullability, forced on the re-read)."""
+    nullability, forced on the re-read).
+
+    `replaces`: a path a PREVIOUS materialization of the same rolling
+    state returned (see `path_of`) — it is deleted best-effort AFTER
+    the new write succeeds, so iterative algorithms (bpe_train) don't
+    leak one vocab-sized directory per round onto shared storage.
+    Deletion covers filesystem paths; URI-schemed roots (hdfs://,
+    s3a://) are skipped silently — clean those with storage lifecycle
+    rules."""
     global _SEQ
     _SEQ += 1
-    path = os.path.join(scratch_root(), f"mat_{_SEQ}_{tag}")
+    path = os.path.join(scratch_root(), f"mat_{_RUN}_{_SEQ}_{tag}")
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.schema(df.schema).parquet(path)
+    out = df.sparkSession.read.schema(df.schema).parquet(path)
+    if replaces is not None and "://" not in replaces:
+        shutil.rmtree(replaces, ignore_errors=True)
+    return out
+
+
+def path_of(df: DataFrame) -> str | None:
+    """The scratch path behind a frame `materialize_distributed`
+    returned (for the `replaces` handoff), else None."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    d = os.path.dirname(files[0])
+    base = os.path.basename(d)
+    if base.startswith(f"mat_{_RUN}_"):
+        return d.removeprefix("file:")
+    return None

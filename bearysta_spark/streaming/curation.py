@@ -18,9 +18,13 @@ Exactly-once under foreachBatch replay, by the house construction
   dedup is the explicit min-id step, applied once).
 
 100 TB shape: gates are scan-side expressions; within-batch dedup is a
-16-byte-digest hash-agg at batch grain; the cross-batch probe is an
-anti-join against the bucketed key index (pruned by kb bucket); index
-growth is one small parquet partition per batch. Near-dup removal and
+16-byte-digest hash-agg at batch grain; the cross-batch probe is ONE
+anti-join against the key index per batch (an exact-key probe cannot
+partition-prune — the kb buckets exist to bound file sizes and write
+parallelism); survivors are written first and the batch-sized result
+re-read for the counter and index sinks, so the index is scanned once
+per batch, not once per sink; index growth is one small parquet
+partition per batch. Near-dup removal and
 decontamination are deliberately NOT in this loop — they ride the
 persisted LSH index streams (start_streaming_near_dup and friends);
 compose both foreachBatch stages for the full pipeline.
@@ -28,6 +32,7 @@ compose both foreachBatch stages for the full pipeline.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,7 +79,14 @@ def start_streaming_curation_ingest(
             idx = spark.read.parquet(index_root).filter(
                 F.col("batch_id") < batch_id
             )
-        except Exception:  # first batch: no index yet
+        except AnalysisException as e:
+            # ONLY the missing-path case means "first batch, no index
+            # yet" — any other read failure (transient FS error,
+            # corrupt partition) must fail the batch loudly, or exact
+            # dedup would be silently disabled and duplicates admitted
+            # (and indexed) forever
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             idx = None
         surv = wb
         if idx is not None:
@@ -91,21 +103,30 @@ def start_streaming_curation_ingest(
                 .alias("n_tokens"),
             )
 
+        # write survivors FIRST, then read the batch-sized result back
+        # for the counter and index sinks — the anti-join (and its full
+        # index scan) executes once per batch instead of once per sink
+        (
+            surv.select(id_col, "source", "lang", "tc", "norm_key")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        survread = spark.read.parquet(out_path).filter(
+            F.col("batch_id") == batch_id
+        )
         counters = (
             stage(1, "input", flags)
             .unionByName(stage(2, "lang", flags.filter("lang_ok")))
             .unionByName(stage(3, "quality", gated))
-            .unionByName(stage(4, "dedup", surv))
+            .unionByName(stage(4, "dedup", survread))
         )
         for frame, path, parts in (
-            (
-                surv.select(id_col, "source", "lang", "tc", "norm_key"),
-                out_path,
-                ("batch_id",),
-            ),
             (counters, counters_path, ("batch_id",)),
             (
-                surv.select(
+                survread.select(
                     "norm_key",
                     F.pmod(F.xxhash64("norm_key"), F.lit(buckets))
                     .cast("int")
