@@ -547,11 +547,17 @@ def curation_gate_flags(
     normalized-text dedup key. One regexp tokenization per row; the
     2-gram stats are array ops (no explode, no shuffle). Shared by the
     batch funnel query and the streaming curation ingest loop so the
-    two cannot drift.
+    two cannot drift. Text is lowercased BEFORE tokenizing — the same
+    convention as word_occurrences and scrub_repeated_spans — so
+    mixed-case corpora don't split tokens at case boundaries ('The'
+    must count as one token 'the', not the fragment 'he') and skew the
+    token-count / word-length / dup-2gram gates.
 
     Returns (id_col, *keep, lang, tc, norm_key, lang_ok, q_ok) where
     tc is the token count (the funnel's per-stage token metric)."""
-    ws = F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0)
+    ws = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    )
     pre = df.select(
         id_col,
         *keep,

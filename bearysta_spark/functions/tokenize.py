@@ -589,6 +589,12 @@ def bpe_train(
     check_well_formed_merges(tuple((a, b) for a, b, _ in merges))
     if return_state:
         return merges, cur
+    # only the merge list escapes — reclaim the final round-state dir,
+    # or every call leaks one vocab-sized parquet dir to (possibly
+    # shared) scratch storage
+    from bearysta_spark.scratch import cleanup
+
+    cleanup(cur)
     return merges
 
 

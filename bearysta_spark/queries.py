@@ -8228,9 +8228,9 @@ vpairs AS (
 ),
 f0 AS (
   SELECT doc_id, lang,
-         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS tc,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tc,
          CAST(length(array_to_string(
-           regexp_extract_all(text, '[a-z0-9]+'), '')) AS BIGINT) AS nch,
+           regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS BIGINT) AS nch,
          md5(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_key
   FROM documents
@@ -8240,7 +8240,7 @@ g2 AS (
          CAST(count(DISTINCT gram) AS BIGINT) AS g_distinct
   FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
                                for i in range(1, len(ws))]) AS gram
-        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
               FROM documents)
         WHERE len(ws) >= 2)
   GROUP BY doc_id

@@ -25,6 +25,7 @@ run's returned DataFrames still scan lazily.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
@@ -33,7 +34,12 @@ import uuid
 from pyspark.sql import DataFrame
 
 _FALLBACK: str | None = None
-_SEQ = 0
+#: itertools.count is atomic under the GIL — two queries running
+#: concurrently on different threads (the scenario CacheScope's
+#: token-scoped caches explicitly support) must never allocate the
+#: same mat_{run}_{seq}_{tag} path, or mode('overwrite') would clobber
+#: files the sibling's returned DataFrame still scans lazily
+_SEQ = itertools.count(1)
 #: per-process namespace token — collision-proofs shared scratch roots
 _RUN = uuid.uuid4().hex[:12]
 
@@ -65,14 +71,29 @@ def materialize_distributed(
     Deletion covers filesystem paths; URI-schemed roots (hdfs://,
     s3a://) are skipped silently — clean those with storage lifecycle
     rules."""
-    global _SEQ
-    _SEQ += 1
-    path = os.path.join(scratch_root(), f"mat_{_RUN}_{_SEQ}_{tag}")
+    path = os.path.join(scratch_root(), f"mat_{_RUN}_{next(_SEQ)}_{tag}")
     df.write.mode("overwrite").parquet(path)
     out = df.sparkSession.read.schema(df.schema).parquet(path)
     if replaces is not None and "://" not in replaces:
         shutil.rmtree(replaces, ignore_errors=True)
     return out
+
+
+def cleanup(df: DataFrame) -> None:
+    """Best-effort delete of the scratch directory behind a frame
+    `materialize_distributed` returned — for callers that materialized
+    purely as an intermediate and do NOT let the frame escape (e.g.
+    bpe_train with return_state=False returns only the merge list, so
+    its final round-state directory would otherwise leak to possibly
+    shared scratch, one vocab-sized dir per call). URI-schemed roots
+    are skipped like in materialize_distributed. Never call this on a
+    frame a caller may still scan: result dirs returned BY queries live
+    until process exit (the pid-keyed local fallback self-cleans at
+    interpreter exit; shared BEARYSTA_SCRATCH_DIR roots should carry a
+    storage lifecycle rule on mat_* prefixes)."""
+    p = path_of(df)
+    if p is not None and "://" not in p:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def path_of(df: DataFrame) -> str | None:

@@ -10,31 +10,369 @@ the report pretrain_funnel_report computes over a static corpus.
 
 Exactly-once under foreachBatch replay, by the house construction
 (streaming/neardup.py:start_streaming_self_neardup):
-- every sink (survivors, counters, index) is hive-partitioned by
-  batch_id and written with dynamic partition overwrite, so a replayed
-  batch overwrites ITS OWN output instead of duplicating it;
+- every sink (survivors, counters, index, Bloom sidecar) is
+  hive-partitioned by batch_id and written with dynamic partition
+  overwrite, so a replayed batch overwrites ITS OWN output instead of
+  duplicating it;
 - the index probe filters batch_id < current, so a replay that already
   appended its keys cannot dedup the batch against itself (within-batch
   dedup is the explicit min-id step, applied once).
 
 100 TB shape: gates are scan-side expressions; within-batch dedup is a
-16-byte-digest hash-agg at batch grain; the cross-batch probe is ONE
-anti-join against the key index per batch (an exact-key probe cannot
-partition-prune — the kb buckets exist to bound file sizes and write
-parallelism); survivors are written first and the batch-sized result
-re-read for the counter and index sinks, so the index is scanned once
-per batch, not once per sink; index growth is one small parquet
-partition per batch. Near-dup removal and
-decontamination are deliberately NOT in this loop — they ride the
-persisted LSH index streams (start_streaming_near_dup and friends);
-compose both foreachBatch stages for the full pipeline.
+16-byte-digest hash-agg at batch grain; the cross-batch probe rides a
+tall-integer Bloom sidecar (streaming/index.py) — the batch's keys are
+first tested against the OR-merge of every earlier batch's Bloom rows
+(sidecar-sized, NOT index-sized), definite negatives skip the index
+entirely, and only the suspected duplicates take the exact anti-join,
+partition-pruned to the suspects' kb buckets. The index side of that
+anti-join is a bare scan: survivor keys are unique BY CONSTRUCTION
+(surviving means the key was in no earlier batch; within-batch dupes
+fell to the min-id keeper; replays overwrite their own partition), and
+left-anti joins are insensitive to right-side duplicates anyway, so no
+distinct/aggregate ever touches the index (r07 VERDICT finding #1).
+Per-batch probe cost therefore tracks the BATCH and the (tiny) sidecar,
+not the corpus; Bloom false positives add verify work for a few kb
+partitions, never a wrong answer. Long-lived streams bound their
+file-listing cost with `compact_curation_index` (replay-safe tier fold,
+streaming/index.py). Near-dup removal and decontamination are
+deliberately NOT in this loop — they ride the persisted LSH index
+streams (start_streaming_near_dup and friends); compose both
+foreachBatch stages for the full pipeline (chaos-tested in
+tests/test_streaming_curation.py::test_streaming_curation_composed).
 """
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from bearysta_spark.streaming.index import (
+    bloom_rows,
+    compact_index,
+    read_index_view,
+    split_by_bloom,
+)
+
+#: explicit reader schemas: schema inference dies on an all-empty
+#: directory (a zero-survivor first batch leaves only _SUCCESS), which
+#: would otherwise wedge the stream in a crash loop on every replay
+INDEX_SCHEMA = "norm_key string, kb int, batch_id int"
+BLOOM_SCHEMA = "kb int, slot int, bits long, batch_id int"
+
+
+def _bloom_root(index_root: str) -> str:
+    return index_root.rstrip("/") + "_bloom"
+
+
+def probe_new_keys(
+    wb: DataFrame,
+    spark: SparkSession,
+    index_root: str,
+    batch_id: int,
+    buckets: int = 32,
+) -> DataFrame:
+    """Survivors of `wb` (within-batch-deduped gated rows carrying a
+    `kb` column) against every EARLIER batch's keys. Bloom-first exact
+    probe: definite negatives bypass the index; suspects verify with a
+    left-anti join pruned to their kb partitions. The collect is the
+    suspects' distinct kb list — bounded by `buckets`, never by data."""
+    idx = read_index_view(
+        spark, index_root, before_batch=batch_id, schema=INDEX_SCHEMA
+    )
+    if idx is None:
+        return wb
+    bloom = read_index_view(
+        spark, _bloom_root(index_root), before_batch=batch_id,
+        schema=BLOOM_SCHEMA,
+    )
+    if bloom is None:
+        # index predates the sidecar (or the sidecar was lost): fall
+        # back to the plain exact anti-join over the full index
+        return wb.join(idx.select("norm_key"), "norm_key", "left_anti")
+    new, suspects = split_by_bloom(
+        wb, bloom.drop("batch_id"), "norm_key", kb_col="kb"
+    )
+    kbs = [r.kb for r in suspects.select("kb").distinct().collect()]
+    if not kbs:
+        return new
+    verified = suspects.join(
+        idx.filter(F.col("kb").isin(kbs)).select("norm_key"),
+        "norm_key",
+        "left_anti",
+    )
+    return new.unionByName(verified)
+
+
+def compact_curation_index(
+    spark: SparkSession, index_root: str, upto_batch: int
+) -> None:
+    """Fold index partitions below the committed batch watermark into
+    one tier (and the Bloom sidecar's rows into one bit_or-merged
+    tier). Replay-safe and crash-safe per streaming/index.py; probes
+    pick the compacted layout up on their next micro-batch without a
+    stream restart."""
+    compact_index(
+        spark, index_root, upto_batch, partition_cols=("batch_id", "kb")
+    )
+    compact_index(
+        spark, _bloom_root(index_root), upto_batch,
+        partition_cols=("batch_id",), or_merge=("bits",),
+    )
+
+
+def start_streaming_curation_pipeline(
+    stream_docs: DataFrame,
+    index_root: str,
+    lsh_root: str,
+    out_path: str,
+    counters_path: str,
+    checkpoint: str,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+):
+    """The FULL streaming curation pipeline: gates → within/cross-batch
+    exact dedup → MinHash+LSH near-dup removal with exact Jaccard
+    verification — the streaming twin of pretrain_funnel_report's
+    stages 1-4 (decontamination stays batch-side: an eval split over an
+    unbounded stream is ill-defined). Twin-equality is chaos-tested in
+    tests/test_streaming_curation_composed.py.
+
+    Semantics (equal to the batch funnel under the ascending-id
+    contract — doc ids ascend across batches, as any ingest sequencer
+    provides): an exact-dedup survivor is near-dup-DROPPED iff it has a
+    verified neighbor (char-k-shingle Jaccard >= threshold) of smaller
+    id among ALL exact-dedup survivors — earlier batches' via the
+    self-growing LSH band-bucket index, same-batch via the within-batch
+    bucket self-join. Matching the funnel's greedy keep-first rule, the
+    smaller neighbor blocks EVEN IF it was itself near-dup-dropped, so
+    the LSH index and the out store carry every exact survivor; the
+    curated corpus is the near_ok = true slice of out_path.
+
+    Sinks (all batch_id-partitioned, dynamic-overwrite, replay-safe):
+    - out_path: exact survivors WITH text + a near_ok flag (the text is
+      the product corpus, and it is what verification of later batches'
+      candidates re-reads — fetched by the candidates' origin batches,
+      so the read prunes to the few partitions that actually collide);
+    - counters_path: per-batch funnel counters, stage 4 = exact+near;
+    - index_root (+_bloom): the norm-key exact-dedup index/sidecar;
+    - lsh_root: (id, band, bucket, origin) band buckets of every exact
+      survivor, partitioned by (batch_id, band). `origin` duplicates
+      the arrival batch as a DATA column so candidate pairs can prune
+      the out-store fetch even after compact_index folds the partition
+      batch_id into a tier.
+
+    100 TB shape: per-batch cost tracks the batch everywhere except the
+    two probes — the exact probe is Bloom-gated and kb-pruned (see
+    module docstring), and the LSH probe is a (band, bucket) equi-join
+    against the index with candidate-bounded verification (the Jaccard
+    join only ever touches bucket-mates, the same contract as
+    minhash_dedup_verified). The only collects are the suspects' kb
+    list (<= buckets) and the candidates' origin-batch list
+    (<= batches actually collided with)."""
+    from bearysta_spark.cachescope import release_scoped_caches
+    from bearysta_spark.functions.dedup import (
+        band_buckets,
+        minhash_signatures,
+        shingle_df,
+    )
+    from bearysta_spark.functions.text import curation_gate_flags
+
+    spark = stream_docs.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        flags = curation_gate_flags(
+            batch_df, lang=lang, id_col=id_col, keep=("source", text_col)
+        )
+        gated = flags.filter(F.col("lang_ok") & F.col("q_ok"))
+        keeper = gated.groupBy("norm_key").agg(F.min(id_col).alias("__k"))
+        wb = (
+            gated.join(keeper, "norm_key")
+            .filter(F.col(id_col) == F.col("__k"))
+            .drop("__k")
+            .withColumn(
+                "kb",
+                F.pmod(F.xxhash64("norm_key"), F.lit(buckets)).cast("int"),
+            )
+        )
+        surv = probe_new_keys(wb, spark, index_root, batch_id, buckets)
+
+        # ---- near-dup stage over the exact survivors ----
+        sigs = minhash_signatures(
+            surv, text_col, id_col, k, num_hashes, oracle_safe=True
+        )
+        bb = band_buckets(sigs, id_col, num_hashes, bands)
+        within = (
+            bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                bb.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .withColumn("origin", F.lit(None).cast("int"))
+        )
+        lsh = read_index_view(spark, lsh_root, before_batch=batch_id)
+        if lsh is None:
+            cand = within
+        else:
+            cross = (
+                lsh.select(
+                    F.col(id_col).alias("id_a"), "band", "bucket", "origin"
+                )
+                .join(
+                    bb.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                    ["band", "bucket"],
+                )
+                # ascending-id contract: the corpus side is always the
+                # smaller id; the guard only drops pathological inputs
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.min("origin").alias("origin"))
+            )
+            cand = within.unionByName(cross)
+
+        # exact Jaccard verification, candidate-bounded: batch texts
+        # are in hand; corpus candidate texts are fetched from the out
+        # store pruned to the candidates' origin batches
+        origins = [
+            r.origin
+            for r in cand.select("origin").distinct().collect()
+            if r.origin is not None
+        ]
+        verify_src = surv.select(id_col, text_col)
+        if origins:
+            corpus_texts = (
+                spark.read.parquet(out_path)
+                .filter(F.col("batch_id").isin(origins))
+                .select(id_col, text_col)
+                .join(
+                    cand.select(F.col("id_a").alias(id_col)).distinct(),
+                    id_col,
+                    "left_semi",
+                )
+            )
+            verify_src = verify_src.unionByName(corpus_texts)
+        sh = shingle_df(verify_src, text_col, id_col, k)
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        pairs = cand.select("id_a", "id_b")
+        inter = (
+            pairs.join(
+                sh.select(F.col(id_col).alias("id_a"),
+                          F.col("shingle").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("__vb"),
+                          F.col("shingle").alias("sh_b")),
+                (F.col("id_b") == F.col("__vb"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        dropped = (
+            inter.join(
+                sizes.select(F.col(id_col).alias("id_a"),
+                             F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("id_b"),
+                             F.col("sz").alias("sz_b")),
+                "id_b",
+            )
+            .filter(
+                (
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).cast("double")
+                >= threshold
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        flagged = surv.join(
+            dropped.withColumn("__dup", F.lit(True)), id_col, "left"
+        ).withColumn("near_ok", F.coalesce(~F.col("__dup"), F.lit(True))
+                     ).drop("__dup")
+
+        written = (
+            flagged.select(
+                id_col, "source", "lang", "tc", "norm_key", "kb",
+                text_col, "near_ok",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            written.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        survread = (
+            spark.read.schema(written.schema)
+            .parquet(out_path)
+            .filter(F.col("batch_id") == batch_id)
+        )
+
+        def stage(n: int, name: str, frame: DataFrame) -> DataFrame:
+            return frame.agg(
+                F.lit(n).cast("long").alias("stage"),
+                F.lit(name).alias("name"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.coalesce(F.sum("tc"), F.lit(0)).cast("long")
+                .alias("n_tokens"),
+            )
+
+        counters = (
+            stage(1, "input", flags)
+            .unionByName(stage(2, "lang", flags.filter("lang_ok")))
+            .unionByName(stage(3, "quality", gated))
+            .unionByName(stage(4, "dedup", survread.filter("near_ok")))
+        )
+        lsh_rows = band_buckets(
+            minhash_signatures(
+                survread, text_col, id_col, k, num_hashes, oracle_safe=True
+            ),
+            id_col,
+            num_hashes,
+            bands,
+        ).withColumn("origin", F.lit(batch_id))
+        for frame, path, parts in (
+            (counters, counters_path, ("batch_id",)),
+            (
+                survread.select("norm_key", "kb"),
+                index_root,
+                ("batch_id", "kb"),
+            ),
+            (
+                bloom_rows(survread, "norm_key", kb_col="kb"),
+                _bloom_root(index_root),
+                ("batch_id",),
+            ),
+            (lsh_rows, lsh_root, ("batch_id", "band")),
+        ):
+            (
+                frame.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts)
+                .parquet(path)
+            )
+        release_scoped_caches()
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 def start_streaming_curation_ingest(
@@ -53,7 +391,8 @@ def start_streaming_curation_ingest(
     Survivor rows (doc_id, source, lang, tc, norm_key) land under
     out_path; per-batch funnel counters (stage, name, n_docs,
     n_tokens) under counters_path; surviving norm keys under
-    index_root — all partitioned by batch_id."""
+    index_root (+ the Bloom sidecar under index_root + '_bloom') —
+    all partitioned by batch_id."""
     from bearysta_spark.cachescope import release_scoped_caches
     from bearysta_spark.functions.text import curation_gate_flags
 
@@ -70,29 +409,18 @@ def start_streaming_curation_ingest(
         gated = flags.filter(F.col("lang_ok") & F.col("q_ok"))
         # within-batch exact dedup: keep the smallest id per norm key
         keeper = gated.groupBy("norm_key").agg(F.min(id_col).alias("__k"))
-        wb = gated.join(keeper, "norm_key").filter(
-            F.col(id_col) == F.col("__k")
-        ).drop("__k")
+        wb = (
+            gated.join(keeper, "norm_key")
+            .filter(F.col(id_col) == F.col("__k"))
+            .drop("__k")
+            .withColumn(
+                "kb",
+                F.pmod(F.xxhash64("norm_key"), F.lit(buckets)).cast("int"),
+            )
+        )
         # cross-batch: drop anything whose key arrived in an EARLIER
         # batch (replay-safe: own keys are batch_id == current)
-        try:
-            idx = spark.read.parquet(index_root).filter(
-                F.col("batch_id") < batch_id
-            )
-        except AnalysisException as e:
-            # ONLY the missing-path case means "first batch, no index
-            # yet" — any other read failure (transient FS error,
-            # corrupt partition) must fail the batch loudly, or exact
-            # dedup would be silently disabled and duplicates admitted
-            # (and indexed) forever
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            idx = None
-        surv = wb
-        if idx is not None:
-            surv = wb.join(
-                idx.select("norm_key").distinct(), "norm_key", "left_anti"
-            )
+        surv = probe_new_keys(wb, spark, index_root, batch_id, buckets)
 
         def stage(n: int, name: str, frame: DataFrame) -> DataFrame:
             return frame.agg(
@@ -104,18 +432,25 @@ def start_streaming_curation_ingest(
             )
 
         # write survivors FIRST, then read the batch-sized result back
-        # for the counter and index sinks — the anti-join (and its full
+        # for the counter, index, and Bloom sinks — the probe (and its
         # index scan) executes once per batch instead of once per sink
-        (
-            surv.select(id_col, "source", "lang", "tc", "norm_key")
+        written = (
+            surv.select(id_col, "source", "lang", "tc", "norm_key", "kb")
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+        )
+        (
+            written.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_path)
         )
-        survread = spark.read.parquet(out_path).filter(
-            F.col("batch_id") == batch_id
+        # explicit schema: a zero-survivor batch leaves out_path
+        # holding only _SUCCESS, and schema inference would raise
+        # UNABLE_TO_INFER_SCHEMA on every replay — a wedged stream
+        survread = (
+            spark.read.schema(written.schema)
+            .parquet(out_path)
+            .filter(F.col("batch_id") == batch_id)
         )
         counters = (
             stage(1, "input", flags)
@@ -126,14 +461,14 @@ def start_streaming_curation_ingest(
         for frame, path, parts in (
             (counters, counters_path, ("batch_id",)),
             (
-                survread.select(
-                    "norm_key",
-                    F.pmod(F.xxhash64("norm_key"), F.lit(buckets))
-                    .cast("int")
-                    .alias("kb"),
-                ),
+                survread.select("norm_key", "kb"),
                 index_root,
                 ("batch_id", "kb"),
+            ),
+            (
+                bloom_rows(survread, "norm_key", kb_col="kb"),
+                _bloom_root(index_root),
+                ("batch_id",),
             ),
         ):
             (

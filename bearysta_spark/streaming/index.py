@@ -1,0 +1,348 @@
+"""Self-growing streaming-index layout: marker-aware probe views,
+replay-safe compaction, and an exact-probe Bloom sidecar.
+
+The self-growing indexes (streaming/curation.py, the self-neardup key
+index in streaming/neardup.py) write one small hive partition per
+micro-batch forever. Two scale problems follow at stream lifetimes of
+weeks (r07 VERDICT findings #1/#2):
+
+1. file listing: millions of tiny ``batch_id=N`` partitions dominate
+   probe cost long before data volume does;
+2. probe volume: an exact-key probe cannot partition-prune on the key,
+   so every batch re-scans (and re-shuffles) the whole index.
+
+`compact_index` solves (1): it folds every partition below a committed
+batch watermark into a single negative-numbered TIER partition and
+commits the fold with an atomically-replaced marker file — probes
+switch views on the marker, so a crash at ANY point during compaction
+leaves readers on a consistent view (the half-written new tier is
+invisible until the marker lands; the folded partitions stay readable
+until it does). Cleanup of superseded files is best-effort afterwards
+garbage, never load-bearing.
+
+`bloom_rows` / `split_by_bloom` solve (2) for the exact-key probe: each
+batch appends a tall integer Bloom of its keys (kb, slot, bits rows —
+mergeable with bit_or, compactable like any other partition), and the
+next batches test their keys against the OR-merge of the sidecar.
+Definite negatives (the common case in a mostly-novel stream) skip the
+index entirely; only suspected duplicates take the exact anti-join, and
+that join prunes the index to the suspects' kb partitions. False
+positives cost extra verify work, never correctness — at any corpus
+size the probe degrades toward the plain anti-join, and is never wrong.
+
+Batch-id space contract: real micro-batches are ``batch_id >= 0``; a
+pre-seeded corpus may use ``batch_id = -1``; compaction tiers count
+down from ``-2``. An unmarked probe view reads ``batch_id >= -1`` only,
+so a crashed first compaction (orphan ``-2`` files, no marker) is
+invisible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: marker file name — the leading underscore makes Spark's parquet
+#: reader skip it, so it can live inside the index directory itself
+MARKER = "_compaction.json"
+#: first compaction tier (counts DOWN for each later compaction);
+#: batch_id = -1 stays reserved for pre-seeded corpus partitions
+FIRST_TIER = -2
+
+#: Bloom sidecar geometry: bits per kb bucket and probes per key.
+#: 2^24 bits/bucket keeps the tall form under 2^18 occupied slots per
+#: bucket; 4 probes put the false-positive knee around ~2M keys/bucket,
+#: past which the probe gracefully degrades toward the plain anti-join.
+BLOOM_BITS = 1 << 24
+BLOOM_HASHES = 4
+
+
+def is_missing_index(e: AnalysisException) -> bool:
+    """True iff `e` means "no index data yet": the root directory does
+    not exist (PATH_NOT_FOUND) or exists but holds no data files —
+    e.g. only a _SUCCESS marker after a zero-survivor first batch
+    (UNABLE_TO_INFER_SCHEMA). Anything else (transient FS error,
+    corrupt partition) is NOT missing and must fail the batch loudly."""
+    s = str(e)
+    return "PATH_NOT_FOUND" in s or "UNABLE_TO_INFER_SCHEMA" in s
+
+
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def read_marker(root: str, spark: SparkSession | None = None) -> dict | None:
+    """The committed compaction marker under `root`, or None."""
+    p = os.path.join(root, MARKER)
+    if _is_uri(root):
+        assert spark is not None, "URI-schemed roots need the session"
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(data)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def write_marker(
+    root: str, tier: int, upto: int, spark: SparkSession | None = None
+) -> None:
+    """Atomically publish a compaction: after this returns, probe views
+    read partition `tier` plus batches >= `upto` and ignore everything
+    the fold superseded (whether or not its files were cleaned up).
+    Local paths commit via os.replace (atomic POSIX rename); URI roots
+    via a single FileSystem create(overwrite=True) PUT."""
+    data = json.dumps({"tier": tier, "upto": upto})
+    p = os.path.join(root, MARKER)
+    if _is_uri(root):
+        assert spark is not None, "URI-schemed roots need the session"
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(data.encode()))
+        finally:
+            out.close()
+        return
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"tier": tier, "upto": upto}, f)
+    os.replace(tmp, p)
+
+
+def read_index_view(
+    spark: SparkSession,
+    root: str,
+    before_batch: int | None = None,
+    schema=None,
+) -> DataFrame | None:
+    """The consistent probe view of a self-growing index: rows visible
+    to a probe running at micro-batch `before_batch` (filter
+    batch_id < before_batch keeps replays from matching a batch against
+    its own earlier crashed write; None = no upper bound, e.g. for
+    compaction input or offline audits).
+
+    Marker-aware: with a committed compaction {tier, upto}, the view is
+    (batch_id == tier) OR (upto <= batch_id < before_batch) — folded
+    partitions and superseded tiers are excluded even when their files
+    still exist (cleanup is best-effort). Without a marker the view is
+    (-1 <= batch_id < before_batch): the -1 floor hides a half-written
+    never-committed tier.
+
+    Returns None when the index holds no data yet (first batch). Pass
+    `schema` (the writer's schema) to keep an all-empty index readable;
+    without it an empty directory is treated as missing."""
+    try:
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        idx = reader.parquet(root)
+    except AnalysisException as e:
+        if not is_missing_index(e):
+            raise
+        return None
+    m = read_marker(root, spark)
+    if m is None:
+        cond = F.col("batch_id") >= -1
+    else:
+        cond = (F.col("batch_id") == m["tier"]) | (
+            F.col("batch_id") >= m["upto"]
+        )
+    if before_batch is not None:
+        cond = cond & (F.col("batch_id") < before_batch)
+    return idx.filter(cond)
+
+
+def compact_index(
+    spark: SparkSession,
+    root: str,
+    upto_batch: int,
+    partition_cols: Sequence[str] = ("batch_id",),
+    or_merge: Sequence[str] = (),
+) -> dict | None:
+    """Fold every index partition with batch_id < `upto_batch`
+    (including the -1 seed tier and any previous compaction tier) into
+    one new tier partition, commit via the marker, then best-effort
+    delete the superseded partition directories. Probe views are
+    identical before and after by construction — the fold is a pure
+    re-layout of the same rows (`or_merge` names long columns to
+    bit_or-merge on the remaining key columns instead, for Bloom
+    sidecars, where the fold SHOULD collapse per-batch rows).
+
+    Replay-safety contract: `upto_batch` must not exceed (last
+    checkpoint-COMMITTED batch id + 1). Streaming replays only re-run
+    batches newer than the committed watermark, so a replayed batch
+    always rewrites partitions >= upto_batch, never a folded one.
+    Crash-safety: the new tier is written to a batch_id no probe view
+    admits until the marker commits (see write_marker); re-running a
+    crashed compaction first clears the orphan tier directory.
+
+    Returns the new marker dict, or None when there was nothing to
+    compact (missing/empty index)."""
+    m = read_marker(root, spark)
+    new_tier = (m["tier"] - 1) if m else FIRST_TIER
+    # a crashed earlier attempt may have left a half-written tier at
+    # this id (invisible to probes — no marker names it); clear it so
+    # dynamic overwrite can't interleave stale partitions into the fold
+    _delete_partition_dir(spark, root, new_tier)
+    view = read_index_view(spark, root, before_batch=None)
+    if view is None:
+        return None
+    fold = view.filter(F.col("batch_id") < upto_batch).drop("batch_id")
+    if or_merge:
+        keys = [c for c in fold.columns if c not in or_merge]
+        fold = fold.groupBy(*keys).agg(
+            *[F.bit_or(c).alias(c) for c in or_merge]
+        )
+    (
+        fold.withColumn("batch_id", F.lit(new_tier))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(root)
+    )
+    write_marker(root, new_tier, upto_batch, spark)
+    # superseded files are garbage from here on — reclaim best-effort
+    for b in _list_batch_ids(spark, root):
+        if b != new_tier and b < upto_batch:
+            _delete_partition_dir(spark, root, b)
+    return {"tier": new_tier, "upto": upto_batch}
+
+
+def _list_batch_ids(spark: SparkSession, root: str) -> list[int]:
+    out = []
+    if _is_uri(root):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                out.append(int(name.split("=", 1)[1]))
+        return out
+    if not os.path.isdir(root):
+        return []
+    for name in os.listdir(root):
+        if name.startswith("batch_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
+def _delete_partition_dir(spark: SparkSession, root: str, batch: int) -> None:
+    p = os.path.join(root, f"batch_id={batch}")
+    if _is_uri(root):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        return
+    import shutil
+
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _bloom_probes(key_col: str):
+    """The BLOOM_HASHES (slot, bits) probe structs for a key: double
+    hashing p_i = (h1 + i*h2) mod BLOOM_BITS over two independent
+    64-bit seeds of xxhash64, split into a 64-bit-word slot and an
+    in-word bit — the tall, bit_or-mergeable Bloom form. Pure SQL
+    expressions (shiftleft needs a column bit count, which only the
+    SQL form accepts); `key_col` must be a plain column name."""
+    structs = []
+    for i in range(BLOOM_HASHES):
+        # reduce each hash mod m BEFORE combining: the raw 64-bit
+        # h1 + i*h2 overflows long under ANSI mode; in modular space
+        # the sum stays under (BLOOM_HASHES+1) * BLOOM_BITS
+        p = (
+            f"pmod(pmod(xxhash64(`{key_col}`, 1), {BLOOM_BITS}L)"
+            f" + {i}L * pmod(xxhash64(`{key_col}`, 2), {BLOOM_BITS}L),"
+            f" {BLOOM_BITS}L)"
+        )
+        structs.append(
+            f"struct(CAST({p} DIV 64 AS INT) AS slot,"
+            f" shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+            f" AS bits)"
+        )
+    return F.expr("array(" + ", ".join(structs) + ")")
+
+
+def bloom_rows(
+    keys: DataFrame, key_col: str, kb_col: str = "kb"
+) -> DataFrame:
+    """One batch's Bloom sidecar rows: (kb, slot, bits) with bits the
+    bit_or of every probe landing in that word — tall integer Bloom,
+    mergeable across batches with a further bit_or."""
+    return (
+        keys.select(F.col(kb_col).alias("kb"), _bloom_probes(key_col)
+                    .alias("__p"))
+        .select("kb", F.explode("__p").alias("p"))
+        .groupBy("kb", F.col("p.slot").alias("slot"))
+        .agg(F.bit_or("p.bits").alias("bits"))
+    )
+
+
+def split_by_bloom(
+    batch_keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    kb_col: str = "kb",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (definite_new, suspects) against the
+    OR-merged Bloom sidecar `bloom` (kb, slot, bits — pass the raw
+    multi-batch rows; the merge happens here). A key is a suspect iff
+    ALL of its probe words contain its probe bits; anything else is
+    definitely absent from the index and can skip the exact probe.
+    Exactness: false positives land in `suspects` and get verified by
+    the caller's anti-join; false negatives cannot occur."""
+    merged = bloom.groupBy("kb", "slot").agg(F.bit_or("bits").alias("bits"))
+    probes = (
+        batch_keys.select(
+            F.col(key_col).alias("__key"), F.col(kb_col).alias("kb")
+        )
+        .select("__key", "kb", F.explode(_bloom_probes("__key")).alias("p"))
+        .select(
+            "__key", "kb", F.col("p.slot").alias("slot"),
+            F.col("p.bits").alias("__need"),
+        )
+    )
+    hit = (
+        probes.join(merged, ["kb", "slot"], "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(
+                (
+                    F.col("bits").bitwiseAND(F.col("__need"))
+                    == F.col("__need")
+                ),
+                F.lit(False),
+            ),
+        )
+        .groupBy("__key")
+        .agg(F.min("__hit").alias("__all_hit"))
+    )
+    tagged = batch_keys.join(
+        hit.select(F.col("__key").alias(key_col), "__all_hit"), key_col
+    )
+    return (
+        tagged.filter(~F.col("__all_hit")).drop("__all_hit"),
+        tagged.filter(F.col("__all_hit")).drop("__all_hit"),
+    )

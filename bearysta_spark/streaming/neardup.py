@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bearysta_spark.functions.dedup import incremental_lsh_pairs
+from bearysta_spark.streaming.index import read_index_view
 
 
 def start_streaming_near_dup(
@@ -249,12 +250,13 @@ def start_streaming_self_neardup(
             )
             .distinct()
         )
-        try:
-            idx = spark.read.parquet(index_root).filter(
-                F.col("batch_id") < batch_id
-            )
-        except Exception:  # first batch: no index written yet
-            idx = None
+        # marker-aware view (compaction tiers + batch_id < current);
+        # raises on anything but a genuinely missing/empty index — a
+        # transient FS error or corrupt partition must fail the batch
+        # loudly, since each pair is only ever emitted at its LATER
+        # member's batch and a silently skipped probe loses those
+        # pairs forever (r07 ADVICE)
+        idx = read_index_view(spark, index_root, before_batch=batch_id)
         within = (
             keys.select(F.col(id_col).alias("id_a"), "key")
             .join(keys.select(F.col(id_col).alias("id_b"), "key"), "key")

@@ -1,0 +1,319 @@
+"""Self-growing streaming-index layout: Bloom sidecar exactness, probe
+plan shape, replay-safe compaction, and the zero-survivor wedge fix."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.test_streaming_curation import A, B, C, SHORT, _run_once
+from tests.test_streaming_multimodal import _truncate_last_commit
+
+SCHEMA = "doc_id long, text string, lang string, source string"
+# 16 tokens, mean word length in-band, no duplicate 2-gram: passes
+# every gate (B does NOT — its mean word length exceeds 4.8)
+D = (
+    "small boats drift past old docks while young kids fish near calm "
+    "water at dusk today"
+)
+
+
+def _feed(spark, land, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+
+def _paths(tmp_path):
+    return {
+        k: str(tmp_path / k) for k in ("land", "idx", "out", "cnt", "ckpt")
+    }
+
+
+def test_zero_survivor_first_batch_does_not_wedge(spark, tmp_path):
+    """r07 ADVICE #1: a first micro-batch with zero survivors leaves
+    out_path/index_root holding only _SUCCESS; the re-reads must use
+    explicit schemas or every replay crash-loops on
+    UNABLE_TO_INFER_SCHEMA."""
+    p = _paths(tmp_path)
+    _feed(spark, p["land"], [(0, SHORT, "en", "s0"), (1, B, "es", "s0")])
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    # batch 0 survived the empty write; counters recorded zero docs
+    cnt = {
+        (r.batch_id, r.name): r.n_docs
+        for r in spark.read.parquet(p["cnt"]).collect()
+    }
+    assert cnt[(0, "dedup")] == 0
+    # the stream keeps going: batch 1 probes the (empty) index fine
+    _feed(spark, p["land"], [(10, A, "en", "s1"), (11, A, "en", "s1")])
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    sch = (
+        "doc_id long, source string, lang string, tc long,"
+        " norm_key string, kb int, batch_id int"
+    )
+    surv = spark.read.schema(sch).parquet(p["out"])
+    assert sorted(r.doc_id for r in surv.collect()) == [10]
+    # and batch 2 dedups against batch 1's key (fresh reader: a
+    # DataFrame pins its file listing at creation)
+    _feed(spark, p["land"], [(20, A, "en", "s2"), (21, C, "en", "s2")])
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    surv = spark.read.schema(sch).parquet(p["out"])
+    assert sorted(r.doc_id for r in surv.collect()) == [10, 21]
+
+
+def test_bloom_split_no_false_negatives(spark):
+    from bearysta_spark.streaming.index import bloom_rows, split_by_bloom
+
+    indexed = spark.range(500).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k"),
+        F.pmod(F.xxhash64(F.concat(F.lit("key_"), F.col("id"))), F.lit(32))
+        .cast("int")
+        .alias("kb"),
+    )
+    bloom = bloom_rows(indexed, "k", kb_col="kb")
+    fresh = spark.range(500, 1000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k"),
+        F.pmod(F.xxhash64(F.concat(F.lit("key_"), F.col("id"))), F.lit(32))
+        .cast("int")
+        .alias("kb"),
+    )
+    batch = indexed.unionByName(fresh)
+    new, suspects = split_by_bloom(batch, bloom, "k", kb_col="kb")
+    sus = {r.k for r in suspects.collect()}
+    # exactness: every indexed key MUST be a suspect (no false negative)
+    assert all(f"key_{i}" in sus for i in range(500))
+    # the split is a partition of the batch
+    assert new.count() + len(sus) == 1000
+    # and the Bloom actually prunes: most fresh keys are definite-new
+    fresh_sus = sum(1 for k in sus if int(k.split("_")[1]) >= 500)
+    assert fresh_sus < 25, f"false-positive flood: {fresh_sus}/500"
+
+
+def _walk_plan(node, pred, out):
+    if pred(node):
+        out.append(node)
+    kids = node.children()
+    for i in range(kids.size()):
+        _walk_plan(kids.apply(i), pred, out)
+
+
+def test_probe_plan_has_no_aggregate_over_index(spark, tmp_path):
+    """r07 VERDICT finding #1: the index side of the exact anti-join
+    must be a bare scan — survivor keys are unique by construction and
+    left-anti ignores right duplicates, so any Aggregate (the old
+    .distinct()) is a full shuffle of the whole index per batch."""
+    from bearysta_spark.streaming.curation import probe_new_keys
+    from bearysta_spark.streaming.index import bloom_rows
+
+    root = str(tmp_path / "idx")
+    keys = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id")).alias("norm_key")
+    ).withColumn(
+        "kb", F.pmod(F.xxhash64("norm_key"), F.lit(32)).cast("int")
+    )
+    keys.withColumn("batch_id", F.lit(0)).write.partitionBy(
+        "batch_id", "kb"
+    ).parquet(root)
+    wb = spark.createDataFrame(
+        [("k3",), ("fresh",)], "norm_key string"
+    ).withColumn(
+        "kb", F.pmod(F.xxhash64("norm_key"), F.lit(32)).cast("int")
+    )
+
+    # no sidecar yet: the fallback is the PLAIN anti-join — zero
+    # aggregates anywhere in the probe plan (the old distinct() put
+    # one right on top of the index scan)
+    surv = probe_new_keys(wb, spark, root, batch_id=5)
+    plan = surv._jdf.queryExecution().optimizedPlan()
+    assert "Aggregate" not in plan.toString(), plan.toString()
+    assert [r.norm_key for r in surv.collect()] == ["fresh"]
+
+    # with the sidecar: aggregates exist (Bloom OR-merge, per-key
+    # all-hit), but NONE in the right (index) subtree of the LeftAnti
+    bloom_rows(keys, "norm_key").withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(root + "_bloom")
+    surv = probe_new_keys(wb, spark, root, batch_id=5)
+    plan = surv._jdf.queryExecution().optimizedPlan()
+    antis = []
+    _walk_plan(
+        plan,
+        lambda n: n.nodeName() == "Join"
+        and "LeftAnti" in n.joinType().toString(),
+        antis,
+    )
+    assert antis, "probe lost its anti-join"
+    for j in antis:
+        aggs = []
+        _walk_plan(j.right(), lambda n: n.nodeName() == "Aggregate", aggs)
+        assert not aggs, j.right().toString()
+    # and the exactness bar: k3 is dropped, fresh survives
+    assert [r.norm_key for r in surv.collect()] == ["fresh"]
+
+
+def _write_key_batches(spark, root, batches):
+    from bearysta_spark.streaming.index import bloom_rows
+
+    for b, keys in batches.items():
+        df = spark.createDataFrame(
+            [(k,) for k in keys], "norm_key string"
+        ).withColumn(
+            "kb", F.pmod(F.xxhash64("norm_key"), F.lit(32)).cast("int")
+        )
+        df.withColumn("batch_id", F.lit(b)).write.mode("append").partitionBy(
+            "batch_id", "kb"
+        ).parquet(root)
+        bloom_rows(df, "norm_key").withColumn(
+            "batch_id", F.lit(b)
+        ).write.mode("append").partitionBy("batch_id").parquet(
+            root + "_bloom"
+        )
+
+
+def test_compaction_preserves_probe_view(spark, tmp_path):
+    from bearysta_spark.streaming.curation import compact_curation_index
+    from bearysta_spark.streaming.index import read_index_view, read_marker
+
+    root = str(tmp_path / "idx")
+    _write_key_batches(
+        spark, root,
+        {0: ["a", "b"], 1: ["c"], 2: ["d", "e"], 3: ["f"]},
+    )
+
+    def view_keys():
+        v = read_index_view(spark, root, before_batch=100)
+        return sorted(r.norm_key for r in v.select("norm_key").collect())
+
+    before = view_keys()
+    compact_curation_index(spark, root, upto_batch=3)
+    assert view_keys() == before == list("abcdef")
+    m = read_marker(root)
+    assert m == {"tier": -2, "upto": 3}
+    # folded partition dirs are reclaimed; batch 3 survives as-is
+    dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
+    assert dirs == {"batch_id=-2", "batch_id=3"}
+    # a second compaction stacks: tier counts down, view unchanged
+    _write_key_batches(spark, root, {4: ["g"]})
+    compact_curation_index(spark, root, upto_batch=5)
+    assert read_marker(root) == {"tier": -3, "upto": 5}
+    assert view_keys() == list("abcdefg")
+    dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
+    assert dirs == {"batch_id=-3"}
+    # the Bloom sidecar folded too (bit_or-merged, probe-equivalent)
+    bdirs = {
+        d for d in os.listdir(root + "_bloom") if d.startswith("batch_id=")
+    }
+    assert bdirs == {"batch_id=-3"}
+
+
+def test_orphan_tier_from_crashed_compaction_is_invisible(spark, tmp_path):
+    from bearysta_spark.streaming.index import compact_index, read_index_view
+
+    root = str(tmp_path / "idx")
+    _write_key_batches(spark, root, {0: ["a"], 1: ["b"]})
+    # simulate a compaction that died after writing (part of) its tier
+    # but BEFORE the marker commit: stale rows at the tier batch_id
+    spark.createDataFrame(
+        [("stale", 0), ("a", 1)], "norm_key string, kb int"
+    ).withColumn("batch_id", F.lit(-2)).write.mode("append").partitionBy(
+        "batch_id", "kb"
+    ).parquet(root)
+    v = read_index_view(spark, root, before_batch=100)
+    assert sorted(r.norm_key for r in v.collect()) == ["a", "b"]
+    # re-running the compaction clears the orphan first — no stale row
+    # survives into the committed tier, no duplicate 'a'
+    compact_index(spark, root, 2, partition_cols=("batch_id", "kb"))
+    v = read_index_view(spark, root, before_batch=100)
+    assert sorted(r.norm_key for r in v.collect()) == ["a", "b"]
+
+
+def test_seed_partition_probed_then_folded(spark, tmp_path):
+    from bearysta_spark.streaming.index import compact_index, read_index_view
+
+    root = str(tmp_path / "idx")
+    # pre-seeded corpus convention: batch_id = -1
+    _write_key_batches(spark, root, {-1: ["seed"], 0: ["a"]})
+    v = read_index_view(spark, root, before_batch=100)
+    assert sorted(r.norm_key for r in v.collect()) == ["a", "seed"]
+    compact_index(spark, root, 1, partition_cols=("batch_id", "kb"))
+    v = read_index_view(spark, root, before_batch=100)
+    assert sorted(r.norm_key for r in v.collect()) == ["a", "seed"]
+    dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
+    assert dirs == {"batch_id=-2"}
+
+
+def test_curation_replay_across_compaction_boundary(spark, tmp_path):
+    """VERDICT #2's chaos bar: compact after a committed batch, then
+    crash-replay the NEXT batch — the replay probes the compacted tier
+    and still dedups exactly."""
+    p = _paths(tmp_path)
+    from bearysta_spark.streaming.curation import compact_curation_index
+
+    _feed(spark, p["land"], [(0, A, "en", "s0"), (1, C, "en", "s0")])
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    # batch 0 is checkpoint-committed: safe to fold everything below 1
+    compact_curation_index(spark, p["idx"], upto_batch=1)
+    _feed(
+        spark, p["land"],
+        [(10, A, "en", "s1"), (11, D, "en", "s1")],  # 10 dups batch 0's A
+    )
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    _truncate_last_commit(p["ckpt"])  # die between execute and commit
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    surv = spark.read.schema(
+        "doc_id long, source string, lang string, tc long,"
+        " norm_key string, kb int, batch_id int"
+    ).parquet(p["out"])
+    assert sorted(r.doc_id for r in surv.collect()) == [0, 1, 11]
+    # replay overwrote its own partitions: no duplicate counter rows
+    assert (
+        spark.read.parquet(p["cnt"])
+        .groupBy("batch_id", "stage").count().filter("count > 1").count()
+        == 0
+    )
+    # index = compacted tier + batch 1's partition, marker intact
+    idx = spark.read.schema(
+        "norm_key string, kb int, batch_id int"
+    ).parquet(p["idx"])
+    assert sorted(r.batch_id for r in idx.collect()) == [-2, -2, 1]
+    with open(os.path.join(p["idx"], "_compaction.json")) as f:
+        assert json.load(f) == {"tier": -2, "upto": 1}
+
+
+def test_self_neardup_index_compaction(spark, tmp_path):
+    """The self-growing KEY index (streaming/neardup.py) compacts with
+    the same machinery; pair emission across the boundary is exact —
+    shared-key COUNTS must survive the fold un-inflated."""
+    from bearysta_spark.streaming.index import compact_index, read_index_view
+
+    root = str(tmp_path / "kidx")
+    rows = [("d0", f"key{i}", 0) for i in range(6)] + [
+        ("d1", f"other{i}", 1) for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, key string, batch_id int"
+    ).withColumn(
+        "kb", F.pmod(F.xxhash64("key"), F.lit(32)).cast("int")
+    ).write.partitionBy("batch_id", "kb").parquet(root)
+
+    def pairs_against(new_doc_keys, before):
+        from bearysta_spark.functions.multimodal import incremental_key_pairs
+
+        idx = read_index_view(spark, root, before_batch=before)
+        nk = spark.createDataFrame(
+            new_doc_keys, "doc_id string, key string"
+        )
+        return sorted(
+            (r.corpus_id, r.new_id, r.shared_keys)
+            for r in incremental_key_pairs(
+                idx, nk, min_shared=5, id_col="doc_id"
+            ).collect()
+        )
+
+    probe = [("dX", f"key{i}") for i in range(6)]
+    before = pairs_against(probe, 2)
+    compact_index(spark, root, 2, partition_cols=("batch_id", "kb"))
+    after = pairs_against(probe, 2)
+    assert before == after == [("d0", "dX", 6)]
