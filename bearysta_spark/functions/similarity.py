@@ -215,6 +215,87 @@ def assign_cells_arrow(
     return cells
 
 
+def assign_imi_cells_arrow(
+    cb1: list[list[float]], cb2: list[list[float]], probes: int = 1
+):
+    """Arrow-batched INVERTED MULTI-INDEX cell assignment (Babenko &
+    Lempitsky 2012): the coarse quantizer is the PRODUCT of two small
+    half-space codebooks — cell (i, j) scores s1_i + s2_j, where s1/s2
+    are the dot products of the vector's two halves against their
+    codebooks. K1·K2 cells from only K1+K2 stored centroids: this is
+    what keeps the centroid state broadcastable at 1e9+ vectors, where
+    a flat IVF needing the same cell count would have to broadcast
+    K1·K2 full-width centroids (r07 VERDICT ask #8). Returns the
+    top-`probes` flat cell ids (i·K2 + j) per vector — two half
+    dgemms + an outer sum per Arrow batch; the top-1 cell equals
+    (argmax s1, argmax s2), so corpus assignment and the
+    multi-sequence query probe share one kernel. Deterministic: stable
+    argsort, ties by ascending flat cell id."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C1 = np.asarray(cb1, dtype=np.float64)
+    C2 = np.asarray(cb2, dtype=np.float64)
+    d1 = C1.shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        s1 = M[:, :d1] @ C1.T
+        s2 = M[:, d1:] @ C2.T
+        flat = (s1[:, :, None] + s2[:, None, :]).reshape(len(M), -1)
+        idx = np.argsort(-flat, axis=1, kind="stable")[:, :probes]
+        return pd.Series(list(idx.astype("int32")))
+
+    return cells
+
+
+def imi_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IMI approximate top-k: ivf_topk with the two-level product
+    quantizer of assign_imi_cells_arrow. Corpus vectors live in their
+    single best product cell; each query probes its `probes`
+    best-combined-score cells and ranks exact cosine within them.
+    Same join shape as ivf_topk (query side explodes to `probes` rows
+    and broadcasts; candidates come from the cell equi-join) — only
+    the quantizer differs, trading a second half-dgemm for a
+    square-root-sized centroid table."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            assign_imi_cells_arrow(cb1, cb2, probes)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("sim", _cosine_arrow(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

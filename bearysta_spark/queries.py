@@ -3161,6 +3161,258 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IMI coarse quantizer: two 8-centroid codebooks over the two vector
+# halves (make_pq_codebooks with m=2) — 64 product cells from 16 stored
+# centroids. Shared by the Spark queries and the DuckDB oracles.
+_IMI_CODEBOOKS = S.make_pq_codebooks(dim=64, m=2, ksub=8, seed=23)
+_IMI_KSUB = 8
+_IMI_CM1_SQL = ",\n      ".join(
+    f"({i}, {_sql_vec(c)})" for i, c in enumerate(_IMI_CODEBOOKS[0])
+)
+_IMI_CM2_SQL = ",\n      ".join(
+    f"({j}, {_sql_vec(c)})" for j, c in enumerate(_IMI_CODEBOOKS[1])
+)
+
+
+def _imi_rank_ctes() -> str:
+    """cm1/cm2/e/s1/s2/comb/rk: per-vector flat-product-cell scores
+    (cell = i·K2 + j, score = s1_i + s2_j) and the per-vector cell
+    rank — the SQL replay of assign_imi_cells_arrow (rn = 1 is the
+    storage cell; rn <= P are the P probe cells)."""
+    return f"""cm1(i, c) AS (VALUES
+      {_IMI_CM1_SQL}),
+    cm2(j, c) AS (VALUES
+      {_IMI_CM2_SQL}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s1 AS (
+      SELECT e.vec_id, cm1.i, list_dot_product(e.v[1:32], cm1.c) AS sc1
+      FROM e, cm1
+    ),
+    s2 AS (
+      SELECT e.vec_id, cm2.j, list_dot_product(e.v[33:64], cm2.c) AS sc2
+      FROM e, cm2
+    ),
+    comb AS (
+      SELECT s1.vec_id, CAST(s1.i * {_IMI_KSUB} + s2.j AS INT) AS cell,
+             s1.sc1 + s2.sc2 AS score
+      FROM s1 JOIN s2 ON s1.vec_id = s2.vec_id
+    ),
+    rk AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, cell ASC) AS rn
+      FROM comb
+    )"""
+
+
+@query(
+    "knn_imi",
+    oracle=f"""
+    WITH {_imi_rank_ctes()},
+    corpus AS (
+      SELECT r.vec_id AS nid, e.v AS nvec, r.cell
+      FROM rk r JOIN e ON e.vec_id = r.vec_id WHERE r.rn = 1
+    ),
+    q AS (
+      SELECT r.vec_id AS qid, e.v AS qvec, r.cell
+      FROM rk r JOIN e ON e.vec_id = r.vec_id
+      WHERE r.rn <= 4 AND r.vec_id < 5
+    ),
+    scored AS (
+      SELECT qid, nid,
+             list_dot_product(qvec, nvec)
+             / (sqrt(list_dot_product(qvec, qvec))
+                * sqrt(list_dot_product(nvec, nvec))) AS sim
+      FROM q JOIN corpus USING (cell) WHERE qid != nid
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-multi-index ANN (Babenko & Lempitsky 2012 — r07 VERDICT
+    ask #8): the coarse quantizer is the PRODUCT of two 8-centroid
+    half-space codebooks, giving 64 cells from 16 stored centroids.
+    This is the 100 TB fix for flat IVF's centroid-table problem: cell
+    populations stay bounded only if cell count grows with the corpus,
+    and at 1e9+ vectors the flat quantizer's K full-width centroids
+    outgrow any broadcast budget — the product quantizer reaches K1·K2
+    cells with K1+K2 broadcastable centroids (state grows as the
+    SQUARE ROOT of the cell count). Corpus vectors live in their best
+    product cell; queries probe their 4 best cells by combined
+    half-score (the multi-sequence probe, one outer sum) and re-rank
+    exact cosine within them. Deterministic like knn_ivf (stable
+    argsort, flat-cell-asc ties), so the oracle replays assignment,
+    probing, and re-rank from the same codebook literals."""
+    from bearysta_spark.functions.similarity import imi_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = imi_topk(
+        e, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], k=5, probes=4
+    )
+    return out.select(
+        "qid",
+        "nid",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _recall_cte(name: str, p: int) -> str:
+    """top-5-under-P-probes + truth-hit-count block for the recall
+    report: cand_{name} must provide (qid, nid, sim, prn)."""
+    return f"""t_{name}_{p} AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid ASC) AS rank
+        FROM cand_{name} WHERE prn <= {p}
+      ) WHERE rank <= 5
+    ),
+    h_{name}_{p} AS (
+      SELECT '{name}' AS method, CAST({p} AS INT) AS probes,
+             CAST(count(*) AS BIGINT) AS hits
+      FROM t_{name}_{p} JOIN truth USING (qid, nid)
+    )"""
+
+
+_RECALL_CONFIGS = [("ivf", 1), ("ivf", 2), ("imi", 1), ("imi", 4),
+                   ("imi", 8)]
+
+
+@query(
+    "imi_ivf_recall",
+    oracle=f"""
+    WITH {_imi_rank_ctes()},
+    icm(cell, c) AS (VALUES
+      {_IVF_CM_SQL}),
+    isc AS (
+      SELECT e.vec_id, CAST(icm.cell AS INT) AS cell,
+             list_dot_product(e.v, icm.c) AS score
+      FROM e, icm
+    ),
+    irk AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, cell ASC) AS rn
+      FROM isc
+    ),
+    truth AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, e2.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, e2.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e2.v, e2.v))) DESC,
+                 e2.vec_id ASC) AS rank
+        FROM (SELECT * FROM e WHERE vec_id < 5) q
+        JOIN e e2 ON e2.vec_id != q.vec_id
+      ) WHERE rank <= 5
+    ),
+    cand_imi AS (
+      SELECT qr.vec_id AS qid, cr.vec_id AS nid,
+             list_dot_product(qe.v, ce.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ce.v, ce.v))) AS sim,
+             qr.rn AS prn
+      FROM rk qr
+      JOIN rk cr ON cr.cell = qr.cell AND cr.rn = 1
+                    AND cr.vec_id != qr.vec_id
+      JOIN e qe ON qe.vec_id = qr.vec_id
+      JOIN e ce ON ce.vec_id = cr.vec_id
+      WHERE qr.vec_id < 5 AND qr.rn <= 8
+    ),
+    cand_ivf AS (
+      SELECT qr.vec_id AS qid, cr.vec_id AS nid,
+             list_dot_product(qe.v, ce.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ce.v, ce.v))) AS sim,
+             qr.rn AS prn
+      FROM irk qr
+      JOIN irk cr ON cr.cell = qr.cell AND cr.rn = 1
+                     AND cr.vec_id != qr.vec_id
+      JOIN e qe ON qe.vec_id = qr.vec_id
+      JOIN e ce ON ce.vec_id = cr.vec_id
+      WHERE qr.vec_id < 5 AND qr.rn <= 2
+    ),
+    {",".join(_recall_cte(m, p) for m, p in _RECALL_CONFIGS)},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM truth)
+    SELECT method, probes, hits, n.n_expected,
+           CAST((1000000 * hits) // n.n_expected AS BIGINT) AS recall_ppm
+    FROM ({" UNION ALL ".join(f"SELECT * FROM h_{m}_{p}" for m, p in _RECALL_CONFIGS)})
+    CROSS JOIN n
+    ORDER BY method, probes
+    """,
+)
+def imi_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the two coarse quantizers on the same corpus
+    and truth set: exact cosine top-5 is the truth; the flat IVF
+    (8 cells, probes 1 and 2) and the IMI product quantizer (64 cells
+    from 16 centroids, probes 1 and 4) each report how many truth
+    pairs their probed candidate sets recover. recall_ppm is the exact
+    integer 1e6·hits // n_expected — no float recall, no rank ties.
+    The structural point (measured at sf0.01: imi@4 ties ivf@1's
+    recall at HALF the scanned corpus fraction — 4/64 vs 1/8 of the
+    cells — and imi@8 probes the same fraction as ivf@1 with finer
+    cells): the candidate-volume-per-recall ratio is what the inverted
+    multi-index buys, and at 1e9+ vectors it buys it with a centroid
+    table that still broadcasts.
+    100 TB shape: the truth pass is the documented bounded audit
+    surface (|Q| = 5 queries against the corpus — query-side
+    broadcast, never pairwise in the corpus); everything else is the
+    production cell equi-join. The only driver state is the 4-row
+    config table and the hit counts."""
+    from bearysta_spark.functions.similarity import (
+        brute_force_topk,
+        imi_topk,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = brute_force_topk(e, q, k=5).select("qid", "nid")
+    tagged = None
+    for method, probes in _RECALL_CONFIGS:
+        if method == "ivf":
+            top = ivf_topk(e, q, _IVF_CENTROIDS, k=5, probes=probes)
+        else:
+            top = imi_topk(
+                e, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], k=5,
+                probes=probes,
+            )
+        t = top.select(
+            F.lit(method).alias("method"),
+            F.lit(probes).cast("int").alias("probes"),
+            "qid",
+            "nid",
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(truth, ["qid", "nid"], "left_semi")
+        .groupBy("method", "probes")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    cfg = spark.createDataFrame(
+        _RECALL_CONFIGS, "method string, probes int"
+    )
+    n = truth.agg(F.count("*").cast("long").alias("n_expected"))
+    return (
+        cfg.join(hits, ["method", "probes"], "left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST((1000000 * hits) div n_expected AS BIGINT)"),
+        )
+        .orderBy("method", "probes")
+    )
+
+
 @query(
     "semantic_source_profile",
     oracle=f"""
@@ -7464,6 +7716,81 @@ def image_phash_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "media_ingest_dedup",
+    oracle=f"""
+    WITH {_phash_keys_sql()},
+    sig AS (
+      SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY r, c)
+               AS sig
+      FROM px GROUP BY doc_id
+    ),
+    cl AS (
+      SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(doc_id) AS BIGINT) AS keeper
+      FROM sig GROUP BY sig
+    )
+    SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(min(keeper) AS BIGINT) AS min_keeper
+    FROM cl GROUP BY n_copies ORDER BY n_copies
+    """,
+)
+def media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile INGESTION round trip + exact media dedup (r07 VERDICT
+    ask #6 — read_media_corpus was pytest-only; this gives the
+    ingestion path its own driver row and bench entry): synthesize the
+    deterministic PNG corpus (charcount_grid_pngs), write it to scratch
+    as REAL FILES from the executors (write_media_files), re-ingest the
+    directory through Spark's binaryFile source (distributed listing,
+    pathGlobFilter pruning at list time, length-metadata pushdown
+    before content bytes materialize), and exact-dedup the ingested
+    payload BYTES — md5 of the actual on-disk file contents. Reported
+    as a cluster-size histogram (n_copies, n_clusters, min_keeper), so
+    the single-copy row always exists (never vacuous) and every planted
+    exact-duplicate text surfaces as an n_copies >= 2 row. The oracle
+    replays cluster structure from the 72-cell char-count grids: PNG
+    encoding is deterministic and lossless, so byte equality of files
+    IS grid equality — any drift in write → list → read → bytes breaks
+    the hash match.
+    100 TB shape: payload bytes appear exactly twice at file grain
+    (encode-write kernel; binaryFile scan) and never shuffle — the
+    dedup shuffles 16-byte digests; listing is distributed and the
+    dedup plan prunes `length` from the scan it feeds."""
+    import os
+    import shutil
+
+    import bearysta_spark.functions.multimodal as M
+
+    d = _t(spark, sf_dir, "documents")
+    root = os.path.join(
+        _index_root(sf_dir),
+        f"media_corpus_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if "://" not in root:
+        # the glob ingest lists the DIRECTORY — stale files from an
+        # earlier, larger corpus run must not leak into this one
+        shutil.rmtree(root, ignore_errors=True)
+    payloads = M.charcount_grid_pngs(d, _PHASH_LETTERS, scale=4)
+    M.write_media_files(payloads, root, ext="png").count()  # executes
+    corpus = M.read_media_corpus(spark, root, glob="*.png", id_from="name")
+    clusters = (
+        corpus.filter(F.col("length") > 0)
+        .groupBy(F.md5(F.col("payload")).alias("sig"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )
+    return (
+        clusters.groupBy("n_copies")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.min("keeper").cast("long").alias("min_keeper"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+@query(
     "video_frame_dedup",
     scoped_caches=True,
     oracle=f"""
@@ -7891,7 +8218,10 @@ def _lm_split_case() -> str:
     )
 
 
-_LM_SC_CTES = """base AS (
+#: the LM family's shared count-table CTEs (split, tokenize, unigram,
+#: total, bigram) — the order-2 and order-3 oracles both build on this
+#: text, mirroring _lm_count_tables on the Spark side
+_LM_TABLE_CTES = """base AS (
   SELECT doc_id, source,
          """ + _lm_split_case() + """ AS split,
          regexp_extract_all(text, '[a-z0-9]+') AS ws
@@ -7909,7 +8239,9 @@ tr_bi AS (
                       for i in range(1, len(ws))]) AS u
         FROM base WHERE split = 'train' AND len(ws) >= 2)
   GROUP BY 1, 2
-),
+)"""
+
+_LM_SC_CTES = _LM_TABLE_CTES + """,
 he_bi AS (
   SELECT doc_id, u.p AS prev, u.c AS cur
   FROM (SELECT doc_id,
@@ -7934,6 +8266,53 @@ sc AS (
   LEFT JOIN tr_bi b ON b.prev = h.prev AND b.cur = h.cur
   LEFT JOIN tr_uni up ON up.tok = h.prev
   LEFT JOIN tr_uni uc ON uc.tok = h.cur
+)"""
+
+#: order-3 scoring CTEs: the SAME count tables plus the trigram table
+#: and the two-level stupid-backoff CASE (trigram -> bigram*0.4 ->
+#: unigram*0.16 -> OOV floor), every score an exact BIGINT
+_LM3_SC_CTES = _LM_TABLE_CTES + """,
+tr_tri AS (
+  SELECT u.a AS w1, u.b AS w2, u.c AS w3, CAST(count(*) AS BIGINT) AS c3
+  FROM (SELECT unnest([{'a': ws[i], 'b': ws[i+1], 'c': ws[i+2]}
+                      for i in range(1, len(ws) - 1)]) AS u
+        FROM base WHERE split = 'train' AND len(ws) >= 3)
+  GROUP BY 1, 2, 3
+),
+he_tri AS (
+  SELECT doc_id, u.a AS w1, u.b AS w2, u.c AS w3
+  FROM (SELECT doc_id,
+               unnest([{'a': ws[i], 'b': ws[i+1], 'c': ws[i+2]}
+                       for i in range(1, len(ws) - 1)]) AS u
+        FROM base WHERE split = 'held' AND len(ws) >= 3)
+),
+sc3 AS (
+  SELECT h.doc_id,
+         CASE
+           WHEN t3.c3 IS NOT NULL THEN
+             CAST((CAST(1000000000000 AS HUGEINT) * t3.c3) // bp.c2
+                  AS BIGINT)
+           WHEN bb.c2 IS NOT NULL THEN
+             CAST((CAST(2000000000000 AS HUGEINT) * bb.c2)
+                  // (5 * um.c1) AS BIGINT)
+           WHEN uc.c1 IS NOT NULL THEN
+             CAST((CAST(4000000000000 AS HUGEINT) * uc.c1)
+                  // (25 * tot.t) AS BIGINT)
+           ELSE CAST(CAST(1000000000000 AS HUGEINT) // (10 * tot.t) AS BIGINT)
+         END AS s,
+         CASE WHEN t3.c3 IS NULL AND bb.c2 IS NOT NULL
+              THEN 1 ELSE 0 END AS bo1,
+         CASE WHEN t3.c3 IS NULL AND bb.c2 IS NULL AND uc.c1 IS NOT NULL
+              THEN 1 ELSE 0 END AS bo2,
+         CASE WHEN t3.c3 IS NULL AND bb.c2 IS NULL AND uc.c1 IS NULL
+              THEN 1 ELSE 0 END AS ov
+  FROM he_tri h
+  CROSS JOIN tot
+  LEFT JOIN tr_tri t3 ON t3.w1 = h.w1 AND t3.w2 = h.w2 AND t3.w3 = h.w3
+  LEFT JOIN tr_bi bp ON bp.prev = h.w1 AND bp.cur = h.w2
+  LEFT JOIN tr_bi bb ON bb.prev = h.w2 AND bb.cur = h.w3
+  LEFT JOIN tr_uni um ON um.tok = h.w2
+  LEFT JOIN tr_uni uc ON uc.tok = h.w3
 )"""
 
 
@@ -8004,24 +8383,16 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_SCALE = 1_000_000_000_000
 
 
-def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared bigram-LM scoring pipeline (the Spark twin of
-    _LM_SC_CTES): 75/25 hash split, train-side unigram/bigram count
-    tables, per-held-bigram fixed-point conditional-probability
-    scores. Returns (scored, base): scored is (doc_id, s, bo, ov) at
-    held-bigram grain; base is the scoped-cached split+tokenized
-    corpus frame (doc_id, source, split, ws) for metadata reuse.
-    Both base and the unigram table are scoped-cached — callers must
-    be registered scoped_caches=True. Caching base buys the single
-    corpus scan (uncached, the train side is read twice for the
-    unigram/bigram tables, the held side once, and the source join
-    once more — 4 scans measured); at 100 TB the cache spills to
-    executor disk lz4-compressed, roughly one corpus-size write read
-    back three times versus three extra parquet scans, and keeps the
-    split/tokenize work from re-running per branch."""
+def _lm_count_tables(d: DataFrame):
+    """The LM family's shared state: 75/25 hash split + tokenization
+    (base, scoped-cached — ONE corpus scan feeds every train/held
+    branch), the vocab-bounded unigram table c1 (scoped-cached), its
+    total, the (prev, cur) bigram count table c2, and the per-row
+    bigram-struct expression. Shared by the order-2 and order-3
+    scorers so the two cannot drift: the trigram model's backoff
+    tables ARE the bigram model's count tables."""
     from bearysta_spark.functions.sampling import hash_split
 
-    SCALE = _LM_SCALE
     base = scoped_cache(
         hash_split(
             d, {"train": 0.75, "held": 0.25}, id_col="doc_id", salt="lm"
@@ -8046,7 +8417,7 @@ def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
     train = base.filter(F.col("split") == "train")
     held = base.filter(F.col("split") == "held")
-    # vocab-bounded; referenced by the total AND two probability joins
+    # vocab-bounded; referenced by the total AND the probability joins
     c1 = scoped_cache(
         train.select(F.explode("ws").alias("tok"))
         .groupBy("tok")
@@ -8059,37 +8430,49 @@ def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("prev", "cur")
         .agg(F.count("*").cast("long").alias("c2"))
     )
-    he = held.select("doc_id", F.explode(bigrams).alias("bg")).select(
-        "doc_id", "bg.prev", "bg.cur"
-    )
-    # measured-size gate, not a hard hint: a 100 TB corpus' unigram
-    # vocabulary (Heaps' law) can exceed any broadcast budget — the
-    # count is one cheap job on the already-cached frame, and past the
-    # budget AQE picks a shuffle join instead of OOMing an executor
+    return base, train, held, c1, tot, c2, bigrams
+
+
+def _uni_side(c1, n_vocab, as_col: str, as_count: str):
+    """The unigram table keyed for one join side, broadcast-gated on
+    its measured count: a 100 TB corpus' unigram vocabulary (Heaps'
+    law) can exceed any broadcast budget — the count is one cheap job
+    on the already-cached frame, and past the budget AQE picks a
+    shuffle join instead of OOMing an executor."""
     from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT as _BRL
     from bearysta_spark.functions.dedup import _gated_broadcast
 
+    return _gated_broadcast(
+        c1.select(F.col("tok").alias(as_col), F.col("c1").alias(as_count)),
+        n_vocab, _BRL, "LM unigram table",
+    )
+
+
+def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared bigram-LM scoring pipeline (the Spark twin of
+    _LM_SC_CTES): 75/25 hash split, train-side unigram/bigram count
+    tables, per-held-bigram fixed-point conditional-probability
+    scores. Returns (scored, base): scored is (doc_id, s, bo, ov) at
+    held-bigram grain; base is the scoped-cached split+tokenized
+    corpus frame (doc_id, source, split, ws) for metadata reuse.
+    Both base and the unigram table are scoped-cached — callers must
+    be registered scoped_caches=True. Caching base buys the single
+    corpus scan (uncached, the train side is read twice for the
+    unigram/bigram tables, the held side once, and the source join
+    once more — 4 scans measured); at 100 TB the cache spills to
+    executor disk lz4-compressed, roughly one corpus-size write read
+    back three times versus three extra parquet scans, and keeps the
+    split/tokenize work from re-running per branch."""
+    SCALE = _LM_SCALE
+    base, train, held, c1, tot, c2, bigrams = _lm_count_tables(d)
+    he = held.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg.prev", "bg.cur"
+    )
     n_vocab = c1.count()
     scored = (
         he.join(c2, ["prev", "cur"], "left")
-        .join(
-            _gated_broadcast(
-                c1.select(F.col("tok").alias("prev"),
-                          F.col("c1").alias("c1p")),
-                n_vocab, _BRL, "bigram LM unigram table",
-            ),
-            "prev",
-            "left",
-        )
-        .join(
-            _gated_broadcast(
-                c1.select(F.col("tok").alias("cur"),
-                          F.col("c1").alias("c1c")),
-                n_vocab, _BRL, "bigram LM unigram table",
-            ),
-            "cur",
-            "left",
-        )
+        .join(_uni_side(c1, n_vocab, "prev", "c1p"), "prev", "left")
+        .join(_uni_side(c1, n_vocab, "cur", "c1c"), "cur", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -8110,6 +8493,108 @@ def _bigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).otherwise(F.lit(0)).alias("bo"),
             F.when(
                 F.col("c2").isNull() & F.col("c1c").isNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("ov"),
+        )
+    )
+    return scored, base
+
+
+def _trigram_lm_scored(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Order-3 sibling of _bigram_lm_scored (the actual KenLM shape,
+    one backoff level deeper): per held trigram (w1, w2, w3) the
+    fixed-point stupid-backoff score is
+      seen trigram  -> floor(1e12 · c3(w1,w2,w3) / c2(w1,w2))
+      seen bigram   -> floor(0.4 · 1e12 · c2(w2,w3) / c1(w2))
+      seen unigram  -> floor(0.4² · 1e12 · c1(w3) / T)
+      OOV           -> floor(1e12 / (10·T))
+    (0.4 and 0.16 spelled as the exact rationals 2/5 and 4/25 inside
+    the integer division, so every score is an exact BIGINT in both
+    engines). The split, tokenization, unigram, and bigram tables are
+    _lm_count_tables — BYTE-IDENTICAL to the bigram model's, which is
+    what makes the two orders comparable on the same held set.
+    Returns (scored, base); scored is (doc_id, s, bo1, bo2, ov) at
+    held-trigram grain. Caller must register scoped_caches=True.
+    100 TB shape: like the bigram scorer plus one more shuffle
+    equi-join — the trigram table joins on (w1, w2, w3); the two
+    bigram lookups reuse ONE c2 table (denominator and backoff
+    numerator), and the unigram lookups ride the same measured-count
+    broadcast gate."""
+    SCALE = _LM_SCALE
+    base, train, held, c1, tot, c2, _bigrams = _lm_count_tables(d)
+    trigrams = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("ws"), i).alias("w1"),
+                F.element_at(F.col("ws"), i + 1).alias("w2"),
+                F.element_at(F.col("ws"), i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    c3 = (
+        train.select(F.explode(trigrams).alias("tg"))
+        .select("tg.w1", "tg.w2", "tg.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
+    he = held.select("doc_id", F.explode(trigrams).alias("tg")).select(
+        "doc_id", "tg.w1", "tg.w2", "tg.w3"
+    )
+    n_vocab = c1.count()
+    c2 = scoped_cache(c2)  # referenced twice: denominator + backoff
+    scored = (
+        he.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("prev").alias("w1"), F.col("cur").alias("w2"),
+                F.col("c2").alias("c2p"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("prev").alias("w2"), F.col("cur").alias("w3"),
+                F.col("c2").alias("c2b"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(_uni_side(c1, n_vocab, "w2", "c1m"), "w2", "left")
+        .join(_uni_side(c1, n_vocab, "w3", "c1c"), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""CASE
+                  WHEN c3 IS NOT NULL THEN
+                    CAST((CAST({SCALE} AS DECIMAL(38,0)) * c3) div c2p
+                         AS BIGINT)
+                  WHEN c2b IS NOT NULL THEN
+                    CAST((CAST({2 * SCALE} AS DECIMAL(38,0)) * c2b)
+                         div (5 * c1m) AS BIGINT)
+                  WHEN c1c IS NOT NULL THEN
+                    CAST((CAST({4 * SCALE} AS DECIMAL(38,0)) * c1c)
+                         div (25 * t) AS BIGINT)
+                  ELSE CAST(CAST({SCALE} AS DECIMAL(38,0)) div (10 * t)
+                            AS BIGINT)
+                END"""
+            ).alias("s"),
+            F.when(
+                F.col("c3").isNull() & F.col("c2b").isNotNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("bo1"),
+            F.when(
+                F.col("c3").isNull() & F.col("c2b").isNull()
+                & F.col("c1c").isNotNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("bo2"),
+            F.when(
+                F.col("c3").isNull() & F.col("c2b").isNull()
+                & F.col("c1c").isNull(),
+                F.lit(1),
             ).otherwise(F.lit(0)).alias("ov"),
         )
     )
@@ -9112,16 +9597,17 @@ def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lm_perplexity_buckets",
-    scoped_caches=True,
-    oracle=f"""
-WITH {_LM_SC_CTES},
+def _ppl_bucket_tail_sql(sc: str, ngrams_col: str) -> str:
+    """The CCNet head/middle/tail bucket report as SQL, over any
+    per-ngram fixed-point score CTE `sc` (doc_id, s) — shared by the
+    order-2 and order-3 perplexity-bucket oracles so the bucketing
+    math exists exactly once."""
+    return f""",
 perdoc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
          CAST((1000000 * CAST(sum(s) AS HUGEINT)) // count(*) AS BIGINT)
            AS score
-  FROM sc GROUP BY doc_id
+  FROM {sc} GROUP BY doc_id
 ),
 keyed AS (
   SELECT doc_id, n, score,
@@ -9153,44 +9639,20 @@ SELECT b.bucket,
        CASE b.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS label,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(k.n) AS BIGINT) AS n_bigrams,
+       CAST(sum(k.n) AS BIGINT) AS {ngrams_col},
        CAST(min(k.score) AS BIGINT) AS min_score,
        CAST(max(k.score) AS BIGINT) AS max_score
 FROM keyed k JOIN bb b USING (lbin, qbin)
 GROUP BY b.bucket ORDER BY b.bucket
-""",
-)
-def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3:
-    score every document with a held-out LM, split the corpus into
-    head/middle/tail thirds, keep head+middle for training) over the
-    SAME fixed-point bigram-LM scores as bigram_backoff_surprise
-    (shared _bigram_lm_scored pipeline / _LM_SC_CTES oracle text, so
-    the two queries cannot drift). Per held doc the score is the exact
-    integer floor(1e6 · Σs / n) — mean conditional probability in 1e18
-    fixed point.
+"""
 
-    The tertile split deliberately does NOT sort the corpus: a global
-    ntile() is a single-partition window over every doc — the exact
-    scale-killer the histogram sketch family exists to avoid. Instead
-    docs land in QUANTIZED-FLOAT integer bins — lbin = bit-length of
-    score+1 (the octave; exact in both engines: Spark conv/length,
-    DuckDB printf('%b')) plus qbin = the score's top 8 bits
-    (score >> max(lbin−8, 0)) — ≤ 61·128 cells, relative resolution
-    2⁻⁸ ≈ 0.4% (plain log2 octaves were measured too coarse: every
-    sf0.01 doc scored inside one octave, collapsing the split). The
-    tiny histogram is cumulated from the most-probable cell down and
-    each CELL is assigned head/middle/tail by integer cross-multiply
-    on the cumulative count (3·(cum−cnt) < N ⇒ head, < 2N ⇒ middle).
-    Buckets are therefore cell-granular — boundary error ≤ one 0.4%
-    cell, the documented histogram-quantile trade (see
-    hist_quantile_values) — and every doc's assignment is a scan-side
-    broadcast-join lookup, no sort anywhere.
-    100 TB shape: LM scoring as bigram_backoff_surprise; the
-    histogram is ≤ 7.8k rows (map-side combined), the bucket table
-    broadcasts back onto the doc-grain frame."""
-    d = _t(spark, sf_dir, "documents")
-    scored, _ = _bigram_lm_scored(d)
+
+def _ppl_bucket_report(scored: DataFrame, ngrams_col: str) -> DataFrame:
+    """The Spark twin of _ppl_bucket_tail_sql over a (doc_id, s)
+    scored frame: quantized-log2 integer bins (octave lbin + top-8-bit
+    qbin), a tiny cumulated histogram, and integer cross-multiply
+    tertile assignment — no global sort anywhere (see
+    lm_perplexity_buckets' docstring for the full design argument)."""
     perdoc = scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n"),
         F.expr(
@@ -9237,7 +9699,7 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum("n").cast("long").alias(ngrams_col),
             F.min("score").cast("long").alias("min_score"),
             F.max("score").cast("long").alias("max_score"),
         )
@@ -9248,12 +9710,142 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("tail")
             .alias("label"),
             "n_docs",
-            "n_bigrams",
+            ngrams_col,
             "min_score",
             "max_score",
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "lm_perplexity_buckets",
+    scoped_caches=True,
+    oracle=f"""
+WITH {_LM_SC_CTES}{_ppl_bucket_tail_sql("sc", "n_bigrams")}
+""",
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3:
+    score every document with a held-out LM, split the corpus into
+    head/middle/tail thirds, keep head+middle for training) over the
+    SAME fixed-point bigram-LM scores as bigram_backoff_surprise
+    (shared _bigram_lm_scored pipeline / _LM_SC_CTES oracle text, so
+    the two queries cannot drift). Per held doc the score is the exact
+    integer floor(1e6 · Σs / n) — mean conditional probability in 1e18
+    fixed point.
+
+    The tertile split deliberately does NOT sort the corpus: a global
+    ntile() is a single-partition window over every doc — the exact
+    scale-killer the histogram sketch family exists to avoid. Instead
+    docs land in QUANTIZED-FLOAT integer bins — lbin = bit-length of
+    score+1 (the octave; exact in both engines: Spark conv/length,
+    DuckDB printf('%b')) plus qbin = the score's top 8 bits
+    (score >> max(lbin−8, 0)) — ≤ 61·128 cells, relative resolution
+    2⁻⁸ ≈ 0.4% (plain log2 octaves were measured too coarse: every
+    sf0.01 doc scored inside one octave, collapsing the split). The
+    tiny histogram is cumulated from the most-probable cell down and
+    each CELL is assigned head/middle/tail by integer cross-multiply
+    on the cumulative count (3·(cum−cnt) < N ⇒ head, < 2N ⇒ middle).
+    Buckets are therefore cell-granular — boundary error ≤ one 0.4%
+    cell, the documented histogram-quantile trade (see
+    hist_quantile_values) — and every doc's assignment is a scan-side
+    broadcast-join lookup, no sort anywhere.
+    100 TB shape: LM scoring as bigram_backoff_surprise; the
+    histogram is ≤ 7.8k rows (map-side combined), the bucket table
+    broadcasts back onto the doc-grain frame."""
+    d = _t(spark, sf_dir, "documents")
+    scored, _ = _bigram_lm_scored(d)
+    return _ppl_bucket_report(scored, "n_bigrams")
+
+
+@query(
+    "trigram_backoff_surprise",
+    scoped_caches=True,
+    oracle=f"""
+WITH {_LM3_SC_CTES}
+SELECT p.doc_id, d.source, p.n_trigrams, p.n_backoff_bi, p.n_backoff_uni,
+       p.n_oov, p.mean_cond_prob
+FROM (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(bo1) AS BIGINT) AS n_backoff_bi,
+             CAST(sum(bo2) AS BIGINT) AS n_backoff_uni,
+             CAST(sum(ov) AS BIGINT) AS n_oov,
+             round(CAST(sum(s) AS DOUBLE)
+                   / (count(*) * 1000000000000), 10) AS mean_cond_prob
+      FROM sc3 GROUP BY doc_id) p
+JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
+ORDER BY mean_cond_prob, doc_id LIMIT 20
+""",
+)
+def trigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 stupid-backoff LM filter — the actual KenLM shape CCNet
+    ships (Wenzek et al. 2020 train 5-gram KenLM models; the backoff
+    recursion is identical at every order, so order 3 exercises the
+    full mechanism): train trigram/bigram/unigram count tables on the
+    SAME 75% hash split as bigram_backoff_surprise (byte-identical
+    tables via _lm_count_tables, so the two orders are directly
+    comparable on the same held set), score each held trigram with
+    two-level backoff — seen trigram → c3/c2(w1,w2); else 0.4 ·
+    c2(w2,w3)/c1(w2); else 0.4² · c1(w3)/T; else the OOV floor — and
+    report the 20 most-surprising held documents with their backoff
+    mix. All arithmetic is the family's fixed-point idiom: each score
+    is floor(1e12 · num/den) with 0.4 and 0.16 spelled as the exact
+    rationals 2/5 and 4/25 inside the integer division, so sums and
+    ranks are bit-identical across engines; the one double division
+    per doc is on exactly-representable integers.
+    100 TB shape: one corpus scan (base scoped-cached, pinned in
+    test_plans); the trigram and bigram tables join by shuffle
+    equi-join (n-gram vocab outgrows any broadcast budget — AQE picks
+    the strategy), the unigram lookups ride the measured-count
+    broadcast gate, and the report is a top-k TakeOrdered. One more
+    shuffle join than order 2 — the cost of one more backoff level,
+    linear in the held token stream either way."""
+    d = _t(spark, sf_dir, "documents")
+    scored, base = _trigram_lm_scored(d)
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("bo1").cast("long").alias("n_backoff_bi"),
+        F.sum("bo2").cast("long").alias("n_backoff_uni"),
+        F.sum("ov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("s").cast("double") / (F.count("*") * F.lit(_LM_SCALE)), 10
+        ).alias("mean_cond_prob"),
+    )
+    return (
+        perdoc.join(base.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source", "n_trigrams", "n_backoff_bi",
+            "n_backoff_uni", "n_oov", "mean_cond_prob",
+        )
+        .orderBy("mean_cond_prob", "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "trigram_perplexity_buckets",
+    scoped_caches=True,
+    oracle=f"""
+WITH {_LM3_SC_CTES}{_ppl_bucket_tail_sql("sc3", "n_trigrams")}
+""",
+)
+def trigram_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing under the ORDER-3 LM — the
+    same quantized-log2 histogram pipeline as lm_perplexity_buckets
+    (shared _ppl_bucket_report / _ppl_bucket_tail_sql, so the
+    bucketing math exists exactly once and runs on either LM order,
+    r07 VERDICT ask #5) over _trigram_lm_scored's fixed-point scores.
+    Production keeps head+middle; comparing this report against the
+    order-2 one shows how much the deeper context re-ranks the corpus
+    (a doc of locally-common but never-adjacent phrases falls from
+    head to tail only at order 3).
+    100 TB shape: scoring as trigram_backoff_surprise; the histogram
+    is ≤ 7.8k rows and the bucket table broadcasts back — no global
+    sort at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    scored, _ = _trigram_lm_scored(d)
+    return _ppl_bucket_report(scored, "n_trigrams")
 
 
 # One UniMax waterfilling round as an unrolled CTE stage (the _KM_ITER
@@ -9263,13 +9855,13 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a no-op (CASE matches no row), so unrolling more stages than
 # languages is safe.
 _UNIMAX_ROUND = """
-s{n} AS (
+s{n} AS MATERIALIZED (
   SELECT CAST((SELECT b FROM budget)
               - coalesce(sum(alloc), 0) AS BIGINT) AS r,
          CAST(count(*) FILTER (alloc IS NULL) AS BIGINT) AS n_active
   FROM a{p}
 ),
-a{n} AS (
+a{n} AS MATERIALIZED (
   SELECT lang, tok, cap,
          CASE WHEN alloc IS NULL AND cap <= r // nullif(n_active, 0)
               THEN cap ELSE alloc END AS alloc,
@@ -9278,31 +9870,46 @@ a{n} AS (
   FROM a{p} CROSS JOIN s{n}
 )"""
 
-
-@query(
-    "unimax_mixture_plan",
-    oracle=f"""
-    WITH lt AS (
+_UNIMAX_LT_CTE = """
       SELECT lang,
              CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+')))
                AS BIGINT) AS tok
       FROM documents GROUP BY lang
-    ),
-    budget AS (SELECT CAST((8 * sum(tok)) // 5 AS BIGINT) AS b FROM lt),
-    a0 AS (SELECT lang, tok, CAST(2 * tok AS BIGINT) AS cap,
-                  CAST(NULL AS BIGINT) AS alloc, CAST(NULL AS INT) AS rnd
-           FROM lt),
-    {_UNIMAX_ROUND.format(n=1, p=0)},
-    {_UNIMAX_ROUND.format(n=2, p=1)},
-    {_UNIMAX_ROUND.format(n=3, p=2)},
-    {_UNIMAX_ROUND.format(n=4, p=3)},
-    {_UNIMAX_ROUND.format(n=5, p=4)},
-    {_UNIMAX_ROUND.format(n=6, p=5)},
+    """
+
+#: rounds unrolled in the REGISTERED oracle. Each capping round freezes
+#: >= 1 language, so R rounds are exact for any corpus with <= R
+#: languages; extra stages are provable no-ops. The engine loop is
+#: UNBOUNDED (_unimax_waterfill) — for a corpus beyond R languages,
+#: re-register with unimax_oracle_sql(rounds=L) (the property test in
+#: tests/test_training_ops.py drives exactly that at 9 languages).
+_UNIMAX_ORACLE_ROUNDS = 12
+
+
+def unimax_oracle_sql(
+    rounds: int = _UNIMAX_ORACLE_ROUNDS, lt_cte: str = _UNIMAX_LT_CTE
+) -> str:
+    """The UniMax waterfilling oracle with `rounds` unrolled CTE
+    stages over any (lang, tok) source CTE — parameterized like
+    bpe_train_oracle_sql, so tests (and a >12-language deployment) can
+    generate exactly as many stages as the corpus has languages."""
+    stages = ",\n    ".join(
+        _UNIMAX_ROUND.format(n=i, p=i - 1) for i in range(1, rounds + 1)
+    )
+    return f"""
+    WITH lt AS MATERIALIZED ({lt_cte}),
+    budget AS MATERIALIZED (
+      SELECT CAST((8 * sum(tok)) // 5 AS BIGINT) AS b FROM lt),
+    a0 AS MATERIALIZED (
+      SELECT lang, tok, CAST(2 * tok AS BIGINT) AS cap,
+             CAST(NULL AS BIGINT) AS alloc, CAST(NULL AS INT) AS rnd
+      FROM lt),
+    {stages},
     fin AS (
       SELECT CAST((SELECT b FROM budget)
                   - coalesce(sum(alloc), 0) AS BIGINT) AS r,
              CAST(count(*) FILTER (alloc IS NULL) AS BIGINT) AS n_active
-      FROM a6
+      FROM a{rounds}
     ),
     res AS (
       SELECT lang, tok, cap,
@@ -9314,7 +9921,7 @@ a{n} AS (
                               THEN 1 ELSE 0 END
              END AS alloc,
              coalesce(rnd, 0) AS rnd
-      FROM a6 CROSS JOIN fin
+      FROM a{rounds} CROSS JOIN fin
     )
     SELECT lang, tok AS n_tokens, cap, CAST(alloc AS BIGINT) AS alloc,
            CAST(coalesce((1000000 * alloc) // nullif(tok, 0), 0)
@@ -9322,7 +9929,58 @@ a{n} AS (
            CAST(CASE WHEN rnd > 0 THEN 1 ELSE 0 END AS INT) AS capped,
            CAST(rnd AS INT) AS rnd
     FROM res ORDER BY lang
-    """,
+    """
+
+
+def _unimax_waterfill(langs: list[tuple[str, int]]) -> list[tuple]:
+    """The exact-integer UniMax waterfilling loop over collected
+    (lang, tok) model state — UNBOUNDED: each capping round freezes at
+    least one language, so the loop terminates in <= L rounds for any
+    L (no clamp; the registered oracle's unrolled stages cover it
+    whenever L <= _UNIMAX_ORACLE_ROUNDS, and unimax_oracle_sql(rounds=L)
+    covers the rest). Returns the output rows of unimax_mixture_plan."""
+    langs = sorted(langs)
+    total = sum(t for _, t in langs)
+    budget = (8 * total) // 5
+    cap = {l: 2 * t for l, t in langs}
+    alloc: dict[str, int] = {}
+    rnd: dict[str, int] = {}
+    r, n = budget, 1
+    active = [l for l, _ in langs]
+    while active:
+        fair = r // len(active)
+        newly = [l for l in active if cap[l] <= fair]
+        if not newly:
+            break
+        for l in newly:
+            alloc[l] = cap[l]
+            rnd[l] = n
+            r -= cap[l]
+        active = [l for l in active if l not in alloc]
+        n += 1
+    if active:
+        fair, rem = r // len(active), r % len(active)
+        for i, l in enumerate(sorted(active)):
+            alloc[l] = fair + (1 if i < rem else 0)
+            rnd[l] = 0
+    tokmap = dict(langs)
+    return [
+        (
+            l,
+            tokmap[l],
+            cap[l],
+            alloc[l],
+            (1_000_000 * alloc[l]) // tokmap[l] if tokmap[l] else 0,
+            1 if rnd[l] > 0 else 0,
+            rnd[l],
+        )
+        for l, _ in langs
+    ]
+
+
+@query(
+    "unimax_mixture_plan",
+    oracle=unimax_oracle_sql(),
 )
 def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax language-mixture planning (Chung et al. 2023): allocate
@@ -9343,10 +10001,14 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine twin-ness: the Spark side computes the per-language token
     table DISTRIBUTED (one corpus scan + hash agg), collects the ≤ L
     language rows — bounded model state, the same argument as
-    bpe_train's 1-row argmax — and runs the loop in exact Python ints;
-    the oracle unrolls 6 waterfilling rounds as CTE stages (the
-    kmeans-oracle idiom; a round where nothing caps is a provable
-    no-op, so 6 ≥ L stages is always enough).
+    bpe_train's 1-row argmax — and runs the UNBOUNDED waterfilling
+    loop in exact Python ints (_unimax_waterfill terminates in <= L
+    rounds because every capping round freezes a language); the
+    registered oracle unrolls 12 rounds as CTE stages (the
+    kmeans-oracle idiom; extra stages are provable no-ops, and
+    unimax_oracle_sql(rounds=L) regenerates the chain for corpora
+    beyond 12 languages — engine-vs-oracle equality at 9 languages is
+    property-tested in tests/test_training_ops.py).
     100 TB shape: the corpus is touched exactly once (scan + agg to
     language grain); the plan itself is O(L²) driver arithmetic on a
     frame that fits in a cache line. Consumers join the L-row plan
@@ -9359,48 +10021,7 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("tok"))
         .collect()
     )
-    langs = sorted((r["lang"], int(r["tok"])) for r in lt)
-    total = sum(t for _, t in langs)
-    budget = (8 * total) // 5
-    cap = {l: 2 * t for l, t in langs}
-    alloc: dict[str, int] = {}
-    rnd: dict[str, int] = {}
-    r, n = budget, 1
-    active = [l for l, _ in langs]
-    # <= 6 capping rounds, EXACTLY mirroring the oracle's 6 unrolled
-    # CTE stages: each capping round freezes >= 1 language, so 6 covers
-    # any corpus with <= 6 languages (this one has 5); if a 7th round
-    # would have capped, both sides identically fall through to the
-    # final fair split instead — engine and oracle cannot diverge
-    while active and n <= 6:
-        fair = r // len(active)
-        newly = [l for l in active if cap[l] <= fair]
-        if not newly:
-            break
-        for l in newly:
-            alloc[l] = cap[l]
-            rnd[l] = n
-            r -= cap[l]
-        active = [l for l in active if l not in alloc]
-        n += 1
-    if active:
-        fair, rem = r // len(active), r % len(active)
-        for i, l in enumerate(sorted(active)):
-            alloc[l] = fair + (1 if i < rem else 0)
-            rnd[l] = 0
-    tokmap = dict(langs)
-    rows = [
-        (
-            l,
-            tokmap[l],
-            cap[l],
-            alloc[l],
-            (1_000_000 * alloc[l]) // tokmap[l] if tokmap[l] else 0,
-            1 if rnd[l] > 0 else 0,
-            rnd[l],
-        )
-        for l, _ in langs
-    ]
+    rows = _unimax_waterfill([(r["lang"], int(r["tok"])) for r in lt])
     return spark.createDataFrame(
         rows,
         "lang string, n_tokens long, cap long, alloc long,"
@@ -10213,6 +10834,12 @@ def tokenizer_fertility_agreement(
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # -- r08-new queries -------------------------------------------------
+    "trigram_backoff_surprise",
+    "trigram_perplexity_buckets",
+    "media_ingest_dedup",
+    "knn_imi",
+    "imi_ivf_recall",
     # -- r07-new queries -------------------------------------------------
     "gopher_repetition_report",
     "lm_perplexity_buckets",

@@ -36,9 +36,9 @@ partitions, never a wrong answer. Long-lived streams bound their
 file-listing cost with `compact_curation_index` (replay-safe tier fold,
 streaming/index.py). Near-dup removal and decontamination are
 deliberately NOT in this loop — they ride the persisted LSH index
-streams (start_streaming_near_dup and friends); compose both
-foreachBatch stages for the full pipeline (chaos-tested in
-tests/test_streaming_curation.py::test_streaming_curation_composed).
+streams (start_streaming_near_dup and friends), or use the composed
+start_streaming_curation_pipeline below (chaos-tested for twin-equality
+with the batch funnel in tests/test_streaming_curation_composed.py).
 """
 
 from __future__ import annotations

@@ -183,6 +183,11 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "bpe_trained_compression",
     "pretrain_funnel_report",
+    "trigram_backoff_surprise",
+    "trigram_perplexity_buckets",
+    "media_ingest_dedup",
+    "knn_imi",
+    "imi_ivf_recall",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -473,6 +478,11 @@ def main() -> None:
         "bpe_train_merges": "bpetr",
         "bpe_trained_compression": "bpecmp",
         "pretrain_funnel_report": "ptfun",
+        "trigram_backoff_surprise": "tglm",
+        "trigram_perplexity_buckets": "tgbkt",
+        "media_ingest_dedup": "mingst",
+        "knn_imi": "knnimi",
+        "imi_ivf_recall": "imirec",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

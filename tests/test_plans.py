@@ -367,6 +367,13 @@ SCAN_BUDGETS = [
     ("pretrain_funnel_report", "documents", 4),
     ("dsir_importance_select", "documents", 1),
     ("bpe_trained_compression", "documents", 2),
+    # r08 additions: the order-3 LM rides the same scoped-cached base
+    # frame as the order-2 one (1 corpus scan each); media_ingest_dedup
+    # reads documents once to SYNTHESIZE the file corpus — the dedup
+    # itself scans the binaryFile directory, not the parquet
+    ("trigram_backoff_surprise", "documents", 1),
+    ("trigram_perplexity_buckets", "documents", 1),
+    ("media_ingest_dedup", "documents", 1),
 ]
 
 
@@ -421,6 +428,8 @@ CACHE_SCOPED_SAMPLE = [
     "pca_top_component",
     "anisotropy_abtt_report",
     "tokenizer_fertility_agreement",
+    "trigram_backoff_surprise",
+    "trigram_perplexity_buckets",
 ]
 
 

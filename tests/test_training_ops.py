@@ -540,3 +540,60 @@ def test_qlog2_parity_spark_duckdb_python(spark):
         r = ref(x)
         assert duck[x] == r, (x, duck[x], r)
         assert got[x] == r, (x, got[x], r)
+
+
+def test_unimax_waterfill_matches_oracle_at_many_languages():
+    """r07 VERDICT ask #7: the engine loop is unbounded (no 6-round
+    clamp) and the oracle's unrolled stage count is a parameter —
+    engine == oracle on a 9-language corpus ENGINEERED to cap one
+    language per round (geometric token counts), the worst case for
+    any fixed unroll."""
+    import duckdb
+
+    from bearysta_spark.queries import _unimax_waterfill, unimax_oracle_sql
+
+    # worst case for any fixed unroll: a 10-language corpus built so
+    # that rounds 1..9 each cap EXACTLY ONE language — cap_k is set
+    # just above round k-1's fair share (so it survives round k-1) and
+    # below round k's (so it caps there); the 10th language absorbs
+    # the rest and never caps
+    T = 10_000_000_000
+    B = (8 * T) // 5
+    caps, r, prev_fair = [], B, None
+    for k in range(9):
+        fair = r // (10 - k)
+        c = 2 if k == 0 else prev_fair + 2 + (prev_fair % 2)
+        assert c <= fair
+        caps.append(c)
+        r -= c
+        prev_fair = fair
+    toks = [c // 2 for c in caps]
+    cascade = [(f"l{i}", t) for i, t in enumerate(toks + [T - sum(toks)])]
+
+    cases = [
+        cascade,
+        # all equal: nothing caps, pure fair split with remainder
+        [(f"l{i}", 1000) for i in range(8)],
+        # mixed: ties, a zero-token language, one giant
+        [("aa", 0), ("bb", 7), ("cc", 7), ("dd", 50), ("ee", 51),
+         ("ff", 9999), ("gg", 3), ("hh", 3), ("ii", 12)],
+    ]
+    for langs in cases:
+        vals = ", ".join(f"('{l}', {t})" for l, t in langs)
+        lt_cte = (
+            f"SELECT lang, CAST(tok AS BIGINT) AS tok"
+            f" FROM (VALUES {vals}) AS t(lang, tok)"
+        )
+        sql = unimax_oracle_sql(rounds=len(langs), lt_cte=lt_cte)
+        con = duckdb.connect()
+        got = con.sql(sql).fetchall()
+        want = _unimax_waterfill(langs)
+        assert [tuple(r) for r in got] == want, langs
+        # the budget is exactly exhausted and every cap respected
+        total = sum(t for _, t in langs)
+        assert sum(r[3] for r in want) == (8 * total) // 5
+        assert all(r[3] <= r[2] for r in want)
+    # the cascade case really does cap one language per round: rounds
+    # 1..9 each freeze exactly one (else the test is vacuous)
+    rounds = [r[6] for r in _unimax_waterfill(cascade)]
+    assert sorted(r for r in rounds if r > 0) == list(range(1, 10))
