@@ -714,3 +714,208 @@ JOIN {doc_table} d USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+#: Embedded unigram-LM piece inventory for the registered demo query
+#: (production loads a real table with load_sentencepiece_vocab). Costs
+#: are EXACT INTEGERS (think round(-1000 * log-prob)): every [a-z0-9]
+#: char is present at SP_CHAR_COST so segmentation is always total, and
+#: multi-char pieces cost less than their char sum so Viterbi prefers
+#: them — including ambiguous overlaps ('th'+'e' vs 't'+'he' vs 'the')
+#: that exercise the DP, not just greedy matching.
+SP_CHAR_COST = 600
+SP_PIECES: tuple[tuple[str, int], ...] = tuple(
+    [(c, SP_CHAR_COST) for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + [
+        ("th", 480), ("he", 470), ("in", 440), ("er", 450), ("an", 455),
+        ("re", 460), ("on", 450), ("at", 452), ("en", 456), ("es", 461),
+        ("ed", 465), ("or", 457), ("st", 462), ("ar", 458), ("nd", 472),
+        ("al", 461), ("nt", 469), ("te", 470), ("ti", 468), ("le", 466),
+        ("the", 700), ("ing", 750), ("and", 752), ("ion", 760),
+        ("ent", 780), ("ate", 790), ("for", 795), ("tion", 900),
+        ("ment", 950), ("ther", 940),
+    ]
+)
+#: oracle stage budget: words longer than this take the documented
+#: char fallback (cost = L*SP_CHAR_COST, pieces = L) in BOTH engines —
+#: the SQL replay unrolls one DP stage per position
+SP_MAX_LEN = 30
+
+
+def load_sentencepiece_vocab(path: str) -> list[tuple[str, int]]:
+    """Parse a SentencePiece ``.vocab`` export (``piece<TAB>score``
+    text, one row per piece; scores are log-probs <= 0) into the
+    (piece, integer_cost) table viterbi_piece_counts consumes:
+    cost = round(-1000 * score) — fixed-point at milli-log grain, the
+    same engine-portability argument as classifier_margins. Pieces
+    containing characters outside WORD_PATTERN (meta symbols like the
+    U+2581 word-boundary marker, <unk>/<s>) are dropped: they can
+    never occur inside a [a-z0-9]+ word. Single-char coverage is NOT
+    assumed — callers segmenting arbitrary text should verify coverage
+    or rely on viterbi_piece_counts' per-char fallback."""
+    import re
+
+    out: list[tuple[str, int]] = []
+    pat = re.compile(r"^[a-z0-9]+$")
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or "\t" not in line:
+                continue
+            piece, score = line.split("\t", 1)
+            piece = piece.replace("▁", "")
+            if pat.fullmatch(piece):
+                out.append((piece, round(-1000.0 * float(score))))
+    return out
+
+
+def viterbi_piece_counts(
+    words: DataFrame,
+    pieces=SP_PIECES,
+    max_len: int = SP_MAX_LEN,
+    char_cost: int = SP_CHAR_COST,
+    word_col: str = "word",
+) -> DataFrame:
+    """Unigram-LM tokenization bill per DISTINCT word: exact-integer
+    Viterbi over the piece inventory, minimizing the TUPLE
+    (total_cost, n_pieces) — the SentencePiece segmenter's shape with
+    the float log-probs replaced by integer costs so the optimum is
+    engine-portable (a float Viterbi can flip ties in the last ulp;
+    an integer one cannot, and the (cost, n_pieces) tiebreak makes the
+    BILL unique even when several segmentations tie on cost).
+    Returns (word, sp_cost long, sp_pieces int).
+
+    Words longer than `max_len` take the char fallback
+    (cost = L·char_cost, pieces = L) — the bound exists so the SQL
+    replay (unigram_viterbi_oracle_sql, one unrolled DP stage per
+    position) stays finite, and it is applied identically here.
+
+    100 TB shape: Python touches ONLY the distinct-word table (the
+    house tokenizer contract — word_occurrences stays JVM-side); the
+    DP is O(L · P_max) ints per word inside an Arrow batch."""
+    from collections.abc import Iterator
+
+    by_len: dict[int, dict[str, int]] = {}
+    for piece, cost in pieces:
+        by_len.setdefault(len(piece), {})[piece] = int(cost)
+    lens = sorted(by_len)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        INF = (1 << 62, 1 << 30)
+        for pdf in batches:
+            rows = []
+            for w in pdf[word_col]:
+                L = len(w)
+                if L > max_len:
+                    rows.append((w, L * char_cost, L))
+                    continue
+                best = [INF] * (L + 1)
+                best[0] = (0, 0)
+                for i in range(1, L + 1):
+                    b = INF
+                    for pl in lens:
+                        if pl > i:
+                            break
+                        pc = by_len[pl].get(w[i - pl : i])
+                        if pc is None:
+                            continue
+                        prev = best[i - pl]
+                        cand = (prev[0] + pc, prev[1] + 1)
+                        if cand < b:
+                            b = cand
+                    best[i] = b
+                cost, np_ = best[L]
+                if cost >= INF[0]:  # uncovered char, no char fallback
+                    cost, np_ = L * char_cost, L
+                rows.append((w, cost, np_))
+            yield pd.DataFrame(
+                rows, columns=[word_col, "sp_cost", "sp_pieces"]
+            )
+
+    return words.select(word_col).mapInPandas(
+        gen, f"{word_col} string, sp_cost long, sp_pieces int"
+    )
+
+
+def unigram_viterbi_oracle_sql(
+    doc_table: str = "documents",
+    pieces=SP_PIECES,
+    max_len: int = SP_MAX_LEN,
+    char_cost: int = SP_CHAR_COST,
+) -> str:
+    """SQL replay of viterbi_piece_counts + the per-source bill: the
+    DP unrolls one MATERIALIZED stage per word position (the
+    bpe_train_oracle_sql idiom). Stage i keeps a sliding window of
+    best-(cost, np) rows at positions (i - P_max, i] — older positions
+    can never be extended — and a separate accumulator collects each
+    word's row the moment i reaches its length, so the chain is
+    O(max_len · vocab · P_max), not quadratic in max_len."""
+    maxp = max(len(p) for p, _ in pieces)
+    vals = ", ".join(f"('{p}', {c})" for p, c in pieces)
+    parts = [
+        f"""pieces(p, pc) AS (VALUES {vals}),
+occ AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}'))
+           AS word
+  FROM {doc_table}
+),
+w AS MATERIALIZED (
+  SELECT word, length(word) AS L FROM (SELECT DISTINCT word FROM occ)
+),
+d0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np
+       FROM w WHERE L <= {max_len}),
+f0 AS (SELECT word, CAST(NULL AS BIGINT) AS cost, CAST(NULL AS INT) AS np
+       FROM w WHERE 1 = 0)"""
+    ]
+    for i in range(1, max_len + 1):
+        p = i - 1
+        parts.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT word, cost, np FROM (
+    SELECT q.word, q.cost + pieces.pc AS cost, q.np + 1 AS np,
+           row_number() OVER (PARTITION BY q.word
+             ORDER BY q.cost + pieces.pc ASC, q.np ASC) AS rn
+    FROM d{p} q JOIN pieces
+      ON q.pos + length(pieces.p) = {i}
+     AND substr(q.word, q.pos + 1, length(pieces.p)) = pieces.p
+  ) WHERE rn = 1
+),
+d{i} AS MATERIALIZED (
+  SELECT word, pos, cost, np FROM d{p} WHERE pos > {i} - {maxp}
+  UNION ALL
+  SELECT word, {i} AS pos, cost, np FROM n{i}
+),
+f{i} AS MATERIALIZED (
+  SELECT * FROM f{p}
+  UNION ALL
+  SELECT n.word, n.cost, CAST(n.np AS INT)
+  FROM n{i} n JOIN w ON w.word = n.word AND w.L = {i}
+)"""
+        )
+    parts.append(
+        f"""res AS (
+  SELECT word, cost, np FROM f{max_len}
+  UNION ALL
+  SELECT word, CAST({char_cost} AS BIGINT) * L, CAST(L AS INT)
+  FROM w WHERE L > {max_len}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(r.np) AS BIGINT) AS pieces_total,
+       CAST(sum(r.cost) AS BIGINT) AS cost_total,
+       round(CAST(sum(r.np) AS DOUBLE) / count(*), 6) AS pieces_per_word
+FROM occ o
+JOIN res r USING (word)
+JOIN {doc_table} d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source"""
+    )

@@ -9340,6 +9340,207 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cont_split_case() -> str:
+    from bearysta_spark.functions.sampling import hash_split_case_sql
+
+    return hash_split_case_sql(
+        {"eval": 0.05, "train": 0.95}, "CAST(doc_id AS VARCHAR)",
+        salt="cont",
+    )
+
+
+@query(
+    "eval_containment_report",
+    scoped_caches=True,
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, {_cont_split_case()} AS s FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, s.s,
+             unnest([array_to_string(ws[i+1:i+6], ' ')
+                     for i in range(0, len(ws) - 5)]) AS gram
+      FROM (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws
+            FROM documents) d
+      JOIN split s USING (doc_id)
+      WHERE len(ws) >= 6
+    ),
+    eg AS (SELECT DISTINCT doc_id, gram FROM g WHERE s = 'eval'),
+    tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE s = 'train'),
+    esz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM eg GROUP BY doc_id),
+    inter AS (
+      SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+             CAST(count(*) AS BIGINT) AS i
+      FROM eg e JOIN tg t USING (gram) GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT eval_id, train_id AS top_train_id, i AS top_i FROM (
+        SELECT eval_id, train_id, i,
+               row_number() OVER (PARTITION BY eval_id
+                 ORDER BY i DESC, train_id ASC) AS rn
+        FROM inter
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT i.eval_id,
+             CAST(count(*) FILTER (2 * i.i >= z.sz) AS BIGINT)
+               AS n_flagged,
+             CAST(max((1000000 * i.i) // z.sz) AS BIGINT) AS max_ppm
+      FROM inter i JOIN esz z ON z.doc_id = i.eval_id
+      GROUP BY i.eval_id
+    )
+    SELECT s.doc_id AS eval_id,
+           CAST(coalesce(z.sz, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(coalesce(a.max_ppm, 0) AS BIGINT) AS max_containment_ppm,
+           CAST(t.top_train_id AS BIGINT) AS top_train_id
+    FROM (SELECT doc_id FROM split WHERE s = 'eval') s
+    LEFT JOIN esz z USING (doc_id)
+    LEFT JOIN agg a ON a.eval_id = s.doc_id
+    LEFT JOIN top t ON t.eval_id = s.doc_id
+    ORDER BY eval_id
+    """,
+)
+def eval_containment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC decontamination: per held-out eval doc, the maximum
+    CONTAINMENT of its distinct word-6-gram set in any single train
+    doc — containment C(e, t) = |G_e ∩ G_t| / |G_e| is the measure
+    Jaccard misses (a long train doc that swallows a short eval doc
+    verbatim has near-zero Jaccard but containment 1.0; this is the
+    standard benchmark-in-a-concatenation leak). Reports every eval
+    doc (never vacuous): its gram count, how many train docs contain
+    >= half of it (2·|∩| >= |G_e| — integer cross-multiply, no float
+    threshold), the max containment as exact 1e6·|∩| // |G_e|, and the
+    argmax train doc (ties: larger intersection, then smaller id).
+    Complements split_leakage_check (symmetric any-shared-gram audit)
+    and the funnel's drop-stage decontam.
+    100 TB shape: gram-keyed equi-join — the eval side is the split's
+    5% (distinct-gram rows, scoped-cached for its two references:
+    sizes + join); per-pair counts are gram-grain, never pairwise in
+    the corpus; the report is eval-sized."""
+    from bearysta_spark.functions.decontam import gram_rows
+    from bearysta_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        d, {"eval": 0.05, "train": 0.95}, id_col="doc_id", salt="cont"
+    )
+    ev = split.filter(F.col("split") == "eval")
+    tr = split.filter(F.col("split") == "train")
+    eg = scoped_cache(
+        gram_rows(ev, 6, "text", ("doc_id",)).distinct()
+    )
+    tg = gram_rows(tr, 6, "text", ("doc_id",)).distinct()
+    esz = eg.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        eg.select(F.col("doc_id").alias("eval_id"), "gram")
+        .join(tg.select(F.col("doc_id").alias("train_id"), "gram"), "gram")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    inter = scoped_cache(inter)
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("i"), F.asc("train_id")
+    )
+    top = (
+        inter.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_id", F.col("train_id").alias("top_train_id"))
+    )
+    agg = (
+        inter.join(
+            esz.select(F.col("doc_id").alias("eval_id"), "sz"), "eval_id"
+        )
+        .groupBy("eval_id")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("i") >= F.col("sz"), 1).otherwise(0)
+            ).cast("long").alias("n_flagged"),
+            F.max(
+                F.expr("CAST((1000000 * i) div sz AS BIGINT)")
+            ).cast("long").alias("max_ppm"),
+        )
+    )
+    return (
+        ev.select(F.col("doc_id").alias("eval_id"))
+        .join(esz.select(F.col("doc_id").alias("eval_id"), "sz"),
+              "eval_id", "left")
+        .join(agg, "eval_id", "left")
+        .join(top, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("sz", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_flagged", F.lit(0)).cast("long")
+            .alias("n_flagged"),
+            F.coalesce("max_ppm", F.lit(0)).cast("long")
+            .alias("max_containment_ppm"),
+            F.col("top_train_id").cast("long").alias("top_train_id"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+@query(
+    "unigram_viterbi_stats",
+    oracle=TK.unigram_viterbi_oracle_sql(),
+)
+def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting under a UNIGRAM-LM tokenizer — the
+    SentencePiece segmenter's shape (Kudo 2018): each word takes the
+    segmentation minimizing total piece cost over the embedded piece
+    inventory (tokenize.SP_PIECES; production swaps in a real .vocab
+    export via load_sentencepiece_vocab), found by exact-integer
+    Viterbi minimizing the tuple (cost, n_pieces) — integer costs make
+    the optimum engine-portable where float log-prob Viterbi flips
+    ties in the last ulp, and the n_pieces tiebreak makes the BILL
+    unique even when segmentations tie on cost. Completes the
+    tokenizer-family triptych: greedy longest-match (wordpiece),
+    merge-ordered (BPE apply + train), and now global-optimum
+    segmentation. The oracle unrolls the DP one MATERIALIZED stage per
+    word position with a sliding P_max window (the bpe_train idiom;
+    tokenize.unigram_viterbi_oracle_sql), verified against an
+    independent Python DP in tests.
+    100 TB shape: the house tokenizer contract — Python touches ONLY
+    the distinct-word table (vocab-bounded, Heaps' law); the
+    corpus-proportional occurrence stream stays JVM-side and joins the
+    per-word bill behind the measured-size broadcast gate."""
+    from bearysta_spark.functions.dedup import BROADCAST_ROW_LIMIT as _BRL
+    from bearysta_spark.functions.dedup import _gated_broadcast
+
+    from bearysta_spark.scratch import materialize_distributed
+
+    d = _t(spark, sf_dir, "documents")
+    occ = TK.word_occurrences(d)
+    # scratch-materialized like bpe_train's state: the vocab-bounded
+    # bill is referenced by the broadcast gate's count AND the join —
+    # un-truncated, each reference re-derives the occurrence scan +
+    # distinct + the Python DP
+    wc = materialize_distributed(
+        TK.viterbi_piece_counts(occ.select("word").distinct()), "spvit"
+    )
+    n_vocab = wc.count()
+    return (
+        occ.join(
+            _gated_broadcast(
+                wc, n_vocab, _BRL, "unigram_viterbi word bill"
+            ),
+            "word",
+        )
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("sp_pieces").cast("long").alias("pieces_total"),
+            F.sum("sp_cost").cast("long").alias("cost_total"),
+            F.round(
+                F.sum("sp_pieces").cast("double") / F.count("*"), 6
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
 # shared CTE prefix for the repetition-signal oracles: per-doc word
 # arrays with total word count (tw) and total word chars (tc)
 _REP_DOCS_CTE = """
@@ -10840,6 +11041,8 @@ _DRIVER_PRIORITY = [
     "media_ingest_dedup",
     "knn_imi",
     "imi_ivf_recall",
+    "unigram_viterbi_stats",
+    "eval_containment_report",
     # -- r07-new queries -------------------------------------------------
     "gopher_repetition_report",
     "lm_perplexity_buckets",

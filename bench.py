@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "media_ingest_dedup",
     "knn_imi",
     "imi_ivf_recall",
+    "unigram_viterbi_stats",
+    "eval_containment_report",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -483,6 +485,8 @@ def main() -> None:
         "media_ingest_dedup": "mingst",
         "knn_imi": "knnimi",
         "imi_ivf_recall": "imirec",
+        "unigram_viterbi_stats": "spvit",
+        "eval_containment_report": "contain",
         "multimodal_meta": "mmeta",
         "lang_id_eval": "langid",
         "percent_diff_base": "pctdif",

@@ -374,6 +374,9 @@ SCAN_BUDGETS = [
     ("trigram_backoff_surprise", "documents", 1),
     ("trigram_perplexity_buckets", "documents", 1),
     ("media_ingest_dedup", "documents", 1),
+    # occurrence scan + the source metadata join, same floor as
+    # bpe_trained_compression
+    ("unigram_viterbi_stats", "documents", 2),
 ]
 
 

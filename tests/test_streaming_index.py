@@ -317,3 +317,62 @@ def test_self_neardup_index_compaction(spark, tmp_path):
     compact_index(spark, root, 2, partition_cols=("batch_id", "kb"))
     after = pairs_against(probe, 2)
     assert before == after == [("d0", "dX", 6)]
+
+
+def test_self_neardup_stream_replay_across_compaction(spark, tmp_path):
+    """The self-growing KEY-index STREAM (start_streaming_self_neardup)
+    probes through the marker-aware view: compact after a committed
+    batch, then crash-replay the next one — pairs are exact and
+    un-duplicated, and shared-key COUNTS survive the fold un-inflated."""
+    from bearysta_spark.streaming.neardup import start_streaming_self_neardup
+
+    land = str(tmp_path / "land")
+    index = str(tmp_path / "kidx")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    t2 = "nothing shared here at all zulu yankee xray whiskey victor"
+    rows0 = [(0, t1), (1, t2)]
+    rows1 = [(10, t1 + " juliet"), (11, "more unshared filler words only")]
+
+    def extractor(df):
+        return df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("key")
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            land
+        )
+        q = start_streaming_self_neardup(
+            stream, index, out, ckpt, extractor=extractor, min_shared=5
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(rows0, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    run_once()
+    # batch 0 committed: fold its partitions (keys + seed space)
+    from bearysta_spark.streaming.index import compact_index, read_marker
+
+    compact_index(spark, index, 1, partition_cols=("batch_id", "kb"))
+    assert read_marker(index) == {"tier": -2, "upto": 1}
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    run_once()
+    _truncate_last_commit(ckpt)  # die between execute and commit
+    run_once()  # replay batch 1 against the compacted tier
+
+    got = sorted(
+        (r.corpus_id, r.new_id, r.shared_keys)
+        for r in spark.read.parquet(out).collect()
+    )
+    # doc 10 shares exactly the 9 words of t1 with doc 0 — counted
+    # once despite fold + replay
+    assert got == [(0, 10, 9)]

@@ -378,3 +378,56 @@ def test_bpe_train_leaves_no_pinned_blocks(spark):
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
     assert not (after - before)
+
+
+def test_viterbi_piece_counts_dp_and_fallback(spark):
+    from bearysta_spark.functions.tokenize import (
+        SP_CHAR_COST,
+        SP_MAX_LEN,
+        viterbi_piece_counts,
+    )
+
+    words = spark.createDataFrame(
+        [("the",), ("there",), ("q7",), ("x" * (SP_MAX_LEN + 5),)],
+        "word string",
+    )
+    got = {
+        r.word: (r.sp_cost, r.sp_pieces)
+        for r in viterbi_piece_counts(words).collect()
+    }
+    # 'the' as one piece (700) beats th+e (1080), t+he (1070), chars (1800)
+    assert got["the"] == (700, 1)
+    # 'there' = 'the'+'re' (700+460) beats 'th'+'er'+'e' (1530) and
+    # 'ther'+'e' (940+600)
+    assert got["there"] == (1160, 2)
+    # no multi-char piece applies: exact char costs
+    assert got["q7"] == (2 * SP_CHAR_COST, 2)
+    # beyond SP_MAX_LEN: the documented char fallback
+    L = SP_MAX_LEN + 5
+    assert got["x" * L] == (L * SP_CHAR_COST, L)
+
+
+def test_viterbi_tiebreak_prefers_fewer_pieces(spark):
+    from bearysta_spark.functions.tokenize import viterbi_piece_counts
+
+    # craft a tie on cost: piece 'ab' at 1200 == 'a'+'b' (600+600);
+    # the (cost, n_pieces) tuple must pick the 1-piece segmentation
+    pieces = (("a", 600), ("b", 600), ("ab", 1200))
+    words = spark.createDataFrame([("ab",)], "word string")
+    r = viterbi_piece_counts(words, pieces=pieces).collect()[0]
+    assert (r.sp_cost, r.sp_pieces) == (1200, 1)
+
+
+def test_load_sentencepiece_vocab(tmp_path):
+    from bearysta_spark.functions.tokenize import load_sentencepiece_vocab
+
+    p = tmp_path / "sp.vocab"
+    p.write_text(
+        "<unk>\t0\n▁the\t-2.5\nthe\t-2.25\ning\t-3.125\n<s>\t0\n"
+        "▁\t-1.5\nxy z\t-9\n",
+        encoding="utf-8",
+    )
+    got = load_sentencepiece_vocab(str(p))
+    # meta symbols and non-[a-z0-9] pieces dropped; ▁ stripped; costs
+    # are round(-1000 * score)
+    assert got == [("the", 2500), ("the", 2250), ("ing", 3125)]
