@@ -756,10 +756,18 @@ def load_sentencepiece_vocab(path: str) -> list[tuple[str, int]]:
     U+2581 word-boundary marker, <unk>/<s>) are dropped: they can
     never occur inside a [a-z0-9]+ word. Single-char coverage is NOT
     assumed — callers segmenting arbitrary text should verify coverage
-    or rely on viterbi_piece_counts' per-char fallback."""
+    or rely on viterbi_piece_counts' per-char fallback.
+
+    Duplicates collapse to the MINIMUM cost: stripping the marker maps
+    both '▁the' and 'the' (present in every real vocab) onto one key,
+    and the segmenter must see the BETTER log-prob — it is also the
+    only convention under which the Spark DP (a dict lookup) and the
+    SQL oracle (a VALUES table where the cheaper row always wins the
+    argmin) cannot diverge on a duplicated piece."""
     import re
 
-    out: list[tuple[str, int]] = []
+    best: dict[str, int] = {}
+    order: list[str] = []
     pat = re.compile(r"^[a-z0-9]+$")
     with open(path, encoding="utf-8") as f:
         for line in f:
@@ -769,8 +777,13 @@ def load_sentencepiece_vocab(path: str) -> list[tuple[str, int]]:
             piece, score = line.split("\t", 1)
             piece = piece.replace("▁", "")
             if pat.fullmatch(piece):
-                out.append((piece, round(-1000.0 * float(score))))
-    return out
+                cost = round(-1000.0 * float(score))
+                if piece not in best:
+                    order.append(piece)
+                    best[piece] = cost
+                else:
+                    best[piece] = min(best[piece], cost)
+    return [(p, best[p]) for p in order]
 
 
 def viterbi_piece_counts(
@@ -801,7 +814,11 @@ def viterbi_piece_counts(
 
     by_len: dict[int, dict[str, int]] = {}
     for piece, cost in pieces:
-        by_len.setdefault(len(piece), {})[piece] = int(cost)
+        d = by_len.setdefault(len(piece), {})
+        # duplicate pieces keep the CHEAPEST cost — matching both the
+        # loader's dedup convention and the SQL oracle, whose argmin
+        # over a duplicated VALUES row always takes the cheaper one
+        d[piece] = min(int(cost), d.get(piece, 1 << 62))
     lens = sorted(by_len)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -902,6 +919,14 @@ f{i} AS MATERIALIZED (
   UNION ALL
   SELECT word, CAST({char_cost} AS BIGINT) * L, CAST(L AS INT)
   FROM w WHERE L > {max_len}
+  UNION ALL
+  -- a piece inventory WITHOUT full single-char coverage can leave a
+  -- word unsegmentable: it never reaches f{{L}}, and the engine bills
+  -- it by the per-char fallback — mirror that here or the final join
+  -- silently drops all its occurrences
+  SELECT word, CAST({char_cost} AS BIGINT) * L, CAST(L AS INT)
+  FROM w WHERE L <= {max_len}
+    AND word NOT IN (SELECT word FROM f{max_len})
 )"""
     )
     return (

@@ -8328,7 +8328,7 @@ FROM (SELECT doc_id,
              CAST(sum(bo) AS BIGINT) AS n_backoff,
              CAST(sum(ov) AS BIGINT) AS n_oov,
              round(CAST(sum(s) AS DOUBLE)
-                   / (count(*) * 1000000000000), 10) AS mean_cond_prob
+                   / (CAST(count(*) AS DOUBLE) * 1000000000000), 10) AS mean_cond_prob
       FROM sc GROUP BY doc_id) p
 JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
 ORDER BY mean_cond_prob, doc_id LIMIT 20
@@ -8366,7 +8366,8 @@ def bigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bo").cast("long").alias("n_backoff"),
         F.sum("ov").cast("long").alias("n_oov"),
         F.round(
-            F.sum("s").cast("double") / (F.count("*") * F.lit(_LM_SCALE)), 10
+            F.sum("s").cast("double")
+            / (F.count("*").cast("double") * F.lit(float(_LM_SCALE))), 10
         ).alias("mean_cond_prob"),
     )
     return (
@@ -9973,7 +9974,7 @@ FROM (SELECT doc_id,
              CAST(sum(bo2) AS BIGINT) AS n_backoff_uni,
              CAST(sum(ov) AS BIGINT) AS n_oov,
              round(CAST(sum(s) AS DOUBLE)
-                   / (count(*) * 1000000000000), 10) AS mean_cond_prob
+                   / (CAST(count(*) AS DOUBLE) * 1000000000000), 10) AS mean_cond_prob
       FROM sc3 GROUP BY doc_id) p
 JOIN (SELECT doc_id, source FROM documents) d USING (doc_id)
 ORDER BY mean_cond_prob, doc_id LIMIT 20
@@ -10010,7 +10011,8 @@ def trigram_backoff_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bo2").cast("long").alias("n_backoff_uni"),
         F.sum("ov").cast("long").alias("n_oov"),
         F.round(
-            F.sum("s").cast("double") / (F.count("*") * F.lit(_LM_SCALE)), 10
+            F.sum("s").cast("double")
+            / (F.count("*").cast("double") * F.lit(float(_LM_SCALE))), 10
         ).alias("mean_cond_prob"),
     )
     return (

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from bearysta_spark.streaming.index import (
     bloom_rows,
     compact_index,
+    ensure_layout,
     read_index_view,
     split_by_bloom,
 )
@@ -75,7 +76,15 @@ def probe_new_keys(
     `kb` column) against every EARLIER batch's keys. Bloom-first exact
     probe: definite negatives bypass the index; suspects verify with a
     left-anti join pruned to their kb partitions. The collect is the
-    suspects' distinct kb list — bounded by `buckets`, never by data."""
+    suspects' distinct kb list — bounded by `buckets`, never by data.
+
+    `buckets` became correctness-load-bearing with the Bloom/kb-pruned
+    layout (wb's kb column, the sidecar rows, and the anti-join's
+    partition pruning all derive from it), so it is persisted on first
+    use and VALIDATED on every probe — a stream restarted with a
+    different value fails loudly instead of silently admitting every
+    duplicate (r08 review finding)."""
+    ensure_layout(spark, index_root, {"buckets": buckets})
     idx = read_index_view(
         spark, index_root, before_batch=batch_id, schema=INDEX_SCHEMA
     )
@@ -186,9 +195,15 @@ def start_streaming_curation_pipeline(
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # UNLIKE the plain ingest loop (scan-side gates, few actions —
+        # recompute is cheaper than pinning), this pipeline's lineage
+        # is heavy (bloom split + collect, minhash signatures, origin
+        # collect, verify joins) and executes 4+ actions per batch:
+        # persist the two hot frames for the batch's duration, released
+        # in the finally
         flags = curation_gate_flags(
             batch_df, lang=lang, id_col=id_col, keep=("source", text_col)
-        )
+        ).persist()
         gated = flags.filter(F.col("lang_ok") & F.col("q_ok"))
         keeper = gated.groupBy("norm_key").agg(F.min(id_col).alias("__k"))
         wb = (
@@ -200,7 +215,9 @@ def start_streaming_curation_pipeline(
                 F.pmod(F.xxhash64("norm_key"), F.lit(buckets)).cast("int"),
             )
         )
-        surv = probe_new_keys(wb, spark, index_root, batch_id, buckets)
+        surv = probe_new_keys(
+            wb, spark, index_root, batch_id, buckets
+        ).persist()
 
         # ---- near-dup stage over the exact survivors ----
         sigs = minhash_signatures(
@@ -366,6 +383,11 @@ def start_streaming_curation_pipeline(
                 .partitionBy(*parts)
                 .parquet(path)
             )
+        # same non-finally convention as release_scoped_caches: a
+        # failed batch terminates the stream and the restart owns a
+        # fresh cache budget; nothing outlives a SUCCESSFUL batch
+        surv.unpersist()
+        flags.unpersist()
         release_scoped_caches()
 
     return (

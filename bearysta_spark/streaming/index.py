@@ -17,8 +17,9 @@ commits the fold with an atomically-replaced marker file — probes
 switch views on the marker, so a crash at ANY point during compaction
 leaves readers on a consistent view (the half-written new tier is
 invisible until the marker lands; the folded partitions stay readable
-until it does). Cleanup of superseded files is best-effort afterwards
-garbage, never load-bearing.
+until it does — and for one further compaction cycle after: superseded
+files are reclaimed at the START of the next compaction, so a probe
+that caught the old marker always finishes against present files).
 
 `bloom_rows` / `split_by_bloom` solve (2) for the exact-key probe: each
 batch appends a tall integer Bloom of its keys (kb, slot, bits rows —
@@ -50,6 +51,11 @@ from pyspark.sql import functions as F
 #: marker file name — the leading underscore makes Spark's parquet
 #: reader skip it, so it can live inside the index directory itself
 MARKER = "_compaction.json"
+#: layout file: correctness-load-bearing index constants (the kb
+#: bucket count — Bloom rows and the anti-join's partition pruning are
+#: keyed by kb, so a probe running with a DIFFERENT bucket count would
+#: silently classify every duplicate as definite-new)
+LAYOUT = "_layout.json"
 #: first compaction tier (counts DOWN for each later compaction);
 #: batch_id = -1 stays reserved for pre-seeded corpus partitions
 FIRST_TIER = -2
@@ -76,9 +82,44 @@ def _is_uri(path: str) -> bool:
     return "://" in path
 
 
+def ensure_layout(
+    spark: SparkSession, root: str, layout: dict
+) -> None:
+    """Persist index layout constants on first use and REFUSE to run
+    against an index built with different ones: kb is derived from a
+    hash MOD the bucket count, so a stream restarted with a different
+    `buckets` would probe the wrong Bloom rows and prune the anti-join
+    to the wrong partitions — admitting every duplicate, silently,
+    forever. Raising here turns that into a loud config error."""
+    cur = _read_json(root, LAYOUT, spark)
+    if cur is None:
+        if not _is_uri(root):
+            os.makedirs(root, exist_ok=True)
+        _write_json(root, LAYOUT, layout, spark)
+        return
+    if cur != layout:
+        raise ValueError(
+            f"index layout mismatch at {root}: persisted {cur}, "
+            f"caller expects {layout} — probes keyed on a different "
+            "bucket count would silently stop deduplicating; rebuild "
+            "the index or restore the original parameters"
+        )
+
+
+def read_layout(root: str, spark: SparkSession | None = None) -> dict | None:
+    """The persisted layout constants under `root`, or None."""
+    return _read_json(root, LAYOUT, spark)
+
+
 def read_marker(root: str, spark: SparkSession | None = None) -> dict | None:
     """The committed compaction marker under `root`, or None."""
-    p = os.path.join(root, MARKER)
+    return _read_json(root, MARKER, spark)
+
+
+def _read_json(
+    root: str, name: str, spark: SparkSession | None = None
+) -> dict | None:
+    p = os.path.join(root, name)
     if _is_uri(root):
         assert spark is not None, "URI-schemed roots need the session"
         jvm = spark._jvm
@@ -106,11 +147,18 @@ def write_marker(
 ) -> None:
     """Atomically publish a compaction: after this returns, probe views
     read partition `tier` plus batches >= `upto` and ignore everything
-    the fold superseded (whether or not its files were cleaned up).
-    Local paths commit via os.replace (atomic POSIX rename); URI roots
-    via a single FileSystem create(overwrite=True) PUT."""
-    data = json.dumps({"tier": tier, "upto": upto})
-    p = os.path.join(root, MARKER)
+    the fold superseded (whether or not its files were cleaned up)."""
+    _write_json(root, MARKER, {"tier": tier, "upto": upto}, spark)
+
+
+def _write_json(
+    root: str, name: str, data: dict, spark: SparkSession | None = None
+) -> None:
+    """Atomic small-file publish: local paths via os.replace (atomic
+    POSIX rename); URI roots via one FileSystem create(overwrite=True)
+    PUT."""
+    body = json.dumps(data)
+    p = os.path.join(root, name)
     if _is_uri(root):
         assert spark is not None, "URI-schemed roots need the session"
         jvm = spark._jvm
@@ -118,13 +166,13 @@ def write_marker(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         out = fs.create(jpath, True)
         try:
-            out.write(bytearray(data.encode()))
+            out.write(bytearray(body.encode()))
         finally:
             out.close()
         return
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"tier": tier, "upto": upto}, f)
+        f.write(body)
     os.replace(tmp, p)
 
 
@@ -149,7 +197,17 @@ def read_index_view(
 
     Returns None when the index holds no data yet (first batch). Pass
     `schema` (the writer's schema) to keep an all-empty index readable;
-    without it an empty directory is treated as missing."""
+    without it an empty directory is treated as missing.
+
+    The marker is read BEFORE the parquet reader lists files: a
+    compaction committing between the two steps then leaves this view
+    on the OLD marker over a listing that still contains every old
+    partition (folded files are deleted only after the commit,
+    best-effort and late) — consistent. The reverse order could pair a
+    fresh marker with a listing taken mid-tier-write: folded
+    partitions filtered out, the new tier only partially listed —
+    silently missing keys."""
+    m = read_marker(root, spark)
     try:
         reader = spark.read if schema is None else spark.read.schema(schema)
         idx = reader.parquet(root)
@@ -157,7 +215,6 @@ def read_index_view(
         if not is_missing_index(e):
             raise
         return None
-    m = read_marker(root, spark)
     if m is None:
         cond = F.col("batch_id") >= -1
     else:
@@ -190,17 +247,31 @@ def compact_index(
     batches newer than the committed watermark, so a replayed batch
     always rewrites partitions >= upto_batch, never a folded one.
     Crash-safety: the new tier is written to a batch_id no probe view
-    admits until the marker commits (see write_marker); re-running a
-    crashed compaction first clears the orphan tier directory.
+    admits until the marker commits (see write_marker).
+
+    Reclamation is DEFERRED one compaction cycle: partitions this fold
+    supersedes are left on disk and deleted at the START of the next
+    compaction (along with any crashed attempt's orphan tier). A probe
+    that read the old marker just before this commit can therefore
+    still finish against fully-present files — the inter-compaction
+    interval is the grace period; deleting eagerly here could yank
+    files out from under a concurrent micro-batch on a long listing.
+    Call with upto_batch = the current watermark again (a no-op fold)
+    to force reclamation early.
 
     Returns the new marker dict, or None when there was nothing to
     compact (missing/empty index)."""
     m = read_marker(root, spark)
+    # reclaim the PREVIOUS fold's garbage: everything invisible under
+    # the current marker has been unreferenced since that marker's
+    # commit — any probe that could still read it has long finished
+    for b in _list_batch_ids(spark, root):
+        invisible = (
+            (b != m["tier"] and b < m["upto"]) if m else b < -1
+        )
+        if invisible:
+            _delete_partition_dir(spark, root, b)
     new_tier = (m["tier"] - 1) if m else FIRST_TIER
-    # a crashed earlier attempt may have left a half-written tier at
-    # this id (invisible to probes — no marker names it); clear it so
-    # dynamic overwrite can't interleave stale partitions into the fold
-    _delete_partition_dir(spark, root, new_tier)
     view = read_index_view(spark, root, before_batch=None)
     if view is None:
         return None
@@ -218,10 +289,6 @@ def compact_index(
         .parquet(root)
     )
     write_marker(root, new_tier, upto_batch, spark)
-    # superseded files are garbage from here on — reclaim best-effort
-    for b in _list_batch_ids(spark, root):
-        if b != new_tier and b < upto_batch:
-            _delete_partition_dir(spark, root, b)
     return {"tier": new_tier, "upto": upto_batch}
 
 

@@ -235,10 +235,15 @@ def start_streaming_self_neardup(
     empty."""
     from bearysta_spark.cachescope import release_scoped_caches
     from bearysta_spark.functions.multimodal import incremental_key_pairs
+    from bearysta_spark.streaming.index import ensure_layout
 
     spark = stream_payloads.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # kb derives from hash-mod-buckets: the probe's (kb, key)
+        # equi-join against the index silently misses with a different
+        # bucket count, so the value is persisted and validated
+        ensure_layout(spark, index_root, {"buckets": buckets})
         keys = (
             extractor(batch_df)
             .select(

@@ -53,23 +53,22 @@ def main() -> None:
     )
 
     def fresh_batch(b: int):
-        # every doc unique and gate-passing: 20 distinct medium-length
-        # words derived from the id — the probe sees 100% novel keys,
-        # the production-typical case the Bloom gate is built for
+        # every doc unique AND gate-passing at any --rows: 16 four-char
+        # words sliced from two md5 digests of the id (16 tokens >= 15;
+        # mean word length exactly 4.0, inside the [3.0, 4.8] gate; hex
+        # chars are [a-z0-9]; md5 uniqueness means NO cross-doc
+        # duplicates ever — the probe sees 100% novel keys, the
+        # production-typical case the Bloom gate is built for)
+        h1 = F.md5(F.col("id").cast("string"))
+        h2 = F.md5(F.concat(F.col("id").cast("string"), F.lit("b")))
+        words = [F.substring(h1, 1 + 4 * i, 4) for i in range(8)] + [
+            F.substring(h2, 1 + 4 * i, 4) for i in range(8)
+        ]
         return (
             spark.range(b * args.rows, (b + 1) * args.rows)
             .select(
                 F.col("id").alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.concat(
-                            F.lit(f"w{i}x"),
-                            (F.col("id") * (i + 3) % 99991).cast("string"),
-                        )
-                        for i in range(20)
-                    ],
-                ).alias("text"),
+                F.concat_ws(" ", *words).alias("text"),
                 F.lit("en").alias("lang"),
                 F.lit("src").alias("source"),
             )
@@ -87,6 +86,15 @@ def main() -> None:
         q.stop()
         times.append(round(time.perf_counter() - t0, 3))
 
+    # the measurement is void if the gates rejected the stream: assert
+    # the index really grew to ~one key per fed document
+    n_indexed = spark.read.parquet(idx).count()
+    expect = args.batches * args.rows
+    assert n_indexed > 0.95 * expect, (
+        f"probe ladder vacuous: {n_indexed} keys indexed for {expect} "
+        "fed documents — the synthetic docs are failing the gates"
+    )
+
     third = max(1, args.batches // 3)
     head = sum(times[:third]) / third
     tail = sum(times[-third:]) / third
@@ -101,6 +109,7 @@ def main() -> None:
                 "metric": "curation_probe_per_batch_sec",
                 "batches": args.batches,
                 "rows_per_batch": args.rows,
+                "n_indexed": n_indexed,
                 "times": times,
                 "head_mean": round(head, 3),
                 "tail_mean": round(tail, 3),

@@ -191,21 +191,30 @@ def test_compaction_preserves_probe_view(spark, tmp_path):
     assert view_keys() == before == list("abcdef")
     m = read_marker(root)
     assert m == {"tier": -2, "upto": 3}
-    # folded partition dirs are reclaimed; batch 3 survives as-is
+    # reclamation is DEFERRED one cycle: folded partitions stay on
+    # disk (a probe holding the old marker must finish against
+    # present files) but are invisible to the view
     dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
-    assert dirs == {"batch_id=-2", "batch_id=3"}
-    # a second compaction stacks: tier counts down, view unchanged
+    assert {"batch_id=-2", "batch_id=3"} <= dirs
+    # a second compaction stacks: tier counts down, view unchanged,
+    # and the FIRST fold's garbage is reclaimed at its start
     _write_key_batches(spark, root, {4: ["g"]})
     compact_curation_index(spark, root, upto_batch=5)
     assert read_marker(root) == {"tier": -3, "upto": 5}
     assert view_keys() == list("abcdefg")
     dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
-    assert dirs == {"batch_id=-3"}
-    # the Bloom sidecar folded too (bit_or-merged, probe-equivalent)
+    assert dirs == {"batch_id=-3", "batch_id=-2", "batch_id=3",
+                    "batch_id=4"}
+    # a third (no-op) fold reclaims the second's garbage; only the
+    # fresh tier and the one-cycle-behind previous tier remain
+    compact_curation_index(spark, root, upto_batch=5)
+    dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
+    assert dirs == {"batch_id=-4", "batch_id=-3"}
+    assert view_keys() == list("abcdefg")
     bdirs = {
         d for d in os.listdir(root + "_bloom") if d.startswith("batch_id=")
     }
-    assert bdirs == {"batch_id=-3"}
+    assert bdirs == {"batch_id=-4", "batch_id=-3"}
 
 
 def test_orphan_tier_from_crashed_compaction_is_invisible(spark, tmp_path):
@@ -240,8 +249,14 @@ def test_seed_partition_probed_then_folded(spark, tmp_path):
     compact_index(spark, root, 1, partition_cols=("batch_id", "kb"))
     v = read_index_view(spark, root, before_batch=100)
     assert sorted(r.norm_key for r in v.collect()) == ["a", "seed"]
+    # the seed and batch partitions linger (deferred reclamation) but
+    # only the tier is visible; the next fold reclaims them (and its
+    # own superseded tier lingers one further cycle)
+    compact_index(spark, root, 1, partition_cols=("batch_id", "kb"))
     dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
-    assert dirs == {"batch_id=-2"}
+    assert dirs == {"batch_id=-3", "batch_id=-2"}
+    v = read_index_view(spark, root, before_batch=100)
+    assert sorted(r.norm_key for r in v.collect()) == ["a", "seed"]
 
 
 def test_curation_replay_across_compaction_boundary(spark, tmp_path):
@@ -273,10 +288,16 @@ def test_curation_replay_across_compaction_boundary(spark, tmp_path):
         .groupBy("batch_id", "stage").count().filter("count > 1").count()
         == 0
     )
-    # index = compacted tier + batch 1's partition, marker intact
-    idx = spark.read.schema(
-        "norm_key string, kb int, batch_id int"
-    ).parquet(p["idx"])
+    # index VIEW = compacted tier + batch 1's partition, marker intact
+    # (the folded batch-0 partition lingers on disk until the next
+    # compaction reclaims it — deferred reclamation — but the
+    # marker-aware view must not see it)
+    from bearysta_spark.streaming.index import read_index_view
+
+    idx = read_index_view(
+        spark, p["idx"], before_batch=100,
+        schema="norm_key string, kb int, batch_id int",
+    )
     assert sorted(r.batch_id for r in idx.collect()) == [-2, -2, 1]
     with open(os.path.join(p["idx"], "_compaction.json")) as f:
         assert json.load(f) == {"tier": -2, "upto": 1}
@@ -376,3 +397,29 @@ def test_self_neardup_stream_replay_across_compaction(spark, tmp_path):
     # doc 10 shares exactly the 9 words of t1 with doc 0 — counted
     # once despite fold + replay
     assert got == [(0, 10, 9)]
+
+
+def test_bucket_layout_mismatch_fails_loudly(spark, tmp_path):
+    """r08 review finding: kb is hash-mod-buckets and became
+    correctness-load-bearing (Bloom rows + anti-join pruning), so a
+    stream restarted over an existing index with a different bucket
+    count must raise, not silently stop deduplicating."""
+    import pytest
+
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_ingest,
+    )
+
+    p = _paths(tmp_path)
+    _feed(spark, p["land"], [(0, A, "en", "s0")])
+    _run_once(spark, p["land"], p["idx"], p["out"], p["cnt"], p["ckpt"])
+    _feed(spark, p["land"], [(10, D, "en", "s1")])
+    stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+    q = start_streaming_curation_ingest(
+        stream, p["idx"], p["out"], p["cnt"], p["ckpt"], buckets=16
+    )
+    try:
+        with pytest.raises(Exception, match="layout mismatch"):
+            q.processAllAvailable()
+    finally:
+        q.stop()

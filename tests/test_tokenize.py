@@ -429,5 +429,41 @@ def test_load_sentencepiece_vocab(tmp_path):
     )
     got = load_sentencepiece_vocab(str(p))
     # meta symbols and non-[a-z0-9] pieces dropped; ▁ stripped; costs
-    # are round(-1000 * score)
-    assert got == [("the", 2500), ("the", 2250), ("ing", 3125)]
+    # are round(-1000 * score); the '▁the'/'the' duplicate collapses
+    # to the cheaper cost (the better log-prob)
+    assert got == [("the", 2250), ("ing", 3125)]
+
+
+def test_viterbi_oracle_uncovered_and_duplicate_pieces(spark):
+    """Review findings r08: (1) duplicate piece strings (the loader's
+    '▁the'/'the' collapse) must resolve to the CHEAPEST cost in both
+    engines; (2) a word no piece inventory covers must take the
+    char fallback in the ORACLE too, not silently drop out of the
+    bill's inner join."""
+    import duckdb
+
+    from bearysta_spark.functions.tokenize import (
+        unigram_viterbi_oracle_sql,
+        viterbi_piece_counts,
+    )
+
+    # no coverage for 'q'; 'ab' duplicated with two costs
+    pieces = (("a", 600), ("b", 600), ("ab", 1200), ("ab", 1100),
+              ("x", 600), ("y", 600), ("xy", 500))
+    words = spark.createDataFrame(
+        [("ab",), ("q",), ("xy",)], "word string"
+    )
+    got = {
+        r.word: (r.sp_cost, r.sp_pieces)
+        for r in viterbi_piece_counts(words, pieces=pieces).collect()
+    }
+    assert got == {"ab": (1100, 1), "q": (600, 1), "xy": (500, 1)}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES"
+        " (1, 'ab q xy', 's0')) t(doc_id, text, source)"
+    )
+    sql = unigram_viterbi_oracle_sql(pieces=pieces, max_len=6)
+    rows = con.sql(sql).fetchall()
+    assert rows == [("s0", 3, 3, 2200, 1.0)]
