@@ -129,6 +129,21 @@ def compact_curation_index(
     )
 
 
+def compact_pipeline_indexes(
+    spark: SparkSession, index_root: str, lsh_root: str, upto_batch: int
+) -> None:
+    """One maintenance call for the composed pipeline's THREE
+    self-growing stores: the norm-key index, its Bloom sidecar, and
+    the LSH band-bucket index (partitioned by (batch_id, band); its
+    `origin` DATA column keeps the out-store text fetch pruning
+    correct after the partition batch_id folds into a tier). Same
+    watermark contract as compact_curation_index."""
+    compact_curation_index(spark, index_root, upto_batch)
+    compact_index(
+        spark, lsh_root, upto_batch, partition_cols=("batch_id", "band")
+    )
+
+
 def start_streaming_curation_pipeline(
     stream_docs: DataFrame,
     index_root: str,

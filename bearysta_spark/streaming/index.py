@@ -90,7 +90,14 @@ def ensure_layout(
     hash MOD the bucket count, so a stream restarted with a different
     `buckets` would probe the wrong Bloom rows and prune the anti-join
     to the wrong partitions — admitting every duplicate, silently,
-    forever. Raising here turns that into a loud config error."""
+    forever. Raising here turns that into a loud config error.
+
+    Upgrade note: an index written BEFORE layout files existed has no
+    _layout.json — the first post-upgrade probe adopts whatever value
+    the caller passes, so operators restarting such an index must pass
+    the ORIGINAL parameters (the value cannot be inferred from data;
+    kb is a modulus, and observed kb values are consistent with many
+    bucket counts)."""
     cur = _read_json(root, LAYOUT, spark)
     if cur is None:
         if not _is_uri(root):

@@ -138,8 +138,8 @@ def test_composed_pipeline_survives_compaction_boundary(spark, tmp_path):
     AND near-dup against the folded history — the LSH rows' `origin`
     data column keeps the out-store text fetch correct after the
     partition batch_id folds into a tier."""
-    from bearysta_spark.streaming.curation import compact_curation_index
-    from bearysta_spark.streaming.index import compact_index, read_marker
+    from bearysta_spark.streaming.curation import compact_pipeline_indexes
+    from bearysta_spark.streaming.index import read_marker
 
     p = {k: str(tmp_path / k)
          for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
@@ -149,11 +149,8 @@ def test_composed_pipeline_survives_compaction_boundary(spark, tmp_path):
     _feed(spark, p["land"], B1)
     _run_once(spark, p["land"], p["idx"], p["lsh"], p["out"], p["cnt"],
               p["ckpt"])
-    # batches 0 and 1 are committed: fold them
-    compact_curation_index(spark, p["idx"], upto_batch=2)
-    compact_index(
-        spark, p["lsh"], upto_batch=2, partition_cols=("batch_id", "band")
-    )
+    # batches 0 and 1 are committed: fold all three stores in one call
+    compact_pipeline_indexes(spark, p["idx"], p["lsh"], upto_batch=2)
     assert read_marker(p["lsh"]) == {"tier": -2, "upto": 2}
     _feed(spark, p["land"], B2)
     _run_once(spark, p["land"], p["idx"], p["lsh"], p["out"], p["cnt"],
