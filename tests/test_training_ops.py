@@ -597,3 +597,51 @@ def test_unimax_waterfill_matches_oracle_at_many_languages():
     # 1..9 each freeze exactly one (else the test is vacuous)
     rounds = [r[6] for r in _unimax_waterfill(cascade)]
     assert sorted(r for r in rounds if r > 0) == list(range(1, 10))
+
+
+def test_unimax_randomized_engine_oracle_differential():
+    """Randomized differential over the unimax waterfiller: 30 seeded
+    random corpora (2-14 languages, token counts spanning 6 orders of
+    magnitude, ties and zeros included) — engine == oracle exactly,
+    plus the waterfilling invariants: budget exactly exhausted, every
+    cap respected, and uncapped languages within 1 token of each
+    other (the as-uniform-as-possible guarantee)."""
+    import random
+
+    import duckdb
+
+    from bearysta_spark.queries import _unimax_waterfill, unimax_oracle_sql
+
+    rnd = random.Random(20260815)
+    for case in range(30):
+        L = rnd.randint(2, 14)
+        langs = []
+        for i in range(L):
+            kind = rnd.random()
+            if kind < 0.1:
+                t = 0
+            elif kind < 0.3:
+                t = rnd.choice([7, 7, 50, 1000])  # planted ties
+            else:
+                t = rnd.randint(1, 10 ** rnd.randint(1, 6))
+            langs.append((f"l{i:02d}", t))
+        vals = ", ".join(f"('{l}', {t})" for l, t in langs)
+        lt_cte = (
+            f"SELECT lang, CAST(tok AS BIGINT) AS tok"
+            f" FROM (VALUES {vals}) AS t(lang, tok)"
+        )
+        con = duckdb.connect()
+        got = [
+            tuple(r)
+            for r in con.sql(
+                unimax_oracle_sql(rounds=L, lt_cte=lt_cte)
+            ).fetchall()
+        ]
+        want = _unimax_waterfill(langs)
+        assert got == want, (case, langs)
+        total = sum(t for _, t in langs)
+        assert sum(r[3] for r in want) == (8 * total) // 5, (case, langs)
+        assert all(r[3] <= r[2] for r in want), (case, langs)
+        uncapped = [r[3] for r in want if r[6] == 0]
+        if uncapped:
+            assert max(uncapped) - min(uncapped) <= 1, (case, langs)
