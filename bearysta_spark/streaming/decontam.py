@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 
 from bearysta_spark.functions.decontam import gram_rows
 
+#: explicit reader schema for the persisted eval-gram index: an eval
+#: suite whose docs are all shorter than `n` words writes ZERO rows, and
+#: schema inference over the _SUCCESS-only directory would raise
+#: UNABLE_TO_INFER_SCHEMA on every micro-batch — a wedged stream (the
+#: zero-survivor lesson from streaming/curation.py, applied here too)
+INDEX_SCHEMA = "gram string, gb int"
+
 
 def write_eval_gram_index(
     eval_docs: DataFrame,
@@ -44,7 +51,15 @@ def write_eval_gram_index(
     hash to bound file sizes and parallelize the write (an arbitrary
     gram probe cannot partition-prune; the buckets are layout, not
     pruning). Rebuild = overwrite; running streams pick the new index
-    up on their next micro-batch."""
+    up on their next micro-batch.
+
+    Raises ValueError when the index comes out EMPTY (every eval doc
+    shorter than `n` words): a silently empty decontamination index
+    filters nothing — the operator almost certainly passed the wrong
+    `n`, the wrong column, or the wrong suite, and the loud failure
+    here is strictly better than discovering contamination after a
+    training run. The check reads the PERSISTED files back, so it also
+    guards a write that succeeded but landed zero rows."""
     (
         gram_rows(eval_docs, n, text_col, ())
         .distinct()
@@ -55,6 +70,14 @@ def write_eval_gram_index(
         .partitionBy("gb")
         .parquet(path)
     )
+    spark = eval_docs.sparkSession
+    n_grams = spark.read.schema(INDEX_SCHEMA).parquet(path).count()
+    if n_grams == 0:
+        raise ValueError(
+            f"eval gram index at {path} is EMPTY: no eval document has "
+            f">= n={n} words in '{text_col}' — an empty index "
+            "decontaminates nothing; lower n or fix the eval input"
+        )
 
 
 def start_streaming_decontam(
@@ -78,7 +101,12 @@ def start_streaming_decontam(
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        idx = spark.read.parquet(index_path).select("gram")
+        # explicit schema (see INDEX_SCHEMA): an empty index directory
+        # must read as zero grams (drop nothing), never wedge the
+        # stream in an UNABLE_TO_INFER_SCHEMA crash loop
+        idx = spark.read.schema(INDEX_SCHEMA).parquet(index_path).select(
+            "gram"
+        )
         bg = gram_rows(batch_df, n, text_col, (id_col,))
         contaminated = (
             bg.join(idx, "gram", "left_semi")

@@ -127,3 +127,37 @@ def test_rebuilt_index_picked_up_without_restart(spark, tmp_path):
     _run_once(spark, land, idx, out, rep, ckpt)
     surv = spark.read.schema(SCHEMA + ", batch_id int").parquet(out)
     assert sorted(r.doc_id for r in surv.collect()) == [0, 11]
+
+
+def test_empty_eval_index_raises_at_build_and_cannot_wedge(spark, tmp_path):
+    """r08 VERDICT #2: an eval suite whose docs are all shorter than n
+    words used to write a _SUCCESS-only index that wedged every
+    micro-batch in an UNABLE_TO_INFER_SCHEMA crash loop. Now the build
+    raises loudly (an empty decontamination index filters nothing),
+    and even against a directory that ends up empty anyway the stream
+    reads it with an explicit schema: it survives and drops nothing."""
+    import pytest
+
+    from bearysta_spark.streaming.decontam import write_eval_gram_index
+
+    land, idx, out, rep, ckpt = (
+        str(tmp_path / d) for d in ("land", "idx", "out", "rep", "ckpt")
+    )
+    ev = spark.createDataFrame(
+        [(900, "only five words right here", "eval")], SCHEMA
+    )
+    with pytest.raises(ValueError, match="EMPTY"):
+        write_eval_gram_index(ev, idx, n=8)
+
+    # the raise left an empty directory behind — a stream pointed at it
+    # (operator ignored the error, or a concurrent rebuild) must NOT
+    # crash-loop: explicit schema reads zero grams, nothing is dropped
+    rows = [(0, CLEAN1, "s0"), (1, DIRTY, "s0")]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    _run_once(spark, land, idx, out, rep, ckpt)
+    surv = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in surv.collect()) == [0, 1]
+    r = spark.read.parquet(rep).collect()[0]
+    assert (r.n_docs_in, r.n_docs_contaminated, r.n_docs_out) == (2, 0, 2)

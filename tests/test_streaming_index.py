@@ -423,3 +423,121 @@ def test_bucket_layout_mismatch_fails_loudly(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_split_by_bloom_routes_null_keys_to_definite_new(spark):
+    """r08 ADVICE: a NULL key never equi-joins, so it used to vanish
+    from BOTH outputs; it must survive, as definite-new (null matches
+    no indexed key by definition)."""
+    from bearysta_spark.streaming.index import bloom_rows, split_by_bloom
+
+    indexed = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "k string, kb int"
+    )
+    bloom = bloom_rows(indexed, "k", kb_col="kb")
+    batch = spark.createDataFrame(
+        [("a", 0), (None, 0), ("c", 1)], "k string, kb int"
+    )
+    new, suspects = split_by_bloom(batch, bloom, "k", kb_col="kb")
+    new_rows = new.collect()
+    assert new.count() + suspects.count() == 3  # partition, nothing lost
+    assert any(r.k is None for r in new_rows)
+    assert all(r.k is not None for r in suspects.collect())
+
+
+def test_layout_exclusive_create_and_lost_race(spark, tmp_path, monkeypatch):
+    """r08 ADVICE: ensure_layout's first write is create-if-absent, so
+    a concurrent initializer cannot silently overwrite the winner; the
+    loser re-reads and raises on mismatch BEFORE writing any row."""
+    import pytest
+
+    import bearysta_spark.streaming.index as ix
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root, exist_ok=True)
+    assert ix._write_json_exclusive(root, ix.LAYOUT, {"buckets": 32})
+    # second exclusive create loses and does NOT clobber the winner
+    assert not ix._write_json_exclusive(root, ix.LAYOUT, {"buckets": 16})
+    assert ix.read_layout(root) == {"buckets": 32}
+
+    # simulate the check-then-write race: reader sees no layout, but a
+    # competitor lands one (with a DIFFERENT value) before our write
+    root2 = str(tmp_path / "idx2")
+    os.makedirs(root2, exist_ok=True)
+    real_read = ix._read_json
+    state = {"first": True}
+
+    def racy_read(r, name, spark_=None):
+        if name == ix.LAYOUT and r == root2 and state["first"]:
+            state["first"] = False
+            ix._write_json(root2, ix.LAYOUT, {"buckets": 16})
+            return None  # what we observed before the competitor wrote
+        return real_read(r, name, spark_)
+
+    monkeypatch.setattr(ix, "_read_json", racy_read)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ix.ensure_layout(spark, root2, {"buckets": 32})
+    assert real_read(root2, ix.LAYOUT) == {"buckets": 16}  # winner intact
+
+
+def test_read_json_retries_partial_marker(tmp_path):
+    """r08 ADVICE: a non-atomic URI write can expose a half-written
+    marker; _read_json retries past the in-flight window and raises
+    only on PERSISTENT corruption."""
+    import threading
+
+    import pytest
+
+    import bearysta_spark.streaming.index as ix
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root, exist_ok=True)
+    p = os.path.join(root, ix.MARKER)
+    with open(p, "w") as f:
+        f.write('{"tier": -2, "upt')  # torn write
+
+    def finish():
+        with open(p, "w") as f:
+            f.write('{"tier": -2, "upto": 3}')
+
+    t = threading.Timer(0.3, finish)
+    t.start()
+    try:
+        assert ix.read_marker(root) == {"tier": -2, "upto": 3}
+    finally:
+        t.join()
+    # persistent corruption raises instead of looping forever
+    with open(p, "w") as f:
+        f.write("not json at all {")
+    with pytest.raises(ValueError, match="unparseable"):
+        ix.read_marker(root)
+
+
+def test_reclaim_min_age_gates_forced_reclamation(spark, tmp_path):
+    """r08 ADVICE: back-to-back compactions shrink the deferred-
+    reclamation grace to ~zero; reclaim_min_age_sec skips deletion
+    while the current marker is younger than the grace period, so a
+    probe holding the previous marker still finds its files."""
+    from bearysta_spark.streaming.index import compact_index, read_index_view
+
+    root = str(tmp_path / "idx")
+    _write_key_batches(spark, root, {0: ["a"], 1: ["b"]})
+    compact_index(spark, root, 2, partition_cols=("batch_id", "kb"))
+    # immediate forced fold WITH a grace period: superseded partitions
+    # must survive (the marker is seconds old)
+    compact_index(
+        spark, root, 2, partition_cols=("batch_id", "kb"),
+        reclaim_min_age_sec=3600.0,
+    )
+    dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
+    assert {"batch_id=0", "batch_id=1", "batch_id=-2"} <= dirs
+    v = read_index_view(spark, root, before_batch=100)
+    assert sorted(r.norm_key for r in v.collect()) == ["a", "b"]
+    # without the grace (default), the same forced fold reclaims
+    compact_index(spark, root, 2, partition_cols=("batch_id", "kb"))
+    dirs = {d for d in os.listdir(root) if d.startswith("batch_id=")}
+    assert "batch_id=0" not in dirs and "batch_id=1" not in dirs
+    assert sorted(
+        r.norm_key
+        for r in read_index_view(spark, root, before_batch=100).collect()
+    ) == ["a", "b"]
