@@ -523,6 +523,7 @@ def minhash_dedup_verified(
     oracle_safe: bool = True,
     max_df_frac: float | None = None,
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash+LSH candidate pairs →
     exact n-gram Jaccard verification ≥ threshold.
@@ -535,7 +536,12 @@ def minhash_dedup_verified(
     max_df_frac filters boilerplate shingles before BOTH the signatures
     and the Jaccard verify, so similarity is measured on distinctive
     content (see drop_boilerplate_shingles for why this is the
-    robustness lever on templated corpora).
+    robustness lever on templated corpora). max_bucket_size drops
+    degenerate LSH buckets before the pair join (see cap_buckets) —
+    the same measured-count backstop the streaming curation pipeline
+    applies on CUMULATIVE (index + batch) bucket size, so batch and
+    stream stay twin-equal on corpora where the cap bites from the
+    start (streaming/curation.py documents the cap-crossing window).
 
     Broadcast safety: the candidate frame and the candidate×shingle
     expansion both grow with the corpus (candidates × shingles/doc), so
@@ -553,7 +559,8 @@ def minhash_dedup_verified(
     sh = scoped_cache(sh)
     cand = scoped_cache(
         minhash_lsh_pairs(
-            df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh
+            df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh,
+            max_bucket_size=max_bucket_size,
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))

@@ -7756,19 +7756,21 @@ def media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup shuffles 16-byte digests; listing is distributed and the
     dedup plan prunes `length` from the scan it feeds."""
     import os
-    import shutil
 
     import bearysta_spark.functions.multimodal as M
+    from bearysta_spark.streaming.index import delete_dir
 
     d = _t(spark, sf_dir, "documents")
     root = os.path.join(
         _index_root(sf_dir),
         f"media_corpus_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    if "://" not in root:
-        # the glob ingest lists the DIRECTORY — stale files from an
-        # earlier, larger corpus run must not leak into this one
-        shutil.rmtree(root, ignore_errors=True)
+    # the glob ingest lists the DIRECTORY — stale files from an
+    # earlier, larger corpus run must not leak into this one. delete_dir
+    # routes URI-schemed roots (the shared-storage deployment) through
+    # the Hadoop FS API; a local-only rmtree would skip them and the
+    # re-ingest would silently corrupt the cluster histogram
+    delete_dir(spark, root)
     payloads = M.charcount_grid_pngs(d, _PHASH_LETTERS, scale=4)
     M.write_media_files(payloads, root, ext="png").count()  # executes
     corpus = M.read_media_corpus(spark, root, glob="*.png", id_from="name")
@@ -8846,8 +8848,19 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.filter("q_ok")
     keeper = s2.groupBy("norm_key").agg(F.min("doc_id").alias("k"))
     s3a = s2.join(keeper, "norm_key").filter(F.col("doc_id") == F.col("k"))
+    # max_bucket_size: the SAME hot-bucket backstop constant the
+    # streaming twin applies cumulatively (streaming/curation.py,
+    # DEFAULT_MAX_BUCKET_SIZE) — twin-equality requires the rule on
+    # both sides. The oracle carries no cap: exactness holds whenever
+    # no (band, bucket) key exceeds 10k members, which is measured
+    # true at every driver scale factor (a 10k-member bucket means 10k
+    # docs sharing an entire signature band — degenerate input, where
+    # the cap deliberately trades recall for bounded work, loudly).
+    from bearysta_spark.streaming.curation import DEFAULT_MAX_BUCKET_SIZE
+
     vpairs = D.minhash_dedup_verified(
-        d, num_hashes=12, bands=3, threshold=0.5
+        d, num_hashes=12, bands=3, threshold=0.5,
+        max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
     ).select("id_a", "id_b")
     ndrem = (
         vpairs.join(s3a.select(F.col("doc_id").alias("id_a")), "id_a")

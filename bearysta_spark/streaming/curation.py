@@ -43,6 +43,8 @@ with the batch funnel in tests/test_streaming_curation_composed.py).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,11 +56,23 @@ from bearysta_spark.streaming.index import (
     split_by_bloom,
 )
 
+logger = logging.getLogger(__name__)
+
 #: explicit reader schemas: schema inference dies on an all-empty
 #: directory (a zero-survivor first batch leaves only _SUCCESS), which
 #: would otherwise wedge the stream in a crash loop on every replay
 INDEX_SCHEMA = "norm_key string, kb int, batch_id int"
 BLOOM_SCHEMA = "kb int, slot int, bits long, batch_id int"
+
+#: default LSH hot-bucket backstop for the composed pipeline AND the
+#: batch funnel (pretrain_funnel_report passes the same constant, so
+#: the twins share the rule): a (band, bucket) key whose CUMULATIVE
+#: membership exceeds this carries no locality signal — its members
+#: pair with everything — and generating its candidates costs O(m²)
+#: per batch, growing with stream lifetime on templated corpora
+#: (r08 VERDICT finding #1). Generous enough that genuine near-dup
+#: cliques at micro-batch scale never hit it.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 
 def _bloom_root(index_root: str) -> str:
@@ -112,6 +126,71 @@ def probe_new_keys(
     return new.unionByName(verified)
 
 
+def cap_cumulative_buckets(
+    bb: DataFrame,
+    lsh: DataFrame | None,
+    max_bucket_size: int,
+) -> DataFrame:
+    """The streaming twin of functions.dedup.cap_buckets: drop (band,
+    bucket) keys whose CUMULATIVE membership — persisted index rows
+    plus the current batch's rows — exceeds max_bucket_size, BEFORE
+    candidate generation. This bounds per-batch candidate volume by
+    construction: without it, one boilerplate bucket accumulates
+    members every batch and each new member pairs with ALL prior ones,
+    so per-batch work grows linearly in stream age and total work
+    quadratically (r08 VERDICT finding #1).
+
+    Measured-count, never silent: the dropped keys and their total
+    membership are logged (the _drop_hot_keys discipline). The
+    index-side count only aggregates rows that COLLIDE with the batch
+    (semi-join on the batch's bucket keys — batch-sized broadcast), so
+    the count rides the same index equi-join shape as the probe itself.
+    Hot keys are batch-bounded (≤ the batch's bucket count), so the
+    anti-join set collects driver-side and broadcasts.
+
+    Cap-crossing window: a bucket that exceeds the cap MID-STREAM
+    generated candidates while it was still small; the batch funnel
+    with the same cap drops the bucket everywhere. The twins are
+    therefore equal whenever each bucket is on the same side of the
+    cap for the whole run (in particular: always, when the cap bites
+    from batch 0, and always, when it never bites) — the in-between
+    window trades exact twin-equality for bounded work, loudly."""
+    bcnt = bb.groupBy("band", "bucket").agg(F.count("*").alias("__b"))
+    if lsh is None:
+        tot = bcnt.withColumn("__sz", F.col("__b"))
+    else:
+        icnt = (
+            lsh.select("band", "bucket")
+            .join(
+                F.broadcast(bcnt.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_semi",
+            )
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("__i"))
+        )
+        tot = bcnt.join(icnt, ["band", "bucket"], "left").withColumn(
+            "__sz", F.col("__b") + F.coalesce(F.col("__i"), F.lit(0))
+        )
+    hot = tot.filter(F.col("__sz") > max_bucket_size)
+    hot_rows = hot.select("band", "bucket", "__sz").collect()
+    if not hot_rows:
+        return bb
+    logger.warning(
+        "cap_cumulative_buckets: dropping %d LSH buckets over the "
+        "cumulative cap %d (largest %d members incl. index) — their "
+        "candidates carry no locality signal and grow with stream age",
+        len(hot_rows),
+        max_bucket_size,
+        max(r["__sz"] for r in hot_rows),
+    )
+    hot_local = bb.sparkSession.createDataFrame(
+        [(r.band, r.bucket) for r in hot_rows],
+        bb.select("band", "bucket").schema,
+    )
+    return bb.join(F.broadcast(hot_local), ["band", "bucket"], "left_anti")
+
+
 def compact_curation_index(
     spark: SparkSession, index_root: str, upto_batch: int
 ) -> None:
@@ -159,6 +238,8 @@ def start_streaming_curation_pipeline(
     num_hashes: int = 12,
     bands: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    compact_every: int | None = None,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
     exact dedup → MinHash+LSH near-dup removal with exact Jaccard
@@ -196,9 +277,21 @@ def start_streaming_curation_pipeline(
     module docstring), and the LSH probe is a (band, bucket) equi-join
     against the index with candidate-bounded verification (the Jaccard
     join only ever touches bucket-mates, the same contract as
-    minhash_dedup_verified). The only collects are the suspects' kb
-    list (<= buckets) and the candidates' origin-batch list
-    (<= batches actually collided with)."""
+    minhash_dedup_verified) — now with the cumulative hot-bucket
+    backstop (cap_cumulative_buckets, `max_bucket_size`): a degenerate
+    bucket's candidate volume used to grow with stream lifetime; it is
+    now bounded by construction, loudly. The only collects are the
+    suspects' kb list (<= buckets), the candidates' origin-batch list
+    (<= batches actually collided with), and the hot-bucket key list
+    (<= the batch's bucket count, and nonempty only on degenerate
+    input).
+
+    compact_every=N folds all three self-growing stores every N
+    batches (after the batch's sinks land, upto_batch = the current
+    batch — safe: all earlier batches are checkpoint-committed, and a
+    replay of THIS batch rewrites partitions >= it, never folded
+    ones), so a long-lived stream bounds its own file-listing cost
+    without a second maintenance process."""
     from bearysta_spark.cachescope import release_scoped_caches
     from bearysta_spark.functions.dedup import (
         band_buckets,
@@ -235,14 +328,26 @@ def start_streaming_curation_pipeline(
         ).persist()
 
         # ---- near-dup stage over the exact survivors ----
+        # bb is persisted: it feeds the cumulative cap count, the
+        # within-batch self-join, the cross-probe, AND the index sink
+        # (one minhash computation per batch — the sink used to
+        # recompute signatures from the written rows, r08 VERDICT
+        # efficiency note #5; surv is persisted, so bb's lineage is
+        # stable across those actions)
         sigs = minhash_signatures(
             surv, text_col, id_col, k, num_hashes, oracle_safe=True
         )
-        bb = band_buckets(sigs, id_col, num_hashes, bands)
+        bb = band_buckets(sigs, id_col, num_hashes, bands).persist()
+        lsh = read_index_view(spark, lsh_root, before_batch=batch_id)
+        bbp = (
+            cap_cumulative_buckets(bb, lsh, max_bucket_size)
+            if max_bucket_size is not None
+            else bb
+        )
         within = (
-            bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            bbp.select(F.col(id_col).alias("id_a"), "band", "bucket")
             .join(
-                bb.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                bbp.select(F.col(id_col).alias("id_b"), "band", "bucket"),
                 ["band", "bucket"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
@@ -250,7 +355,6 @@ def start_streaming_curation_pipeline(
             .distinct()
             .withColumn("origin", F.lit(None).cast("int"))
         )
-        lsh = read_index_view(spark, lsh_root, before_batch=batch_id)
         if lsh is None:
             cand = within
         else:
@@ -259,7 +363,7 @@ def start_streaming_curation_pipeline(
                     F.col(id_col).alias("id_a"), "band", "bucket", "origin"
                 )
                 .join(
-                    bb.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                    bbp.select(F.col(id_col).alias("id_b"), "band", "bucket"),
                     ["band", "bucket"],
                 )
                 # ascending-id contract: the corpus side is always the
@@ -348,6 +452,21 @@ def start_streaming_curation_pipeline(
             .partitionBy("batch_id")
             .parquet(out_path)
         )
+        # the LSH sink writes FIRST, straight from the cached bb: its
+        # lineage reaches back through surv to the idx/lsh index scans,
+        # and every index-reading plan must execute BEFORE any write
+        # touches those index roots within the batch (a write's
+        # refreshByPath recaches dependent plans against an in-flux
+        # listing — observed as parquet partition-schema assertion
+        # failures when bb was flushed after the index sink)
+        (
+            bb.withColumn("origin", F.lit(batch_id))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "band")
+            .parquet(lsh_root)
+        )
         survread = (
             spark.read.schema(written.schema)
             .parquet(out_path)
@@ -369,14 +488,6 @@ def start_streaming_curation_pipeline(
             .unionByName(stage(3, "quality", gated))
             .unionByName(stage(4, "dedup", survread.filter("near_ok")))
         )
-        lsh_rows = band_buckets(
-            minhash_signatures(
-                survread, text_col, id_col, k, num_hashes, oracle_safe=True
-            ),
-            id_col,
-            num_hashes,
-            bands,
-        ).withColumn("origin", F.lit(batch_id))
         for frame, path, parts in (
             (counters, counters_path, ("batch_id",)),
             (
@@ -389,7 +500,6 @@ def start_streaming_curation_pipeline(
                 _bloom_root(index_root),
                 ("batch_id",),
             ),
-            (lsh_rows, lsh_root, ("batch_id", "band")),
         ):
             (
                 frame.withColumn("batch_id", F.lit(batch_id))
@@ -401,9 +511,17 @@ def start_streaming_curation_pipeline(
         # same non-finally convention as release_scoped_caches: a
         # failed batch terminates the stream and the restart owns a
         # fresh cache budget; nothing outlives a SUCCESSFUL batch
+        bb.unpersist()
         surv.unpersist()
         flags.unpersist()
         release_scoped_caches()
+        # auto-compaction cadence: every N batches, fold everything
+        # below THIS batch (earlier batches are checkpoint-committed;
+        # a replay of this batch rewrites partitions >= batch_id, so
+        # the fold never loses a row). Runs after the batch's sinks so
+        # its own rows join the next trigger's fold.
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_pipeline_indexes(spark, index_root, lsh_root, batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(process)
@@ -421,6 +539,7 @@ def start_streaming_curation_ingest(
     lang: str = "en",
     id_col: str = "doc_id",
     buckets: int = 32,
+    compact_every: int | None = None,
 ):
     """Start the gate → exact-dedup → append-index ingest loop.
 
@@ -429,7 +548,8 @@ def start_streaming_curation_ingest(
     out_path; per-batch funnel counters (stage, name, n_docs,
     n_tokens) under counters_path; surviving norm keys under
     index_root (+ the Bloom sidecar under index_root + '_bloom') —
-    all partitioned by batch_id."""
+    all partitioned by batch_id. compact_every=N folds the index and
+    sidecar every N batches (see start_streaming_curation_pipeline)."""
     from bearysta_spark.cachescope import release_scoped_caches
     from bearysta_spark.functions.text import curation_gate_flags
 
@@ -516,6 +636,8 @@ def start_streaming_curation_ingest(
                 .parquet(path)
             )
         release_scoped_caches()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_curation_index(spark, index_root, batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(process)

@@ -34,6 +34,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument(
+        "--compact-every", type=int, default=None,
+        help="auto-compaction cadence passed to the ingest loop; the "
+        "ladder then also reports end-state partition/sidecar sizes, "
+        "which stay bounded instead of growing one dir per batch",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -80,20 +86,35 @@ def main() -> None:
         stream = spark.readStream.schema(
             "doc_id long, text string, lang string, source string"
         ).parquet(land)
-        q = start_streaming_curation_ingest(stream, idx, out, cnt, ckpt)
+        q = start_streaming_curation_ingest(
+            stream, idx, out, cnt, ckpt,
+            compact_every=args.compact_every,
+        )
         t0 = time.perf_counter()
         q.processAllAvailable()
         q.stop()
         times.append(round(time.perf_counter() - t0, 3))
 
     # the measurement is void if the gates rejected the stream: assert
-    # the index really grew to ~one key per fed document
-    n_indexed = spark.read.parquet(idx).count()
+    # the index really grew to ~one key per fed document (marker-aware
+    # view: a raw directory count would double-count partitions a
+    # compaction folded but has not yet reclaimed)
+    from bearysta_spark.streaming.index import read_index_view
+
+    n_indexed = read_index_view(spark, idx, before_batch=None).count()
     expect = args.batches * args.rows
     assert n_indexed > 0.95 * expect, (
         f"probe ladder vacuous: {n_indexed} keys indexed for {expect} "
         "fed documents — the synthetic docs are failing the gates"
     )
+
+    def batch_dirs(root):
+        return sum(
+            1 for d in os.listdir(root) if d.startswith("batch_id=")
+        )
+
+    idx_dirs, bloom_dirs = batch_dirs(idx), batch_dirs(idx + "_bloom")
+    sidecar_rows = spark.read.parquet(idx + "_bloom").count()
 
     third = max(1, args.batches // 3)
     head = sum(times[:third]) / third
@@ -115,6 +136,10 @@ def main() -> None:
                 "tail_mean": round(tail, 3),
                 "tail_over_head": round(tail / head, 3),
                 "slope_sec_per_batch": round(slope, 4),
+                "compact_every": args.compact_every,
+                "index_partition_dirs": idx_dirs,
+                "bloom_partition_dirs": bloom_dirs,
+                "bloom_sidecar_rows": sidecar_rows,
             }
         )
     )

@@ -55,21 +55,29 @@ def _run_once(spark, land, index, lsh, out, counters, ckpt):
         q.stop()
 
 
-def _batch_twin(spark):
+def _batch_twin(spark, rows=None, max_bucket_size=None):
     """pretrain_funnel_report's stages 1-4 on the same corpus, via the
     same shared components (mirrors queries.py:pretrain_funnel_report
-    line for line)."""
+    line for line, including the shared hot-bucket cap constant)."""
     from bearysta_spark.functions.dedup import minhash_dedup_verified
     from bearysta_spark.functions.text import curation_gate_flags
+    from bearysta_spark.streaming.curation import DEFAULT_MAX_BUCKET_SIZE
 
-    full = spark.createDataFrame(ALL, SCHEMA)
+    full = spark.createDataFrame(
+        ALL if rows is None else rows, SCHEMA
+    )
     flags = curation_gate_flags(full, keep=("source",))
     s1 = flags.filter("lang_ok")
     s2 = s1.filter("q_ok")
     keeper = s2.groupBy("norm_key").agg(F.min("doc_id").alias("k"))
     s3a = s2.join(keeper, "norm_key").filter(F.col("doc_id") == F.col("k"))
     vpairs = minhash_dedup_verified(
-        full, num_hashes=12, bands=3, threshold=0.5
+        full, num_hashes=12, bands=3, threshold=0.5,
+        max_bucket_size=(
+            DEFAULT_MAX_BUCKET_SIZE
+            if max_bucket_size is None
+            else max_bucket_size
+        ),
     ).select("id_a", "id_b")
     ndrem = (
         vpairs.join(s3a.select(F.col("doc_id").alias("id_a")), "id_a")
@@ -160,3 +168,154 @@ def test_composed_pipeline_survives_compaction_boundary(spark, tmp_path):
     exact, kept = _stream_state(spark, p["out"])
     assert exact == sorted(r.doc_id for r in s3a.collect())
     assert kept == sorted(r.doc_id for r in s3.collect()) == [0, 2, 12, 23]
+
+
+# -- r08 VERDICT #1: hot-bucket backstop on the streaming LSH probe ---------
+
+# gate-passing template variants: one word swapped per doc keeps
+# char-5-shingle Jaccard near 1 (a boilerplate clique)
+_SWAPS = ["mist", "glow", "rain", "snow", "dust", "fire", "leaf", "moss",
+          "wind", "clay", "sand", "foam", "bark", "fern", "reed", "kelp"]
+
+
+def _tpl(i):
+    return A.replace("warm sun", f"warm {_SWAPS[i]}")
+
+
+def _run_capped(spark, p, cap, compact_every=None):
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+    q = start_streaming_curation_pipeline(
+        stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+        max_bucket_size=cap, compact_every=compact_every,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_hot_bucket_cap_selective_and_twin_equal(spark, tmp_path, caplog):
+    """A 6-member boilerplate clique lands in one batch with cap=3: its
+    buckets are dropped (logged, never silent) while a healthy 2-member
+    near-dup pair in the NEXT batch is still detected — and the result
+    equals the batch funnel under the IDENTICAL cap (all clique docs in
+    one batch = the funnel sees the same bucket membership, so the
+    cap-crossing window is empty and twin-equality is exact)."""
+    import logging
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    b0 = [(i, _tpl(i), "en", "s0") for i in range(6)] + [(8, C, "en", "s0")]
+    b1 = [(30, E, "en", "s1"), (31, E2, "en", "s1")]
+    _feed(spark, p["land"], b0)
+    with caplog.at_level(logging.WARNING,
+                         logger="bearysta_spark.streaming.curation"):
+        _run_capped(spark, p, cap=3)
+    assert any("cap_cumulative_buckets" in r.message for r in caplog.records)
+    _feed(spark, p["land"], b1)
+    _run_capped(spark, p, cap=3)
+
+    _, _, _, s3a, s3 = _batch_twin(spark, rows=b0 + b1, max_bucket_size=3)
+    exact, kept = _stream_state(spark, p["out"])
+    assert exact == sorted(r.doc_id for r in s3a.collect())
+    assert kept == sorted(r.doc_id for r in s3.collect())
+    # the healthy pair was still caught (31 dropped) and the capped
+    # clique survived wholesale on BOTH twins — no locality signal
+    assert 30 in kept and 31 not in kept
+    assert all(i in kept for i in range(6))
+
+
+def test_hot_bucket_cap_bounds_candidates_over_stream_lifetime(
+    spark, tmp_path, caplog
+):
+    """The lifetime-growth shape from the finding: new members of a
+    boilerplate clique arrive EVERY batch. With the cumulative cap, no
+    batch ever generates clique candidates (cap=1 disqualifies every
+    multi-member bucket on both twins — deterministically, whatever
+    the band sub-bucketing), while the LSH index keeps growing —
+    bounded per-batch work by construction, and the backstop fires on
+    every batch (cumulative index+batch counts, not batch-only)."""
+    import logging
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    rows = []
+    fired = []
+    for b in range(4):
+        batch = [(100 * b + j, _tpl(4 * b + j), "en", f"s{b}")
+                 for j in range(4)]
+        rows += batch
+        _feed(spark, p["land"], batch)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING,
+                             logger="bearysta_spark.streaming.curation"):
+            _run_capped(spark, p, cap=1)
+        fired.append(
+            any("cap_cumulative_buckets" in r.message
+                for r in caplog.records)
+        )
+    assert all(fired), fired
+    # every exact survivor kept: candidates were suppressed every batch
+    exact, kept = _stream_state(spark, p["out"])
+    assert kept == exact == sorted(r[0] for r in rows)
+    # and the index grew anyway (capped buckets still get indexed, so
+    # the cumulative count keeps disqualifying them)
+    lsh = spark.read.parquet(p["lsh"])
+    assert lsh.count() == len(rows) * 3  # 3 bands per doc
+    # twin equality under the identical cap
+    _, _, _, s3a, s3 = _batch_twin(spark, rows=rows, max_bucket_size=1)
+    assert kept == sorted(r.doc_id for r in s3.collect())
+    assert exact == sorted(r.doc_id for r in s3a.collect())
+
+
+def test_auto_compaction_cadence_with_replay(spark, tmp_path):
+    """compact_every=2: the pipeline folds its three stores from inside
+    foreachBatch (no second maintenance process), and a crash-replay
+    ACROSS the auto-triggered boundary still dedups exactly."""
+    from bearysta_spark.streaming.index import read_marker
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+
+    def run(cap=None):
+        from bearysta_spark.streaming.curation import (
+            start_streaming_curation_pipeline,
+        )
+
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            compact_every=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _feed(spark, p["land"], B0)
+    run()
+    _feed(spark, p["land"], B1)
+    run()
+    _feed(spark, p["land"], B2)
+    run()  # batch 2 commits, then auto-compacts upto_batch=2
+    m = read_marker(p["idx"])
+    assert m is not None and m["upto"] == 2
+    assert read_marker(p["lsh"]) is not None
+    # crash-replay batch 2 across the auto-triggered boundary: the
+    # replay probes the folded tier and overwrites its own partitions
+    _truncate_last_commit(p["ckpt"])
+    run()
+    _, _, _, s3a, s3 = _batch_twin(spark)
+    exact, kept = _stream_state(spark, p["out"])
+    assert exact == sorted(r.doc_id for r in s3a.collect())
+    assert kept == sorted(r.doc_id for r in s3.collect()) == [0, 2, 12, 23]
+    # replay left no duplicate counter rows
+    assert (
+        spark.read.parquet(p["cnt"])
+        .groupBy("batch_id", "stage").count().filter("count > 1").count()
+        == 0
+    )

@@ -2021,3 +2021,51 @@ def test_streaming_self_neardup_grows_index_and_survives_replay(
     from bearysta_spark.cachescope import release_scoped_caches
 
     release_scoped_caches()
+
+
+def test_media_ingest_dedup_cleans_stale_corpus(spark, tmp_path, monkeypatch):
+    """r08 VERDICT #3: a previous LARGER corpus run leaves stale media
+    files under the corpus root; the directory glob must not re-ingest
+    them. The guard now routes through delete_dir (Hadoop FS on URI
+    roots, rmtree locally), so the histogram always reflects THIS run's
+    corpus."""
+    import os
+
+    from bearysta_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("BEARYSTA_INDEX_DIR", str(tmp_path))
+    stale_dir = str(
+        tmp_path / f"media_corpus_{os.path.basename(sf)}"
+    )
+    os.makedirs(stale_dir, exist_ok=True)
+    # a stale "doc" with an id far outside the corpus and junk bytes
+    with open(os.path.join(stale_dir, "999999999.png"), "wb") as f:
+        f.write(b"\x89PNG stale leftover bytes")
+    got = QUERIES["media_ingest_dedup"](spark, sf).collect()
+    # fresh-run histogram: total docs across clusters == corpus size,
+    # and no keeper is the stale id
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = d.count()
+    assert sum(r.n_copies * r.n_clusters for r in got) == n_docs
+    assert all(r.min_keeper < 999999999 for r in got)
+    from bearysta_spark.cachescope import release_scoped_caches
+
+    release_scoped_caches()
+
+
+def test_delete_dir_local_and_missing(spark, tmp_path):
+    from bearysta_spark.streaming.index import delete_dir
+
+    p = tmp_path / "gone"
+    (p / "sub").mkdir(parents=True)
+    (p / "sub" / "f.txt").write_text("x")
+    delete_dir(spark, str(p))
+    assert not p.exists()
+    delete_dir(spark, str(p))  # missing path is a no-op
+    # URI-schemed local path exercises the Hadoop FS branch
+    q = tmp_path / "gone2"
+    q.mkdir()
+    (q / "f.txt").write_text("x")
+    delete_dir(spark, "file://" + str(q))
+    assert not q.exists()
