@@ -356,3 +356,140 @@ def start_streaming_video_neardup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_streaming_semantic_dedup(
+    stream_vecs: DataFrame,
+    centroids: list[list[float]],
+    index_root: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming SemDeDup — the FIFTH near-dup signal (text LSH, image,
+    audio, video already stream; this is the embedding arm, r08 VERDICT
+    ask #4): each micro-batch is cell-assigned with the SAME coarse
+    quantizer as functions.similarity.semantic_dedup, compared against
+    everything that arrived before it (per-cell exact cosine) and
+    within itself, then appended to a SELF-GROWING cell-keyed embedding
+    index. Emits (id, cell, keep) per batch under out_path: keep=false
+    iff a smaller-id vector in the same cell anywhere in the stream so
+    far has cosine >= threshold — under the ascending-id ingest
+    contract this equals batch semantic_dedup over the union of all
+    batches (chaos-tested batch-equivalence, the same bar as the other
+    four arms). The blocker does NOT need keep=true itself (SemDeDup
+    drops the larger id of ANY qualifying pair), so the index carries
+    every arriving vector, keepers and dropped alike.
+
+    Exactly-once by the house construction: out and index sinks are
+    batch_id dynamic-partition overwrites; the probe reads the
+    marker-aware index view filtered to batch_id < current, so a
+    replayed batch never dedups against its own crashed write. The
+    centroid set is correctness-load-bearing (cells are argmax against
+    it): its size and digest are persisted via ensure_layout and a
+    stream restarted with different centroids fails loudly.
+
+    100 TB shape: cell assignment is one Arrow dgemm per batch; the
+    probe semi-joins the index to the BATCH's cells only (partition
+    pruning on the cell key), so per-batch exact-verify work is
+    Σ_cells(n_idx_cell × n_batch_cell) — the SemDeDup per-cell surface,
+    never corpus × batch. Task memory is cell population × d doubles,
+    the same FAISS-IVF-list sizing model as the batch kernel; cells
+    that outgrow it need a larger centroid set (rebuild = new layout).
+    Long-lived streams bound file listing with compact_index
+    (partition_cols=('batch_id', 'cell'))."""
+    import hashlib
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from bearysta_spark.functions.similarity import assign_cells_arrow
+    from bearysta_spark.streaming.index import ensure_layout
+
+    spark = stream_vecs.sparkSession
+    layout = {
+        "n_cells": len(centroids),
+        "centroids_md5": hashlib.md5(
+            json.dumps(centroids).encode()
+        ).hexdigest(),
+    }
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ensure_layout(spark, index_root, layout)
+        cell = assign_cells_arrow(centroids, 1)(F.col(vec_col))[0]
+        b = (
+            batch_df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("cell", cell.cast("int"))
+            .persist()
+        )
+        idx_schema = b.withColumn("batch_id", F.lit(0)).schema
+        idx = read_index_view(
+            spark, index_root, before_batch=batch_id, schema=idx_schema
+        )
+        new = b.withColumn("__new", F.lit(True))
+        if idx is None:
+            allr = new
+        else:
+            old = (
+                idx.select(id_col, vec_col, "cell")
+                .join(
+                    F.broadcast(b.select("cell").distinct()),
+                    "cell",
+                    "left_semi",
+                )
+                .withColumn("__new", F.lit(False))
+            )
+            allr = new.unionByName(old)
+
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            newm = pdf["__new"].to_numpy()
+            order = np.argsort(ids)  # index order == id order below
+            ids, newm = ids[order], newm[order]
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)[order]
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (m @ m.T) / np.outer(norms, norms)
+            ii, jj = np.nonzero(sims >= threshold)
+            dropped = np.unique(jj[ii < jj])
+            keep = np.ones(len(ids), dtype=bool)
+            keep[dropped] = False
+            return pd.DataFrame(
+                {
+                    id_col: ids[newm],
+                    "cell": int(key[0]),
+                    "keep": keep[newm],
+                }
+            )
+
+        flags = allr.groupBy("cell").applyInPandas(
+            kernel, f"{id_col} long, cell int, keep boolean"
+        )
+        # keep-flag sink executes the index-reading plan FIRST; the
+        # index append below must stay the LAST write (the sequencing
+        # invariant: no index-reading plan may run after a write
+        # touches that index root within the batch)
+        (
+            flags.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        (
+            b.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell")
+            .parquet(index_root)
+        )
+        b.unpersist()
+
+    return (
+        stream_vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
