@@ -1068,6 +1068,96 @@ def write_ivfpq_index(
     return write_corpus(idx, path, partition_by=["ivf_cell"])
 
 
+def write_imipq_index(
+    corpus: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist the IMI-PQ index — the FAISS IndexIVFPQ shape with the
+    INVERTED MULTI-INDEX as the coarse quantizer (write_ivfpq_index's
+    layout, keyed by the flat product cell i·K2+j): one row per vector
+    (id, codes array<int>, imi_cell), hive-partitioned by imi_cell.
+    This is the layout that survives 1e9+ vectors: K1·K2 partitions
+    for cell-bounded inverted lists while the quantizer state that has
+    to broadcast at build AND search time stays K1+K2 half-width
+    centroids (square root of the cell count — r08 VERDICT ask #6
+    composing the r08 IMI quantizer with the persisted-PQ serving
+    path). Raw vectors are read once, at index-build time."""
+    from bearysta_spark.sinks import write_corpus
+
+    cells = corpus.select(
+        F.col(id_col),
+        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0].alias(
+            "imi_cell"
+        ),
+    )
+    wide = (
+        pq_code_rows_arrow(corpus, codebooks, id_col, vec_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cell"))),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+    )
+    idx = cells.join(wide, id_col)
+    return write_corpus(idx, path, partition_by=["imi_cell"])
+
+
+def imi_pq_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """IMI-PQ top-k against a PERSISTED index (write_imipq_index):
+    queries probe their `probes` best product cells (multi-sequence
+    probe, one outer sum over two half dgemms), the broadcast probe
+    list dynamically prunes the imi_cell partitions before any byte is
+    read, and candidates are ranked by the PQ ADC LUT sum — raw corpus
+    vectors never touch the search path. Identical join shape to
+    ivf_pq_topk_from_index; only the quantizer differs."""
+    if adc_agg is None:
+        adc_agg = F.sum
+    probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            assign_imi_cells_arrow(cb1, cb2, probes)(F.col(vec_col))
+        ).alias("imi_cell"),
+    )
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    cand = index.join(F.broadcast(probe), "imi_cell").filter(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = (
+        cand.select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.posexplode("codes").alias("j", "cell"),
+        )
+        .join(F.broadcast(lut), ["qid", "j", "cell"])
+        .groupBy("qid", "nid")
+        .agg(adc_agg(F.col("s")).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "adc", "rank")
+    )
+
+
 def ivf_pq_topk_from_index(
     index: DataFrame,
     queries: DataFrame,

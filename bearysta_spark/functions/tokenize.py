@@ -944,3 +944,340 @@ JOIN {doc_table} d USING (doc_id)
 GROUP BY d.source
 ORDER BY d.source"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) TRAINING — EM over the distinct-word
+# table (Kudo 2018, arXiv:1804.10959), completing the tokenizer triptych:
+# BPE training (bpe_train), unigram segmentation (viterbi_piece_counts),
+# and now unigram training.
+# ---------------------------------------------------------------------------
+
+#: fixed-point grain for trained piece costs: milli-nats, the same
+#: convention as load_sentencepiece_vocab's round(-1000 * score)
+UNIGRAM_COST_SCALE = 1000
+
+
+def _millinat(total: int, cnt: int) -> int:
+    """Integer piece cost from counts: floor(1000·ln(total/cnt) + 0.5).
+    The ONLY float in the trainer — one libm log per retained piece per
+    round, evaluated identically by the SQL oracle (`ln` = natural log
+    in DuckDB; both engines divide the same two integers as doubles and
+    floor the same product), and bracketed by the differential test
+    against an independent Python EM. Everything downstream (Viterbi,
+    counts, pruning) is exact-integer/exact-string arithmetic."""
+    import math
+
+    return int(
+        math.floor(
+            UNIGRAM_COST_SCALE * math.log(float(total) / float(cnt)) + 0.5
+        )
+    )
+
+
+def _viterbi_path(word: str, by_len: dict[int, dict[str, int]], lens) -> list[str]:
+    """The unique argmin segmentation of `word` under integer piece
+    costs, minimizing the TUPLE (cost, n_pieces, path): the path string
+    (space-joined pieces, leading separator included) is the final
+    tiebreak, so even cost-and-length ties resolve identically in this
+    DP, the SQL oracle's row_number ordering, and any independent
+    reimplementation — piece COUNTS, not just the bill, are
+    engine-portable. Assumes full single-char coverage (the trainer
+    guarantees it by construction)."""
+    INF = (1 << 62, 1 << 30, "")
+    L = len(word)
+    best: list[tuple[int, int, str]] = [INF] * (L + 1)
+    best[0] = (0, 0, "")
+    for i in range(1, L + 1):
+        b = INF
+        for pl in lens:
+            if pl > i:
+                break
+            pc = by_len[pl].get(word[i - pl : i])
+            if pc is None:
+                continue
+            prev = best[i - pl]
+            if prev[0] >= INF[0]:
+                continue
+            cand = (
+                prev[0] + pc,
+                prev[1] + 1,
+                prev[2] + " " + word[i - pl : i],
+            )
+            if cand < b:
+                b = cand
+        best[i] = b
+    assert best[L][0] < INF[0], f"uncovered word {word!r} in unigram EM"
+    return [p for p in best[L][2].split(" ") if p]
+
+
+def unigram_train(
+    words: DataFrame,
+    rounds: int = 2,
+    seed_max_piece: int = 4,
+    seed_size: int = 120,
+    keep_pieces: int = 80,
+    max_len: int = 12,
+) -> list[tuple[str, int, int]]:
+    """Distributed unigram-LM tokenizer TRAINING: the SentencePiece EM
+    loop re-expressed with the house contracts. From a (word, freq)
+    vocabulary table:
+
+    - SEED: every substring of length 1..seed_max_piece of every word,
+      weighted by word freq (counting every occurrence position — one
+      JVM-side explode + hash-agg); the inventory is the top
+      `seed_size` substrings by (count DESC, piece ASC) plus ALL
+      single characters (so segmentation is total by construction,
+      no char-fallback cost constant needed). Costs = milli-nat of
+      count/total (_millinat).
+    - E-STEP (per round): Viterbi-segment every DISTINCT word under
+      the current integer costs (Arrow kernel over the vocab table —
+      the only Python, never corpus-grain), minimizing
+      (cost, n_pieces, path) so the winning SEGMENTATION — hence the
+      counts — is unique and engine-portable; accumulate piece counts
+      weighted by word freq. Words longer than `max_len` take the
+      per-char fallback count contribution (the bound that keeps the
+      SQL replay's unrolled DP finite, applied identically there).
+    - M-STEP (per round, driver-side on the inventory-bounded count
+      table — the bpe_train bounded-model-state convention): prune
+      multi-char pieces to the top `keep_pieces` by (count DESC,
+      piece ASC) among those actually used; single chars are always
+      retained (coverage) with counts clamped to >= 1; re-cost every
+      survivor as milli-nat of count/total.
+
+    Returns the final inventory [(piece, cost, count), ...] sorted by
+    piece — (piece, cost) plugs straight into viterbi_piece_counts.
+    Replayed stage-for-stage by unigram_train_oracle_sql (unrolled
+    MATERIALIZED rounds, the bpe_train_oracle_sql idiom).
+
+    100 TB shape: the corpus is touched only by the caller building
+    (word, freq) — one scan + one agg; each round is one vocab-bounded
+    Arrow pass + one hash-agg whose result (<= inventory size) is the
+    collected model state. No round-over-round plan growth: each
+    round's kernel closes over a PLAIN PYTHON dict, so the logical
+    plan is constant-size by construction (no scratch materialization
+    needed, unlike bpe_train whose state is a frame)."""
+    from collections.abc import Iterator
+
+    wf = words.select(
+        "word", F.col("freq").cast("long").alias("freq")
+    )
+    subs = wf.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                f"  filter(sequence(1, {int(seed_max_piece)}),"
+                "         l -> l <= length(word)),"
+                "  l -> transform(sequence(1, length(word) - l + 1),"
+                "                 i -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    scnt = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    top = (
+        scnt.orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(int(seed_size))
+        .collect()
+    )
+    chars = scnt.filter(F.length("piece") == 1).collect()
+    counts: dict[str, int] = {}
+    for r in list(top) + list(chars):
+        counts[r["piece"]] = int(r["cnt"])
+    total = sum(counts.values())
+    inv: dict[str, int] = {
+        p: _millinat(total, c) for p, c in counts.items()
+    }
+
+    for _ in range(int(rounds)):
+        by_len: dict[int, dict[str, int]] = {}
+        for p, c in inv.items():
+            by_len.setdefault(len(p), {})[p] = c
+        lens = sorted(by_len)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                acc: dict[str, int] = {}
+                for w, fq in zip(pdf["word"], pdf["freq"]):
+                    fq = int(fq)
+                    if len(w) > max_len:
+                        for ch in w:  # documented char fallback
+                            acc[ch] = acc.get(ch, 0) + fq
+                        continue
+                    for p in _viterbi_path(w, by_len, lens):
+                        acc[p] = acc.get(p, 0) + fq
+                yield pd.DataFrame(
+                    {"piece": list(acc), "cnt": list(acc.values())}
+                )
+
+        ecnt = {
+            r["piece"]: int(r["cnt"])
+            for r in wf.mapInPandas(gen, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        multi = sorted(
+            (
+                (p, ecnt[p])
+                for p in inv
+                if len(p) > 1 and ecnt.get(p, 0) > 0
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[: int(keep_pieces)]
+        retained = dict(multi)
+        for p in inv:
+            if len(p) == 1:
+                retained[p] = max(ecnt.get(p, 0), 1)
+        retained = {p: max(c, 1) for p, c in retained.items()}
+        total = sum(retained.values())
+        counts = retained
+        inv = {p: _millinat(total, c) for p, c in retained.items()}
+
+    return sorted((p, inv[p], counts[p]) for p in inv)
+
+
+def unigram_train_oracle_sql(
+    doc_table: str = "documents",
+    rounds: int = 2,
+    seed_max_piece: int = 4,
+    seed_size: int = 120,
+    keep_pieces: int = 80,
+    max_len: int = 12,
+) -> str:
+    """SQL replay of unigram_train, stage for stage (the
+    bpe_train_oracle_sql idiom — unrolled MATERIALIZED rounds): seed
+    substring counts and top-N + all-chars inventory; then per round an
+    unrolled Viterbi DP (one stage per word position, sliding P_max
+    window) whose state carries the PATH string so the argmin
+    row_number — ordered (cost, n_pieces, path), exactly the engine
+    kernel's tuple — yields the same unique segmentation; per-round
+    counts from the winning paths (plus the per-char fallback arm for
+    words longer than max_len); and the same prune/clamp/milli-nat
+    re-cost. Final SELECT is the trained inventory
+    (piece, cost, cnt) ordered by piece."""
+    m = int(seed_max_piece)
+    parts = [
+        f"""occ AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+  FROM {doc_table}
+),
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq, length(word) AS L
+  FROM occ GROUP BY word
+),
+subs AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT w.freq,
+           unnest(flatten([[substr(w.word, i, l)
+                            for i in range(1, w.L - l + 2)]
+                           for l in range(1, least({m}, w.L) + 1)])) AS piece
+    FROM wf w
+  ) GROUP BY piece
+),
+seedtop AS (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+    FROM subs
+  ) WHERE rn <= {int(seed_size)}
+),
+inv0c AS (
+  SELECT piece, max(cnt) AS cnt FROM (
+    SELECT * FROM seedtop
+    UNION ALL
+    SELECT piece, cnt FROM subs WHERE length(piece) = 1
+  ) GROUP BY piece
+),
+inv0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor({UNIGRAM_COST_SCALE} * ln(
+           CAST((SELECT sum(cnt) FROM inv0c) AS DOUBLE)
+           / CAST(cnt AS DOUBLE)) + 0.5) AS BIGINT) AS pc,
+         cnt
+  FROM inv0c
+)"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        pv = f"inv{r - 1}"
+        parts.append(
+            f"""r{r}d0 AS (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np,
+         '' AS path
+  FROM wf WHERE L <= {int(max_len)}
+),
+r{r}f0 AS (
+  SELECT word, '' AS path FROM wf WHERE 1 = 0
+)"""
+        )
+        for i in range(1, int(max_len) + 1):
+            p = i - 1
+            parts.append(
+                f"""r{r}n{i} AS MATERIALIZED (
+  SELECT word, cost, np, path FROM (
+    SELECT q.word, q.cost + v.pc AS cost, q.np + 1 AS np,
+           q.path || ' ' || v.piece AS path,
+           row_number() OVER (PARTITION BY q.word
+             ORDER BY q.cost + v.pc ASC, q.np + 1 ASC,
+                      q.path || ' ' || v.piece ASC) AS rn
+    FROM r{r}d{p} q JOIN {pv} v
+      ON q.pos + length(v.piece) = {i}
+     AND substr(q.word, q.pos + 1, length(v.piece)) = v.piece
+  ) WHERE rn = 1
+),
+r{r}d{i} AS MATERIALIZED (
+  SELECT word, pos, cost, np, path FROM r{r}d{p}
+  WHERE pos > {i} - {m}
+  UNION ALL
+  SELECT word, {i} AS pos, cost, np, path FROM r{r}n{i}
+),
+r{r}f{i} AS MATERIALIZED (
+  SELECT * FROM r{r}f{p}
+  UNION ALL
+  SELECT n.word, n.path FROM r{r}n{i} n
+  JOIN wf ON wf.word = n.word AND wf.L = {i}
+)"""
+            )
+        parts.append(
+            f"""r{r}cnt AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT w.freq,
+           unnest(list_filter(string_split(f.path, ' '),
+                              p -> p != '')) AS piece
+    FROM r{r}f{int(max_len)} f JOIN wf w USING (word)
+    UNION ALL
+    SELECT w.freq,
+           unnest([substr(w.word, i, 1)
+                   for i in range(1, w.L + 1)]) AS piece
+    FROM wf w WHERE w.L > {int(max_len)}
+  ) GROUP BY piece
+),
+r{r}keep AS (
+  SELECT piece, cnt FROM (
+    SELECT i.piece, coalesce(c.cnt, 0) AS cnt,
+           row_number() OVER (ORDER BY coalesce(c.cnt, 0) DESC,
+                              i.piece ASC) AS rn
+    FROM {pv} i LEFT JOIN r{r}cnt c USING (piece)
+    WHERE length(i.piece) > 1 AND coalesce(c.cnt, 0) > 0
+  ) WHERE rn <= {int(keep_pieces)}
+  UNION ALL
+  SELECT i.piece, greatest(coalesce(c.cnt, 0), 1) AS cnt
+  FROM {pv} i LEFT JOIN r{r}cnt c USING (piece)
+  WHERE length(i.piece) = 1
+),
+inv{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor({UNIGRAM_COST_SCALE} * ln(
+           CAST((SELECT sum(cnt) FROM r{r}keep) AS DOUBLE)
+           / CAST(cnt AS DOUBLE)) + 0.5) AS BIGINT) AS pc,
+         cnt
+  FROM r{r}keep
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT piece, pc AS cost, CAST(cnt AS BIGINT) AS cnt
+FROM inv{int(rounds)} ORDER BY piece"""
+    )

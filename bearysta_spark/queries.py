@@ -6583,6 +6583,88 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["knn_ivf_pq_persisted"] = ORACLE["knn_ivf_pq"]
 
 
+@query(
+    "knn_imi_pq_persisted",
+    oracle=f"""
+    WITH {_imi_rank_ctes()},
+    cb(j, cell, c) AS (VALUES
+      {_PQ_CB_SQL}),
+    cells AS (SELECT vec_id AS nid, cell AS imi_cell FROM rk WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cell AS imi_cell
+              FROM rk WHERE rn <= 4 AND vec_id < 5),
+    sub AS (
+      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
+      FROM e, cb
+    ),
+    rankedp AS (
+      SELECT vec_id, j, cell,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY score DESC, cell ASC) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id AS nid, j, cell FROM rankedp WHERE rn = 1),
+    lut AS (
+      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
+             CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
+      FROM probe p
+      JOIN cells ce USING (imi_cell)
+      JOIN codes c ON c.nid = ce.nid AND ce.nid != p.qid
+      JOIN lut l ON l.qid = p.qid AND l.j = c.j AND l.cell = c.cell
+      GROUP BY p.qid, c.nid
+    )
+    SELECT qid, nid, adc, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, adc,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc DESC, nid ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_imi_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI-PQ search against a PERSISTED index (r08 VERDICT ask #6):
+    the inverted-multi-index coarse quantizer (knn_imi — K1·K2 product
+    cells from K1+K2 broadcastable half-centroids, the quantizer shape
+    that survives 1e9+ vectors) composed with the PQ-ADC serving path
+    (knn_ivf_pq_persisted — codes-only index rows, LUT-sum asymmetric
+    distance, never a raw corpus float at search time). The index is
+    hive-partitioned by the flat product cell, so the broadcast probe
+    list dynamically prunes the cell partitions before any byte is
+    scanned (plan-asserted in tests). Oracle replays both half-space
+    codebooks, the multi-sequence probe (4 cells per query), the m=8
+    PQ code assignment, and the DECIMAL-rounded ADC re-rank from the
+    shared literals. See functions/similarity.py:
+    write_imipq_index / imi_pq_topk_from_index."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = os.path.join(_index_root(sf_dir), "imipq_index")
+    S.write_imipq_index(
+        e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
+    )
+    idx = spark.read.parquet(path)
+    out = S.imi_pq_topk_from_index(
+        idx,
+        q,
+        _IMI_CODEBOOKS[0],
+        _IMI_CODEBOOKS[1],
+        _PQ_CODEBOOKS,
+        k=5,
+        probes=4,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+    return out.select(
+        "qid", "nid", "adc", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def _hll_est_sql(src: str) -> str:
     """Estimate-from-registers SQL over a CTE `src(week, bucket, m)` —
     the same exact-integer harmonic sum + linear-counting LUT as
@@ -9553,6 +9635,44 @@ def unigram_viterbi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "unigram_train_pieces",
+    oracle=TK.unigram_train_oracle_sql(),
+)
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING over the corpus vocabulary
+    (functions.tokenize.unigram_train — the SentencePiece EM loop,
+    Kudo 2018): seed the inventory with frequency-weighted substrings
+    (+ all single chars for total coverage), then 2 EM rounds of
+    Viterbi-count E-steps over the distinct-word table and
+    prune/re-cost M-steps, reporting the trained inventory as
+    (piece, cost, cnt). Completes the TRAINING half of the tokenizer
+    triptych: BPE training (bpe_train_merges) had no unigram
+    counterpart — segmentation (unigram_viterbi_stats) ran only over a
+    fixed inventory; the trained (piece, cost) table here plugs
+    straight into viterbi_piece_counts. Everything except one
+    milli-nat log per retained piece per round is exact
+    integer/string arithmetic, and the winning SEGMENTATIONS (hence
+    counts) are unique by the (cost, n_pieces, path) tuple rule, so
+    the hash match covers the full EM trajectory. The oracle replays
+    seed, every DP stage, the count aggregation, and the prune/clamp/
+    re-cost rule as unrolled MATERIALIZED CTEs
+    (tokenize.unigram_train_oracle_sql, the bpe_train_oracle_sql
+    idiom), and a differential test checks the trainer against an
+    independent plain-Python EM.
+    100 TB shape: one corpus scan + one hash-agg builds (word, freq);
+    each round is one vocab-bounded Arrow pass and an
+    inventory-bounded collected count table (driver model state, the
+    bpe_train convention); the kernel closes over a plain dict so the
+    plan is constant-size across rounds."""
+    occ = TK.word_occurrences(_t(spark, sf_dir, "documents"))
+    words = occ.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    pieces = TK.unigram_train(words)
+    return spark.createDataFrame(
+        pieces, "piece string, cost long, cnt long"
+    ).orderBy("piece")
 
 
 # shared CTE prefix for the repetition-signal oracles: per-doc word

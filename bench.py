@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "imi_ivf_recall",
     "unigram_viterbi_stats",
     "eval_containment_report",
+    "unigram_train_pieces",
+    "knn_imi_pq_persisted",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

@@ -687,3 +687,50 @@ def test_scrub_repeated_spans_overlapping_spans_union(spark):
     assert out[1].n_removed == 0
     assert out[2].n_removed == 9
     assert out[2].cleaned_text == "prefix suffix"
+
+
+def test_imipq_persisted_index_pruning_and_cell_exclusivity(
+    spark, embeddings, tmp_path
+):
+    """r08 VERDICT ask #6: the persisted IMI-PQ index must (a) lay one
+    hive partition per flat product cell, (b) dynamically prune to the
+    probed cell partitions at search time, (c) never join outside the
+    probe list — every candidate's storage cell is one of its query's
+    probe cells."""
+    from bearysta_spark.queries import _IMI_CODEBOOKS, _PQ_CODEBOOKS
+
+    cb1, cb2 = _IMI_CODEBOOKS
+    q = embeddings.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "imipq")
+    manifest = S.write_imipq_index(embeddings, cb1, cb2, _PQ_CODEBOOKS, path)
+    files = manifest.collect()
+    assert files and any("imi_cell=" in r["file"] for r in files)
+
+    idx = spark.read.parquet(path)
+    disk = S.imi_pq_topk_from_index(
+        idx, q, cb1, cb2, _PQ_CODEBOOKS, k=5, probes=4
+    )
+    rows = disk.collect()
+    assert rows and all(r["rank"] <= 5 for r in rows)
+
+    # candidate cells ⊆ probe cells, per query
+    probe = {
+        (r["qid"], r["imi_cell"])
+        for r in q.select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                S.assign_imi_cells_arrow(cb1, cb2, 4)(F.col("embedding"))
+            ).alias("imi_cell"),
+        ).collect()
+    }
+    stored = {
+        r["vec_id"]: r["imi_cell"]
+        for r in idx.select("vec_id", "imi_cell").collect()
+    }
+    assert all((r["qid"], stored[r["nid"]]) in probe for r in rows)
+
+    p = _plan(disk)
+    assert "imipq" in p
+    assert "dynamicpruning" in p or "PartitionFilters" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
