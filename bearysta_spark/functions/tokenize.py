@@ -1050,17 +1050,24 @@ def unigram_train(
     Replayed stage-for-stage by unigram_train_oracle_sql (unrolled
     MATERIALIZED rounds, the bpe_train_oracle_sql idiom).
 
-    100 TB shape: the corpus is touched only by the caller building
-    (word, freq) — one scan + one agg; each round is one vocab-bounded
-    Arrow pass + one hash-agg whose result (<= inventory size) is the
-    collected model state. No round-over-round plan growth: each
-    round's kernel closes over a PLAIN PYTHON dict, so the logical
-    plan is constant-size by construction (no scratch materialization
-    needed, unlike bpe_train whose state is a frame)."""
+    100 TB shape: the corpus is touched EXACTLY ONCE — the incoming
+    (word, freq) frame is scratch-materialized up front (bpe_train's
+    idiom), because the trainer runs 2 + rounds separate actions (two
+    seed collects, one count pass per round) and each would otherwise
+    re-derive the word table from the corpus scan. Every later pass is
+    one vocab-bounded Arrow job + one hash-agg whose result
+    (<= inventory size) is the collected model state. No
+    round-over-round plan growth: each round's kernel closes over a
+    PLAIN PYTHON dict, so the logical plan is constant-size by
+    construction (no per-round materialization needed, unlike
+    bpe_train whose state is a frame)."""
     from collections.abc import Iterator
 
-    wf = words.select(
-        "word", F.col("freq").cast("long").alias("freq")
+    from bearysta_spark.scratch import cleanup, materialize_distributed
+
+    wf = materialize_distributed(
+        words.select("word", F.col("freq").cast("long").alias("freq")),
+        "unigram",
     )
     subs = wf.select(
         F.col("freq"),
@@ -1134,6 +1141,10 @@ def unigram_train(
         counts = retained
         inv = {p: _millinat(total, c) for p, c in retained.items()}
 
+    # only the inventory escapes — reclaim the materialized vocab dir,
+    # or every call leaks one vocab-sized parquet dir to (possibly
+    # shared) scratch storage (the bpe_train convention)
+    cleanup(wf)
     return sorted((p, inv[p], counts[p]) for p in inv)
 
 

@@ -206,6 +206,7 @@ def start_streaming_self_neardup(
     min_shared: int = 5,
     id_col: str = "doc_id",
     buckets: int = 32,
+    compact_every: int | None = None,
 ):
     """Streaming dedup with a SELF-GROWING index: each micro-batch is
     matched against everything that arrived before it AND within
@@ -232,10 +233,13 @@ def start_streaming_self_neardup(
     Each emitted pair appears exactly once, at the batch where its
     LATER member arrived. Seed a pre-existing corpus by writing its
     keys under batch_id=-1 (write_corpus partition layout), or start
-    empty."""
+    empty. compact_every=N folds the key index every N batches from
+    inside the loop (upto_batch = the current batch — earlier batches
+    are checkpoint-committed, and a replay rewrites partitions >= it),
+    so a long-lived stream bounds its own file-listing cost."""
     from bearysta_spark.cachescope import release_scoped_caches
     from bearysta_spark.functions.multimodal import incremental_key_pairs
-    from bearysta_spark.streaming.index import ensure_layout
+    from bearysta_spark.streaming.index import compact_index, ensure_layout
 
     spark = stream_payloads.sparkSession
 
@@ -297,6 +301,11 @@ def start_streaming_self_neardup(
             .parquet(index_root)
         )
         release_scoped_caches()  # foreachBatch is the terminal action
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_index(
+                spark, index_root, batch_id,
+                partition_cols=("batch_id", "kb"),
+            )
 
     return (
         stream_payloads.writeStream.foreachBatch(process)
@@ -367,6 +376,7 @@ def start_streaming_semantic_dedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ):
     """Streaming SemDeDup — the FIFTH near-dup signal (text LSH, image,
     audio, video already stream; this is the embedding arm, r08 VERDICT
@@ -399,7 +409,8 @@ def start_streaming_semantic_dedup(
     the same FAISS-IVF-list sizing model as the batch kernel; cells
     that outgrow it need a larger centroid set (rebuild = new layout).
     Long-lived streams bound file listing with compact_index
-    (partition_cols=('batch_id', 'cell'))."""
+    (partition_cols=('batch_id', 'cell')) — or pass compact_every=N to
+    fold from inside the loop every N batches, no second process."""
     import hashlib
     import json
 
@@ -487,6 +498,13 @@ def start_streaming_semantic_dedup(
             .parquet(index_root)
         )
         b.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            from bearysta_spark.streaming.index import compact_index
+
+            compact_index(
+                spark, index_root, batch_id,
+                partition_cols=("batch_id", "cell"),
+            )
 
     return (
         stream_vecs.writeStream.foreachBatch(process)

@@ -118,3 +118,41 @@ def test_streaming_semantic_centroid_layout_guard(spark, tmp_path):
     other = _centroids(spark, k=5)
     with pytest.raises(Exception, match="layout mismatch"):
         _run_once(spark, land, other, idx, out, ckpt)
+
+
+def test_streaming_semantic_auto_compaction(spark, tmp_path):
+    """compact_every=2: the arm folds its own index from inside the
+    loop; batch 2 probes the auto-folded tier and results still equal
+    batch SemDeDup."""
+    from bearysta_spark.streaming.neardup import (
+        start_streaming_semantic_dedup,
+    )
+    from bearysta_spark.streaming.index import read_marker
+
+    land, idx, out, ckpt = (
+        str(tmp_path / d) for d in ("land", "idx", "out", "ckpt")
+    )
+    cents = _centroids(spark)
+
+    def run():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(land)
+        q = start_streaming_semantic_dedup(
+            stream, cents, idx, out, ckpt, compact_every=2
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    for lo, hi in ((0, 150), (150, 300), (300, 500)):
+        _feed(spark, land, lo, hi)
+        run()
+    m = read_marker(idx)
+    assert m is not None and m["upto"] == 2
+    got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == _batch_reference(spark, cents, 500)

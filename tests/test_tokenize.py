@@ -603,3 +603,35 @@ def test_unigram_train_fallback_pruning_and_oracle_on_crafted_vocab(spark):
         keep_pieces=3, max_len=6,
     )
     assert sorted(tuple(r) for r in con.sql(sql).fetchall()) == got
+
+
+def test_unigram_train_reads_input_exactly_once(spark):
+    """The trainer runs 2 + rounds separate actions; the up-front
+    scratch materialization must make them all read the materialized
+    vocab, never re-deriving the input — an accumulator in the input's
+    lineage counts exactly one pass over the rows."""
+    from pyspark.sql import functions as F
+
+    from bearysta_spark.functions.tokenize import (
+        unigram_train,
+        word_occurrences,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = word_occurrences(d).groupBy("word").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    n_words = words.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = words.mapInPandas(bump, "word string, freq long")
+    out = unigram_train(instrumented, rounds=2)
+    assert out  # trained something
+    assert acc.value == n_words, (
+        f"input read {acc.value / n_words:.1f}x; expected exactly once"
+    )
