@@ -1050,10 +1050,31 @@ def write_ivfpq_index(
     with ivf_pq_topk_from_index."""
     from bearysta_spark.sinks import write_corpus
 
-    cells = corpus.select(
-        F.col(id_col),
-        assign_cells_arrow(centroids, 1)(F.col(vec_col))[0].alias("ivf_cell"),
+    idx = _pq_index_frame(
+        corpus,
+        assign_cells_arrow(centroids, 1)(F.col(vec_col))[0],
+        "ivf_cell",
+        codebooks,
+        id_col,
+        vec_col,
     )
+    return write_corpus(idx, path, partition_by=["ivf_cell"])
+
+
+def _pq_index_frame(
+    corpus: DataFrame,
+    cell_assign,
+    cell_col: str,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared PQ-index build: (id, codes array<int>, <cell_col>) rows —
+    the coarse quantizer is whatever single-cell Column `cell_assign`
+    computes (flat IVF or IMI product cells), the codes are the m-way
+    PQ assignment. One raw-vector pass; both persisted-index writers
+    call this so the code layout cannot drift between quantizers."""
+    cells = corpus.select(F.col(id_col), cell_assign.alias(cell_col))
     wide = (
         pq_code_rows_arrow(corpus, codebooks, id_col, vec_col)
         .groupBy(id_col)
@@ -1064,8 +1085,51 @@ def write_ivfpq_index(
             ).alias("codes")
         )
     )
-    idx = cells.join(wide, id_col)
-    return write_corpus(idx, path, partition_by=["ivf_cell"])
+    return cells.join(wide, id_col)
+
+
+def _pq_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    probe_cells,
+    cell_col: str,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    adc_agg,
+) -> DataFrame:
+    """Shared persisted-PQ search: broadcast the probe list (qid,
+    <cell_col> from the multi-cell Column `probe_cells`) so the cell
+    equi-join dynamically prunes the index partitions, then rank by
+    the broadcast ADC LUT sum. Both from-index searchers (IVF-PQ,
+    IMI-PQ) call this — identical join/rank logic by construction."""
+    if adc_agg is None:
+        adc_agg = F.sum
+    probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(probe_cells).alias(cell_col),
+    )
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    cand = index.join(F.broadcast(probe), cell_col).filter(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = (
+        cand.select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            F.posexplode("codes").alias("j", "cell"),
+        )
+        .join(F.broadcast(lut), ["qid", "j", "cell"])
+        .groupBy("qid", "nid")
+        .agg(adc_agg(F.col("s")).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "adc", "rank")
+    )
 
 
 def write_imipq_index(
@@ -1089,23 +1153,14 @@ def write_imipq_index(
     path). Raw vectors are read once, at index-build time."""
     from bearysta_spark.sinks import write_corpus
 
-    cells = corpus.select(
-        F.col(id_col),
-        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0].alias(
-            "imi_cell"
-        ),
+    idx = _pq_index_frame(
+        corpus,
+        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0],
+        "imi_cell",
+        codebooks,
+        id_col,
+        vec_col,
     )
-    wide = (
-        pq_code_rows_arrow(corpus, codebooks, id_col, vec_col)
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", "cell"))),
-                lambda s: s["cell"],
-            ).alias("codes")
-        )
-    )
-    idx = cells.join(wide, id_col)
     return write_corpus(idx, path, partition_by=["imi_cell"])
 
 
@@ -1126,35 +1181,19 @@ def imi_pq_topk_from_index(
     probe, one outer sum over two half dgemms), the broadcast probe
     list dynamically prunes the imi_cell partitions before any byte is
     read, and candidates are ranked by the PQ ADC LUT sum — raw corpus
-    vectors never touch the search path. Identical join shape to
-    ivf_pq_topk_from_index; only the quantizer differs."""
-    if adc_agg is None:
-        adc_agg = F.sum
-    probe = queries.select(
-        F.col(id_col).alias("qid"),
-        F.explode(
-            assign_imi_cells_arrow(cb1, cb2, probes)(F.col(vec_col))
-        ).alias("imi_cell"),
-    )
-    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
-    cand = index.join(F.broadcast(probe), "imi_cell").filter(
-        F.col("qid") != F.col(id_col)
-    )
-    scored = (
-        cand.select(
-            "qid",
-            F.col(id_col).alias("nid"),
-            F.posexplode("codes").alias("j", "cell"),
-        )
-        .join(F.broadcast(lut), ["qid", "j", "cell"])
-        .groupBy("qid", "nid")
-        .agg(adc_agg(F.col("s")).alias("adc"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "adc", "rank")
+    vectors never touch the search path. Identical join/rank logic to
+    ivf_pq_topk_from_index — shared via _pq_topk_from_index; only the
+    quantizer differs."""
+    return _pq_topk_from_index(
+        index,
+        queries,
+        assign_imi_cells_arrow(cb1, cb2, probes)(F.col(vec_col)),
+        "imi_cell",
+        codebooks,
+        k,
+        id_col,
+        vec_col,
+        adc_agg,
     )
 
 
@@ -1174,32 +1213,16 @@ def ivf_pq_topk_from_index(
     files — raw vectors never read, and the probe join on the ivf_cell
     partition column prunes whole partitions before scan. The probe
     list and ADC LUT broadcast; the only wide op is the
-    map-side-combined per-(qid, nid) ADC sum."""
-    if adc_agg is None:
-        adc_agg = F.sum
-    probe = queries.select(
-        F.col(id_col).alias("qid"),
-        F.explode(assign_cells_arrow(centroids, probes)(F.col(vec_col))).alias(
-            "ivf_cell"
-        ),
-    )
-    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
-    cand = index.join(F.broadcast(probe), "ivf_cell").filter(
-        F.col("qid") != F.col(id_col)
-    )
-    scored = (
-        cand.select(
-            "qid",
-            F.col(id_col).alias("nid"),
-            F.posexplode("codes").alias("j", "cell"),
-        )
-        .join(F.broadcast(lut), ["qid", "j", "cell"])
-        .groupBy("qid", "nid")
-        .agg(adc_agg(F.col("s")).alias("adc"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "adc", "rank")
+    map-side-combined per-(qid, nid) ADC sum (shared core:
+    _pq_topk_from_index)."""
+    return _pq_topk_from_index(
+        index,
+        queries,
+        assign_cells_arrow(centroids, probes)(F.col(vec_col)),
+        "ivf_cell",
+        codebooks,
+        k,
+        id_col,
+        vec_col,
+        adc_agg,
     )

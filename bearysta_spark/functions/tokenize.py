@@ -1132,11 +1132,15 @@ def unigram_train(
             ),
             key=lambda t: (-t[1], t[0]),
         )[: int(keep_pieces)]
+        # only single chars can carry a zero observed count (multi-char
+        # pieces are filtered to count > 0 above), so the clamp lives
+        # on their arm alone — mirroring the oracle's
+        # greatest(coalesce(cnt, 0), 1), which likewise applies only to
+        # the length-1 branch
         retained = dict(multi)
         for p in inv:
             if len(p) == 1:
                 retained[p] = max(ecnt.get(p, 0), 1)
-        retained = {p: max(c, 1) for p, c in retained.items()}
         total = sum(retained.values())
         counts = retained
         inv = {p: _millinat(total, c) for p, c in retained.items()}

@@ -8930,14 +8930,20 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.filter("q_ok")
     keeper = s2.groupBy("norm_key").agg(F.min("doc_id").alias("k"))
     s3a = s2.join(keeper, "norm_key").filter(F.col("doc_id") == F.col("k"))
-    # max_bucket_size: the SAME hot-bucket backstop constant the
+    # max_bucket_size: the SAME hot-bucket backstop THRESHOLD the
     # streaming twin applies cumulatively (streaming/curation.py,
     # DEFAULT_MAX_BUCKET_SIZE) — twin-equality requires the rule on
-    # both sides. The oracle carries no cap: exactness holds whenever
-    # no (band, bucket) key exceeds 10k members, which is measured
-    # true at every driver scale factor (a 10k-member bucket means 10k
-    # docs sharing an entire signature band — degenerate input, where
-    # the cap deliberately trades recall for bounded work, loudly).
+    # both sides. Fine print: each side counts its own candidate
+    # population (this funnel buckets the full raw corpus, the stream
+    # buckets gate+exact-dedup survivors cumulatively), so equality is
+    # guaranteed when a bucket sits on the same side of the cap under
+    # both counts — see cap_cumulative_buckets' docstring for the
+    # boundary cases. The oracle carries no cap: exactness holds
+    # whenever no (band, bucket) key exceeds 10k members, which is
+    # measured true at every driver scale factor (a 10k-member bucket
+    # means 10k docs sharing an entire signature band — degenerate
+    # input, where the cap deliberately trades recall for bounded
+    # work, loudly).
     from bearysta_spark.streaming.curation import DEFAULT_MAX_BUCKET_SIZE
 
     vpairs = D.minhash_dedup_verified(

@@ -141,20 +141,26 @@ def cap_cumulative_buckets(
     quadratically (r08 VERDICT finding #1).
 
     Measured-count, never silent: the dropped keys and their total
-    membership are logged (the _drop_hot_keys discipline). The
-    index-side count only aggregates rows that COLLIDE with the batch
-    (semi-join on the batch's bucket keys — batch-sized broadcast), so
-    the count rides the same index equi-join shape as the probe itself.
-    Hot keys are batch-bounded (≤ the batch's bucket count), so the
-    anti-join set collects driver-side and broadcasts.
+    membership are logged (the _drop_hot_keys discipline, including
+    its two regimes: the hot-key set collects driver-side and
+    broadcasts only while it fits HOT_KEY_COLLECT_LIMIT — bounded by
+    cumulative_rows / max_bucket_size, which a long-lived templated
+    stream CAN push past the cap — and otherwise the anti-join stays
+    fully distributed). The index-side count only aggregates rows that
+    COLLIDE with the batch (semi-join on the batch's bucket keys —
+    batch-sized broadcast), so the count rides the same index
+    equi-join shape as the probe itself.
 
-    Cap-crossing window: a bucket that exceeds the cap MID-STREAM
-    generated candidates while it was still small; the batch funnel
-    with the same cap drops the bucket everywhere. The twins are
-    therefore equal whenever each bucket is on the same side of the
-    cap for the whole run (in particular: always, when the cap bites
-    from batch 0, and always, when it never bites) — the in-between
-    window trades exact twin-equality for bounded work, loudly."""
+    Cap-crossing window (twin-equality fine print): the batch funnel
+    applies the same THRESHOLD, but each twin counts its own candidate
+    population — the funnel's buckets span the full raw corpus
+    (minhash_dedup_verified runs before the gates), the stream's span
+    gate+exact-dedup SURVIVORS, cumulatively. The twins are therefore
+    equal when each bucket sits on the same side of the cap under BOTH
+    counts for the whole run (always true when the cap bites hard from
+    batch 0, or never bites); a bucket that crosses mid-stream, or
+    whose gate-failing members straddle the threshold, trades exact
+    twin-equality for bounded work — loudly, never silently."""
     bcnt = bb.groupBy("band", "bucket").agg(F.count("*").alias("__b"))
     if lsh is None:
         tot = bcnt.withColumn("__sz", F.col("__b"))
@@ -173,22 +179,42 @@ def cap_cumulative_buckets(
             "__sz", F.col("__b") + F.coalesce(F.col("__i"), F.lit(0))
         )
     hot = tot.filter(F.col("__sz") > max_bucket_size)
-    hot_rows = hot.select("band", "bucket", "__sz").collect()
-    if not hot_rows:
+    from bearysta_spark.functions.dedup import HOT_KEY_COLLECT_LIMIT
+
+    stats = hot.agg(
+        F.count("*").alias("nk"),
+        F.sum("__sz").alias("nr"),
+        F.max("__sz").alias("mx"),
+    ).collect()[0]
+    if not stats["nk"]:
         return bb
     logger.warning(
         "cap_cumulative_buckets: dropping %d LSH buckets over the "
-        "cumulative cap %d (largest %d members incl. index) — their "
-        "candidates carry no locality signal and grow with stream age",
-        len(hot_rows),
+        "cumulative cap %d (largest %d members incl. index, %d rows "
+        "total) — their candidates carry no locality signal and grow "
+        "with stream age",
+        stats["nk"],
         max_bucket_size,
-        max(r["__sz"] for r in hot_rows),
+        stats["mx"],
+        stats["nr"],
     )
-    hot_local = bb.sparkSession.createDataFrame(
-        [(r.band, r.bucket) for r in hot_rows],
-        bb.select("band", "bucket").schema,
+    if stats["nk"] <= HOT_KEY_COLLECT_LIMIT:
+        hot_local = bb.sparkSession.createDataFrame(
+            [(r.band, r.bucket)
+             for r in hot.select("band", "bucket").collect()],
+            bb.select("band", "bucket").schema,
+        )
+        return bb.join(
+            F.broadcast(hot_local), ["band", "bucket"], "left_anti"
+        )
+    logger.warning(
+        "cap_cumulative_buckets: %d hot keys exceed the driver collect "
+        "cap %d; keeping the anti-join distributed",
+        stats["nk"],
+        HOT_KEY_COLLECT_LIMIT,
     )
-    return bb.join(F.broadcast(hot_local), ["band", "bucket"], "left_anti")
+    return bb.join(hot.select("band", "bucket"), ["band", "bucket"],
+                   "left_anti")
 
 
 def compact_curation_index(
@@ -240,13 +266,22 @@ def start_streaming_curation_pipeline(
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     compact_every: int | None = None,
+    eval_gram_index: str | None = None,
+    decontam_n: int = 8,
+    decontam_min_shared: int = 1,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
     exact dedup → MinHash+LSH near-dup removal with exact Jaccard
     verification — the streaming twin of pretrain_funnel_report's
-    stages 1-4 (decontamination stays batch-side: an eval split over an
-    unbounded stream is ill-defined). Twin-equality is chaos-tested in
-    tests/test_streaming_curation_composed.py.
+    stages 1-4 — plus an OPTIONAL stage 5: decontamination against a
+    PERSISTED eval-suite gram index (`eval_gram_index`, built with
+    streaming/decontam.py:write_eval_gram_index). The funnel's own
+    stage 5 draws its eval split FROM the corpus, which is ill-defined
+    over an unbounded stream; against a FIXED, versioned eval artifact
+    it is well-defined, and composing it here gives the stream the
+    full five-stage curation in one loop (a rebuilt index is picked up
+    on the next micro-batch, no restart). Twin-equality is
+    chaos-tested in tests/test_streaming_curation_composed.py.
 
     Semantics (equal to the batch funnel under the ascending-id
     contract — doc ids ascend across batches, as any ingest sequencer
@@ -260,10 +295,13 @@ def start_streaming_curation_pipeline(
     curated corpus is the near_ok = true slice of out_path.
 
     Sinks (all batch_id-partitioned, dynamic-overwrite, replay-safe):
-    - out_path: exact survivors WITH text + a near_ok flag (the text is
-      the product corpus, and it is what verification of later batches'
-      candidates re-reads — fetched by the candidates' origin batches,
-      so the read prunes to the few partitions that actually collide);
+    - out_path: exact survivors WITH text + near_ok and dec_ok flags
+      (dec_ok is constantly true when no eval index is configured, so
+      the out schema is stable across configurations; the curated
+      corpus is the near_ok AND dec_ok slice). The text is the product
+      corpus, and it is what verification of later batches' candidates
+      re-reads — fetched by the candidates' origin batches, so the
+      read prunes to the few partitions that actually collide;
     - counters_path: per-batch funnel counters, stage 4 = exact+near;
     - index_root (+_bloom): the norm-key exact-dedup index/sidecar;
     - lsh_root: (id, band, bucket, origin) band buckets of every exact
@@ -439,10 +477,47 @@ def start_streaming_curation_pipeline(
         ).withColumn("near_ok", F.coalesce(~F.col("__dup"), F.lit(True))
                      ).drop("__dup")
 
+        # ---- optional stage 5: decontamination against the persisted
+        # eval-suite gram index (static/external — reading it per batch
+        # never violates the index-read-before-write sequencing
+        # invariant, since nothing in this loop writes to it). Only
+        # near-ok survivors are checked, matching the funnel's
+        # stage-5-over-stage-4 order; dec_ok is emitted ALWAYS so the
+        # out schema is configuration-stable.
+        if eval_gram_index is not None:
+            from bearysta_spark.functions.decontam import gram_rows
+            from bearysta_spark.streaming.decontam import (
+                INDEX_SCHEMA as _EVAL_SCHEMA,
+            )
+
+            eg = (
+                spark.read.schema(_EVAL_SCHEMA)
+                .parquet(eval_gram_index)
+                .select("gram")
+            )
+            contaminated = (
+                gram_rows(
+                    flagged.filter("near_ok").select(id_col, text_col),
+                    decontam_n, text_col, (id_col,),
+                )
+                .join(eg, "gram", "left_semi")
+                .groupBy(id_col)
+                .agg(F.count_distinct("gram").alias("__sg"))
+                .filter(F.col("__sg") >= decontam_min_shared)
+                .select(id_col)
+            )
+            flagged = flagged.join(
+                contaminated.withColumn("__ct", F.lit(True)), id_col, "left"
+            ).withColumn(
+                "dec_ok", F.coalesce(~F.col("__ct"), F.lit(True))
+            ).drop("__ct")
+        else:
+            flagged = flagged.withColumn("dec_ok", F.lit(True))
+
         written = (
             flagged.select(
                 id_col, "source", "lang", "tc", "norm_key", "kb",
-                text_col, "near_ok",
+                text_col, "near_ok", "dec_ok",
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
@@ -488,6 +563,11 @@ def start_streaming_curation_pipeline(
             .unionByName(stage(3, "quality", gated))
             .unionByName(stage(4, "dedup", survread.filter("near_ok")))
         )
+        if eval_gram_index is not None:
+            counters = counters.unionByName(
+                stage(5, "decontam",
+                      survread.filter("near_ok and dec_ok"))
+            )
         for frame, path, parts in (
             (counters, counters_path, ("batch_id",)),
             (

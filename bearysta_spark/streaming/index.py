@@ -244,8 +244,14 @@ def _write_json_exclusive(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         try:
             out = fs.create(jpath, False)
-        except Exception:  # py4j wraps FileAlreadyExistsException
-            return False
+        except Exception:
+            # py4j wraps FileAlreadyExistsException generically — treat
+            # the failure as a lost race ONLY when the file actually
+            # exists now; anything else (permissions, quota, transient
+            # FS) must surface, not masquerade as a race (r09 review)
+            if fs.exists(jpath):
+                return False
+            raise
         try:
             out.write(bytearray(body.encode()))
         finally:

@@ -101,7 +101,8 @@ def main() -> None:
     # compaction folded but has not yet reclaimed)
     from bearysta_spark.streaming.index import read_index_view
 
-    n_indexed = read_index_view(spark, idx, before_batch=None).count()
+    view = read_index_view(spark, idx, before_batch=None)
+    n_indexed = view.count() if view is not None else 0
     expect = args.batches * args.rows
     assert n_indexed > 0.95 * expect, (
         f"probe ladder vacuous: {n_indexed} keys indexed for {expect} "
@@ -113,8 +114,13 @@ def main() -> None:
             1 for d in os.listdir(root) if d.startswith("batch_id=")
         )
 
+    # batch_dirs stays a RAW directory count on purpose: listing cost
+    # includes superseded partitions until the next fold reclaims them.
+    # The sidecar ROW count is marker-aware, though — a raw read would
+    # double-count folded-but-unreclaimed rows (the n_indexed lesson).
     idx_dirs, bloom_dirs = batch_dirs(idx), batch_dirs(idx + "_bloom")
-    sidecar_rows = spark.read.parquet(idx + "_bloom").count()
+    bview = read_index_view(spark, idx + "_bloom", before_batch=None)
+    sidecar_rows = bview.count() if bview is not None else 0
 
     third = max(1, args.batches // 3)
     head = sum(times[:third]) / third

@@ -319,3 +319,68 @@ def test_auto_compaction_cadence_with_replay(spark, tmp_path):
         .groupBy("batch_id", "stage").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_composed_pipeline_with_decontam_stage(spark, tmp_path):
+    """Optional stage 5: the pipeline decontaminates near-ok survivors
+    against a persisted eval-suite gram index — batch-equivalent to
+    running functions.decontam.contaminated_docs over the batch twin's
+    stage-4 output, replay-safe, and schema-stable (dec_ok exists even
+    without an index)."""
+    from bearysta_spark.functions.decontam import contaminated_docs
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+    from bearysta_spark.streaming.decontam import write_eval_gram_index
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt", "eg")}
+    # eval doc sharing an 8-gram with D (doc 12): D gets dec_ok=false
+    ev_text = "past old docks while young kids fish near calm water"
+    ev = spark.createDataFrame(
+        [(900, ev_text, "en", "eval")], SCHEMA
+    )
+    write_eval_gram_index(ev.select("doc_id", "text"), p["eg"], n=8)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            eval_gram_index=p["eg"], decontam_n=8,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _feed(spark, p["land"], B0)
+    run()
+    _feed(spark, p["land"], B1)
+    run()
+    _truncate_last_commit(p["ckpt"])  # die between execute and commit
+    _feed(spark, p["land"], B2)
+    run()  # replays batch 1, then batch 2
+
+    _, _, _, s3a, s3 = _batch_twin(spark)
+    rows = spark.read.parquet(p["out"]).collect()
+    exact = sorted(r.doc_id for r in rows)
+    kept = sorted(r.doc_id for r in rows if r.near_ok)
+    curated = sorted(r.doc_id for r in rows if r.near_ok and r.dec_ok)
+    assert exact == sorted(r.doc_id for r in s3a.collect())
+    assert kept == sorted(r.doc_id for r in s3.collect()) == [0, 2, 12, 23]
+    # batch-equivalent stage 5: contaminated_docs over the twin's
+    # stage-4 survivors against the same eval suite
+    full = spark.createDataFrame(ALL, SCHEMA)
+    s3_docs = full.join(s3.select("doc_id"), "doc_id")
+    cont = sorted(
+        r.doc_id
+        for r in contaminated_docs(
+            s3_docs, ev, n=8, keep_cols=()
+        ).select("doc_id").distinct().collect()
+    )
+    assert cont == [12]  # D shares the planted 8-gram
+    assert curated == [d for d in kept if d not in cont] == [0, 2, 23]
+    # stage-5 counter rows exist and match the curated slice
+    cnt = spark.read.parquet(p["cnt"])
+    s5 = cnt.filter("stage = 5").agg(F.sum("n_docs")).collect()[0][0]
+    assert s5 == len(curated)
