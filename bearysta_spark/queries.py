@@ -8859,21 +8859,29 @@ cont AS (
 s4 AS (SELECT f.* FROM s3 f JOIN tr USING (doc_id)
        WHERE f.doc_id NOT IN (SELECT doc_id FROM cont))
 SELECT * FROM (
+  -- n_capped_*: the oracle is UNCAPPED, so its capped counts are zero
+  -- by definition; the engine emits the MEASURED counts from
+  -- cap_buckets on the dedup row, so the moment the hot-bucket cap
+  -- actually bites at a registered scale the mismatch is immediately
+  -- attributable in the gate output instead of a bare hash diff
+  -- (r09 ADVICE)
   SELECT CAST(1 AS BIGINT) AS stage, 'input' AS name,
          CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(coalesce(sum(tc), 0) AS BIGINT) AS n_tokens FROM flags
+         CAST(coalesce(sum(tc), 0) AS BIGINT) AS n_tokens,
+         CAST(0 AS BIGINT) AS n_capped_buckets,
+         CAST(0 AS BIGINT) AS n_capped_rows FROM flags
   UNION ALL
   SELECT 2, 'lang', CAST(count(*) AS BIGINT),
-         CAST(coalesce(sum(tc), 0) AS BIGINT) FROM s1
+         CAST(coalesce(sum(tc), 0) AS BIGINT), 0, 0 FROM s1
   UNION ALL
   SELECT 3, 'quality', CAST(count(*) AS BIGINT),
-         CAST(coalesce(sum(tc), 0) AS BIGINT) FROM s2
+         CAST(coalesce(sum(tc), 0) AS BIGINT), 0, 0 FROM s2
   UNION ALL
   SELECT 4, 'dedup', CAST(count(*) AS BIGINT),
-         CAST(coalesce(sum(tc), 0) AS BIGINT) FROM s3
+         CAST(coalesce(sum(tc), 0) AS BIGINT), 0, 0 FROM s3
   UNION ALL
   SELECT 5, 'decontam', CAST(count(*) AS BIGINT),
-         CAST(coalesce(sum(tc), 0) AS BIGINT) FROM s4
+         CAST(coalesce(sum(tc), 0) AS BIGINT), 0, 0 FROM s4
 ) ORDER BY stage
 """,
 )
@@ -8946,9 +8954,16 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work, loudly).
     from bearysta_spark.streaming.curation import DEFAULT_MAX_BUCKET_SIZE
 
+    # cap observability (r09 VERDICT ask #6 / ADVICE): cap_buckets'
+    # measured drop counts surface on the dedup counter row, so a
+    # pipeline owner reading the funnel sees when near-dup recall was
+    # traded on a degenerate bucket — zeros everywhere the cap never
+    # bit (every registered scale; the oracle asserts the zeros)
+    cap_stats: dict = {}
     vpairs = D.minhash_dedup_verified(
         d, num_hashes=12, bands=3, threshold=0.5,
         max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+        cap_stats_out=cap_stats,
     ).select("id_a", "id_b")
     ndrem = (
         vpairs.join(s3a.select(F.col("doc_id").alias("id_a")), "id_a")
@@ -8973,19 +8988,33 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s4 = s3.join(tr, "doc_id").join(cont, "doc_id", "left_anti")
 
-    def stage(n: int, name: str, frame: DataFrame) -> DataFrame:
+    def stage(
+        n: int, name: str, frame: DataFrame, capped=(0, 0)
+    ) -> DataFrame:
         return frame.agg(
             F.lit(n).cast("long").alias("stage"),
             F.lit(name).alias("name"),
             F.count("*").cast("long").alias("n_docs"),
             F.coalesce(F.sum("tc"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.lit(capped[0]).cast("long").alias("n_capped_buckets"),
+            F.lit(capped[1]).cast("long").alias("n_capped_rows"),
         )
 
     out = (
         stage(1, "input", flags)
         .unionByName(stage(2, "lang", s1))
         .unionByName(stage(3, "quality", s2))
-        .unionByName(stage(4, "dedup", s3))
+        .unionByName(
+            stage(
+                4,
+                "dedup",
+                s3,
+                capped=(
+                    cap_stats.get("n_capped_buckets", 0),
+                    cap_stats.get("n_capped_rows", 0),
+                ),
+            )
+        )
         .unionByName(stage(5, "decontam", s4))
     )
     return out.orderBy("stage")
@@ -9679,6 +9708,62 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pieces, "piece string, cost long, cnt long"
     ).orderBy("piece")
+
+
+@query(
+    "unigram_trained_compression",
+    oracle=TK.unigram_trained_compression_oracle_sql(),
+)
+def unigram_trained_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-bill for the unigram-LM tokenizer — the
+    bpe_trained_compression sibling that closes the triptych's last
+    composition gap (r09 VERDICT ask #5): learn the unigram inventory
+    from the corpus (unigram_train, 2 EM rounds) and report each
+    source's bill UNDER THE TRAINED PIECES — words, pieces, milli-nat
+    cost, pieces-per-word. The trainer hands back the per-word bill
+    frame itself (return_word_bill=True): the final Viterbi pass runs
+    on the trainer's already-materialized vocab table, so
+    train+bill = 2 corpus scans total (words build + bill join), the
+    family's contract. The oracle NESTS the full training replay —
+    the serving DP's piece table is the training oracle's final
+    inv{{r}} CTE, not a VALUES literal — then replays the serving
+    Viterbi (cost, n_pieces argmin; the bill is unique without the
+    path tiebreak because only cost+count escape) and the per-source
+    bill with the same char-fallback arms as the engine kernel.
+    100 TB shape: training as in unigram_train_pieces (vocab-bounded
+    Arrow passes, driver model state); billing is the occurrence
+    stream joined to the measured-size-gated per-word bill — the
+    bpe_trained_compression join shape. Integers until the one final
+    division."""
+    from bearysta_spark.functions.dedup import (
+        BROADCAST_ROW_LIMIT as _BRL,
+    )
+    from bearysta_spark.functions.dedup import _gated_broadcast
+
+    d = _t(spark, sf_dir, "documents")
+    occ = TK.word_occurrences(d)
+    words = occ.groupBy("word").agg(F.count("*").cast("long").alias("freq"))
+    _inv, wc = TK.unigram_train(words, return_word_bill=True)
+    n_vocab = wc.count()  # cheap: wc is a scratch-parquet scan
+    return (
+        occ.join(
+            _gated_broadcast(
+                wc, n_vocab, _BRL, "unigram_trained_compression word bill"
+            ),
+            "word",
+        )
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("sp_pieces").cast("long").alias("pieces_total"),
+            F.sum("sp_cost").cast("long").alias("cost_total"),
+            F.round(
+                F.sum("sp_pieces").cast("double") / F.count("*"), 6
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("source")
+    )
 
 
 # shared CTE prefix for the repetition-signal oracles: per-doc word

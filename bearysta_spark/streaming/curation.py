@@ -74,6 +74,25 @@ BLOOM_SCHEMA = "kb int, slot int, bits long, batch_id int"
 #: cliques at micro-batch scale never hit it.
 DEFAULT_MAX_BUCKET_SIZE = 10_000
 
+#: default hash-partition fan-out for the LSH index's bucket key: the
+#: index is laid out by (batch_id, band, bb = hash(bucket) mod B), so a
+#: probe carrying only the batch's (band, bucket) keys prunes the scan
+#: to the batch's colliding bb partitions instead of whole bands
+#: (r09 VERDICT finding #2). Correctness-load-bearing like the exact
+#: probe's kb (persisted via ensure_layout): a probe filtering on a
+#: DIFFERENT modulus would read the wrong partitions and silently miss
+#: cross-batch near-dups. 16 balances pruning (a small batch reads
+#: ~its own share of the index) against per-batch file count
+#: (bands × B partition dirs per micro-batch, self-compacted).
+DEFAULT_BUCKET_PARTITIONS = 16
+
+
+def _bb_col(bucket_partitions: int):
+    """The LSH index's bucket-hash partition column expression."""
+    return F.pmod(F.xxhash64("bucket"), F.lit(bucket_partitions)).cast(
+        "int"
+    )
+
 
 def _bloom_root(index_root: str) -> str:
     return index_root.rstrip("/") + "_bloom"
@@ -130,6 +149,7 @@ def cap_cumulative_buckets(
     bb: DataFrame,
     lsh: DataFrame | None,
     max_bucket_size: int,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """The streaming twin of functions.dedup.cap_buckets: drop (band,
     bucket) keys whose CUMULATIVE membership — persisted index rows
@@ -181,36 +201,59 @@ def cap_cumulative_buckets(
     hot = tot.filter(F.col("__sz") > max_bucket_size)
     from bearysta_spark.functions.dedup import HOT_KEY_COLLECT_LIMIT
 
-    stats = hot.agg(
-        F.count("*").alias("nk"),
-        F.sum("__sz").alias("nr"),
-        F.max("__sz").alias("mx"),
-    ).collect()[0]
-    if not stats["nk"]:
+    if stats_out is not None:
+        stats_out.update({"n_capped_buckets": 0, "n_capped_rows": 0})
+    # ONE driver action on every path that fits the collect cap: the
+    # bounded limit-collect both detects hot keys and carries the
+    # stats, so the happy path (no hot bucket — every healthy batch)
+    # pays a single job instead of a stats agg plus a key collect
+    # (r09 ADVICE)
+    hot_rows = hot.limit(HOT_KEY_COLLECT_LIMIT + 1).collect()
+    if not hot_rows:
         return bb
-    logger.warning(
-        "cap_cumulative_buckets: dropping %d LSH buckets over the "
-        "cumulative cap %d (largest %d members incl. index, %d rows "
-        "total) — their candidates carry no locality signal and grow "
-        "with stream age",
-        stats["nk"],
-        max_bucket_size,
-        stats["mx"],
-        stats["nr"],
-    )
-    if stats["nk"] <= HOT_KEY_COLLECT_LIMIT:
+    if len(hot_rows) <= HOT_KEY_COLLECT_LIMIT:
+        nk = len(hot_rows)
+        nr = sum(r["__sz"] for r in hot_rows)
+        mx = max(r["__sz"] for r in hot_rows)
+        if stats_out is not None:
+            stats_out.update(
+                {"n_capped_buckets": nk, "n_capped_rows": int(nr)}
+            )
+        logger.warning(
+            "cap_cumulative_buckets: dropping %d LSH buckets over the "
+            "cumulative cap %d (largest %d members incl. index, %d rows "
+            "total) — their candidates carry no locality signal and grow "
+            "with stream age",
+            nk, max_bucket_size, mx, nr,
+        )
         hot_local = bb.sparkSession.createDataFrame(
-            [(r.band, r.bucket)
-             for r in hot.select("band", "bucket").collect()],
+            [(r["band"], r["bucket"]) for r in hot_rows],
             bb.select("band", "bucket").schema,
         )
         return bb.join(
             F.broadcast(hot_local), ["band", "bucket"], "left_anti"
         )
+    # truncated: the hot-key set exceeds the driver collect cap — one
+    # distributed recount for the stats (still logged, never silent),
+    # anti-join stays distributed
+    stats = hot.agg(
+        F.count("*").alias("nk"),
+        F.sum("__sz").alias("nr"),
+        F.max("__sz").alias("mx"),
+    ).collect()[0]
+    if stats_out is not None:
+        stats_out.update(
+            {
+                "n_capped_buckets": int(stats["nk"]),
+                "n_capped_rows": int(stats["nr"]),
+            }
+        )
     logger.warning(
-        "cap_cumulative_buckets: %d hot keys exceed the driver collect "
-        "cap %d; keeping the anti-join distributed",
-        stats["nk"],
+        "cap_cumulative_buckets: dropping %d LSH buckets over the "
+        "cumulative cap %d (largest %d members incl. index, %d rows "
+        "total); the hot-key set exceeds the driver collect cap %d — "
+        "keeping the anti-join distributed",
+        stats["nk"], max_bucket_size, stats["mx"], stats["nr"],
         HOT_KEY_COLLECT_LIMIT,
     )
     return bb.join(hot.select("band", "bucket"), ["band", "bucket"],
@@ -239,13 +282,17 @@ def compact_pipeline_indexes(
 ) -> None:
     """One maintenance call for the composed pipeline's THREE
     self-growing stores: the norm-key index, its Bloom sidecar, and
-    the LSH band-bucket index (partitioned by (batch_id, band); its
-    `origin` DATA column keeps the out-store text fetch pruning
-    correct after the partition batch_id folds into a tier). Same
-    watermark contract as compact_curation_index."""
+    the LSH band-bucket index (partitioned by (batch_id, band, bb) —
+    bb keeps the fold probe-prunable; its `origin` DATA column keeps
+    the out-store text fetch pruning correct after the partition
+    batch_id folds into a tier). Same watermark contract as
+    compact_curation_index. An index written before the bb layout
+    existed cannot be folded by this call — rebuild it (the pipeline's
+    ensure_layout refuses to probe it anyway)."""
     compact_curation_index(spark, index_root, upto_batch)
     compact_index(
-        spark, lsh_root, upto_batch, partition_cols=("batch_id", "band")
+        spark, lsh_root, upto_batch,
+        partition_cols=("batch_id", "band", "bb"),
     )
 
 
@@ -265,6 +312,7 @@ def start_streaming_curation_pipeline(
     bands: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    bucket_partitions: int = DEFAULT_BUCKET_PARTITIONS,
     compact_every: int | None = None,
     eval_gram_index: str | None = None,
     decontam_n: int = 8,
@@ -305,24 +353,31 @@ def start_streaming_curation_pipeline(
     - counters_path: per-batch funnel counters, stage 4 = exact+near;
     - index_root (+_bloom): the norm-key exact-dedup index/sidecar;
     - lsh_root: (id, band, bucket, origin) band buckets of every exact
-      survivor, partitioned by (batch_id, band). `origin` duplicates
-      the arrival batch as a DATA column so candidate pairs can prune
-      the out-store fetch even after compact_index folds the partition
-      batch_id into a tier.
+      survivor, partitioned by (batch_id, band, bb) where
+      bb = hash(bucket) mod bucket_partitions — the probe and the
+      cumulative cap count read only the batch's colliding bb
+      partitions instead of whole bands (r09 VERDICT finding #2; the
+      modulus is layout-persisted and validated on restart). `origin`
+      duplicates the arrival batch as a DATA column so candidate pairs
+      can prune the out-store fetch even after compact_index folds the
+      partition batch_id into a tier.
 
     100 TB shape: per-batch cost tracks the batch everywhere except the
     two probes — the exact probe is Bloom-gated and kb-pruned (see
     module docstring), and the LSH probe is a (band, bucket) equi-join
     against the index with candidate-bounded verification (the Jaccard
     join only ever touches bucket-mates, the same contract as
-    minhash_dedup_verified) — now with the cumulative hot-bucket
+    minhash_dedup_verified), partition-pruned to the batch's bb
+    buckets so the scan reads ~|batch bb set|/bucket_partitions of the
+    index rather than all of it — with the cumulative hot-bucket
     backstop (cap_cumulative_buckets, `max_bucket_size`): a degenerate
     bucket's candidate volume used to grow with stream lifetime; it is
-    now bounded by construction, loudly. The only collects are the
-    suspects' kb list (<= buckets), the candidates' origin-batch list
+    bounded by construction, loudly. The only collects are the
+    suspects' kb list (<= buckets), the batch's bb list
+    (<= bucket_partitions), the candidates' origin-batch list
     (<= batches actually collided with), and the hot-bucket key list
-    (<= the batch's bucket count, and nonempty only on degenerate
-    input).
+    (<= HOT_KEY_COLLECT_LIMIT + 1, and past the detect row only on
+    degenerate input).
 
     compact_every=N folds all three self-growing stores every N
     batches (after the batch's sinks land, upto_batch = the current
@@ -375,10 +430,35 @@ def start_streaming_curation_pipeline(
         sigs = minhash_signatures(
             surv, text_col, id_col, k, num_hashes, oracle_safe=True
         )
-        bb = band_buckets(sigs, id_col, num_hashes, bands).persist()
+        # bb rows carry the bucket-hash partition column from birth, so
+        # the sink and the probes share one definition; the modulus is
+        # correctness-load-bearing (the probe prunes on it) and is
+        # persisted/validated like the exact probe's kb
+        ensure_layout(
+            spark, lsh_root,
+            {
+                "k": k, "num_hashes": num_hashes, "bands": bands,
+                "bucket_partitions": bucket_partitions,
+            },
+        )
+        bb = (
+            band_buckets(sigs, id_col, num_hashes, bands)
+            .withColumn("bb", _bb_col(bucket_partitions))
+            .persist()
+        )
         lsh = read_index_view(spark, lsh_root, before_batch=batch_id)
+        if lsh is not None:
+            # partition pruning (r09 VERDICT finding #2): the batch can
+            # only collide inside its own bb partitions, so BOTH the
+            # cumulative cap count and the cross-probe read just those —
+            # the bb list is bounded by bucket_partitions, never by data
+            bbs = [r.bb for r in bb.select("bb").distinct().collect()]
+            lsh = lsh.filter(F.col("bb").isin(bbs))
+        cap_stats: dict = {"n_capped_buckets": 0, "n_capped_rows": 0}
         bbp = (
-            cap_cumulative_buckets(bb, lsh, max_bucket_size)
+            cap_cumulative_buckets(
+                bb, lsh, max_bucket_size, stats_out=cap_stats
+            )
             if max_bucket_size is not None
             else bb
         )
@@ -539,7 +619,7 @@ def start_streaming_curation_pipeline(
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "band")
+            .partitionBy("batch_id", "band", "bb")
             .parquet(lsh_root)
         )
         survread = (
@@ -548,20 +628,37 @@ def start_streaming_curation_pipeline(
             .filter(F.col("batch_id") == batch_id)
         )
 
-        def stage(n: int, name: str, frame: DataFrame) -> DataFrame:
+        def stage(
+            n: int, name: str, frame: DataFrame, capped=(0, 0)
+        ) -> DataFrame:
+            # n_capped_*: nonzero only on the dedup row and only when
+            # the hot-bucket cap actually dropped (band, bucket) keys
+            # this batch — cap observability for a pipeline owner
+            # reading counters_path (r09 VERDICT ask #6; the batch
+            # funnel's report carries the same columns)
             return frame.agg(
                 F.lit(n).cast("long").alias("stage"),
                 F.lit(name).alias("name"),
                 F.count("*").cast("long").alias("n_docs"),
                 F.coalesce(F.sum("tc"), F.lit(0)).cast("long")
                 .alias("n_tokens"),
+                F.lit(capped[0]).cast("long").alias("n_capped_buckets"),
+                F.lit(capped[1]).cast("long").alias("n_capped_rows"),
             )
 
         counters = (
             stage(1, "input", flags)
             .unionByName(stage(2, "lang", flags.filter("lang_ok")))
             .unionByName(stage(3, "quality", gated))
-            .unionByName(stage(4, "dedup", survread.filter("near_ok")))
+            .unionByName(
+                stage(
+                    4, "dedup", survread.filter("near_ok"),
+                    capped=(
+                        cap_stats["n_capped_buckets"],
+                        cap_stats["n_capped_rows"],
+                    ),
+                )
+            )
         )
         if eval_gram_index is not None:
             counters = counters.unionByName(

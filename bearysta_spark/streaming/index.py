@@ -234,7 +234,16 @@ def _write_json_exclusive(
     False when the file already exists (another writer won the race)
     instead of overwriting it. Local = O_EXCL open; URI =
     fs.create(overwrite=False), which raises FileAlreadyExists on HDFS
-    and object stores with conditional-put support."""
+    and object stores with conditional-put support.
+
+    On object stores WITHOUT conditional put (plain S3A),
+    create(overwrite=False) is check-then-put — two racing
+    initializers can both "win" and the later PUT silently clobbers
+    the earlier (r09 ADVICE). So the URI branch reads the file back
+    after writing and claims victory only when the surviving content
+    is ITS OWN; a mismatch is reported as a lost race, which sends
+    the caller down ensure_layout's re-read-and-compare path. Two
+    writers racing with EQUAL content need no arbitration."""
     body = json.dumps(data)
     p = os.path.join(root, name)
     if _is_uri(root):
@@ -256,7 +265,12 @@ def _write_json_exclusive(
             out.write(bytearray(body.encode()))
         finally:
             out.close()
-        return True
+        # last-writer-wins arbitration: whoever's bytes SURVIVED is the
+        # winner; everyone else lost the race and must re-read/compare
+        try:
+            return _read_json(root, name, spark) == data
+        except ValueError:
+            return False
     try:
         fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -402,7 +416,17 @@ def compact_index(
 
 def _marker_age_sec(root: str, spark: SparkSession | None = None) -> float | None:
     """Seconds since the compaction marker was last committed, by file
-    mtime (None if unreadable) — the reclamation grace clock."""
+    mtime (None if unreadable) — the reclamation grace clock.
+
+    On URI filesystems "now" comes from the SAME filesystem's clock: a
+    probe file is touched next to the marker and ITS mtime is the
+    reference, so namenode/object-store clock skew against the driver
+    cannot overstate the marker's age and cut the reclaim_min_age_sec
+    grace short against a live stream (r09 ADVICE). Both timestamps
+    are then stamped by the same clock; residual error is the touch
+    round-trip, which only AGES the marker estimate conservatively
+    (the probe is stamped after the marker, so marker_age >= 0 and is
+    never overstated)."""
     p = os.path.join(root, MARKER)
     try:
         if _is_uri(root):
@@ -413,7 +437,15 @@ def _marker_age_sec(root: str, spark: SparkSession | None = None) -> float | Non
             if not fs.exists(jpath):
                 return None
             mtime_ms = fs.getFileStatus(jpath).getModificationTime()
-            return max(0.0, time.time() - mtime_ms / 1000.0)
+            probe = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(root, "_now.probe")
+            )
+            out = fs.create(probe, True)
+            out.close()
+            now_ms = fs.getFileStatus(probe).getModificationTime()
+            fs.delete(probe, False)  # best-effort; '_' prefix is
+            # parquet-invisible even if the delete loses a race
+            return max(0.0, (now_ms - mtime_ms) / 1000.0)
         return max(0.0, time.time() - os.path.getmtime(p))
     except OSError:
         return None

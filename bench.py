@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "eval_containment_report",
     "unigram_train_pieces",
     "knn_imi_pq_persisted",
+    "unigram_trained_compression",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

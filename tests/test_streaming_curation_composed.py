@@ -384,3 +384,98 @@ def test_composed_pipeline_with_decontam_stage(spark, tmp_path):
     cnt = spark.read.parquet(p["cnt"])
     s5 = cnt.filter("stage = 5").agg(F.sum("n_docs")).collect()[0][0]
     assert s5 == len(curated)
+
+
+# -- r09 VERDICT #2/#6: bb partition pruning + cap observability ------------
+
+
+def test_lsh_index_bb_layout_and_partition_pruning(spark, tmp_path):
+    """The LSH index lays out (batch_id, band, bb) hive partitions and a
+    probe filtering on the batch's bb values prunes the scan to those
+    partitions (the test_streaming_index.py plan idiom); restarting the
+    stream with a different bucket_partitions modulus fails loudly."""
+    import os
+
+    import pytest
+
+    from bearysta_spark.streaming.curation import (
+        DEFAULT_BUCKET_PARTITIONS,
+        _bb_col,
+        start_streaming_curation_pipeline,
+    )
+    from bearysta_spark.streaming.index import read_index_view
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    _feed(spark, p["land"], B0 + B1)
+    _run_once(spark, p["land"], p["idx"], p["lsh"], p["out"], p["cnt"],
+              p["ckpt"])
+
+    # on-disk layout: bb= dirs nested under each band
+    band_dir = os.path.join(p["lsh"], "batch_id=0", "band=0")
+    assert any(d.startswith("bb=") for d in os.listdir(band_dir))
+
+    # the probe's exact shape: index view filtered to a bb list
+    lsh = read_index_view(spark, p["lsh"], before_batch=99)
+    some_bb = [r.bb for r in lsh.select("bb").distinct().limit(1).collect()]
+    pruned = lsh.filter(F.col("bb").isin(some_bb))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "bb" in pf[1].split("]", 1)[0], plan
+    # and the filter really narrows the read to that partition's rows
+    full_rows = lsh.count()
+    got = pruned.collect()
+    assert 0 < len(got) < full_rows
+    assert all(r.bb in some_bb for r in got)
+    # pruning is lossless for the probe: every row whose bucket hashes
+    # into the bb list is present
+    expect = (
+        lsh.withColumn("__bb2", _bb_col(DEFAULT_BUCKET_PARTITIONS))
+        .filter(F.col("__bb2").isin(some_bb))
+        .count()
+    )
+    assert len(got) == expect
+
+    # modulus is correctness-load-bearing: a restart with a different
+    # bucket_partitions must refuse to probe (layout mismatch)
+    _feed(spark, p["land"], B2)
+    stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+    q = start_streaming_curation_pipeline(
+        stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+        bucket_partitions=8,
+    )
+    try:
+        with pytest.raises(Exception, match="layout mismatch"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_cap_counters_observability(spark, tmp_path):
+    """r09 VERDICT ask #6: when the hot-bucket cap drops keys, the
+    stage-4 counter row carries the measured n_capped_buckets /
+    n_capped_rows — and zeros on every healthy batch."""
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    b0 = [(i, _tpl(i), "en", "s0") for i in range(6)] + [(8, C, "en", "s0")]
+    b1 = [(30, E, "en", "s1"), (31, E2, "en", "s1")]
+    _feed(spark, p["land"], b0)
+    _run_capped(spark, p, cap=3)
+    _feed(spark, p["land"], b1)
+    _run_capped(spark, p, cap=3)
+
+    cnt = spark.read.parquet(p["cnt"])
+    by_batch = {
+        (r.batch_id, r.stage): (r.n_capped_buckets, r.n_capped_rows)
+        for r in cnt.collect()
+    }
+    # the clique batch capped its boilerplate buckets — visible counts
+    nb, nr = by_batch[(0, 4)]
+    assert nb > 0 and nr > nb  # >1 member per capped bucket
+    # the healthy batch capped nothing
+    assert by_batch[(1, 4)] == (0, 0)
+    # non-dedup stages never carry cap counts
+    assert all(
+        v == (0, 0) for (b, s), v in by_batch.items() if s != 4
+    )

@@ -635,3 +635,36 @@ def test_unigram_train_reads_input_exactly_once(spark):
     assert acc.value == n_words, (
         f"input read {acc.value / n_words:.1f}x; expected exactly once"
     )
+
+
+def test_unigram_train_word_bill_matches_serving_kernel(spark):
+    """return_word_bill=True hands back the per-word bill under the
+    FINAL inventory — identical to running viterbi_piece_counts over
+    the same vocab with the returned (piece, cost) pairs, and costed
+    in DuckDB's ln (the _millinats cross-engine rule)."""
+    from pyspark.sql import functions as F
+
+    from bearysta_spark.functions.tokenize import (
+        unigram_train,
+        viterbi_piece_counts,
+        word_occurrences,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = word_occurrences(d).groupBy("word").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    inv, bill = unigram_train(words, rounds=2, return_word_bill=True)
+    got = {r.word: (r.sp_cost, r.sp_pieces) for r in bill.collect()}
+    want = {
+        r.word: (r.sp_cost, r.sp_pieces)
+        for r in viterbi_piece_counts(
+            words.select("word"),
+            pieces=[(p, c) for p, c, _ in inv],
+            max_len=12,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == words.count()  # every vocab word billed
+    # the trained inventory segments real words into >1 piece somewhere
+    assert any(np > 1 for _, np in got.values())
