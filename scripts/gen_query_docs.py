@@ -33,8 +33,10 @@ def main() -> None:
         "`scripts/driver_replica.py` at sf0.01).",
         "",
         f"**{len(QUERIES)} queries, {len(ORACLE)} oracle-paired.** Listed",
-        "in registration order (= driver sampling priority: queries",
-        "without a CORRECTNESS row yet come first).",
+        "in registration order. (The driver samples 50 per round for",
+        "CORRECTNESS_r{N}.json by a rule of its own; queries outside a",
+        "round's draw are replica-verified via driver_replica.py and",
+        "recorded in REPLICA_r{N}.json.)",
         "",
     ]
     for name, fn in QUERIES.items():
