@@ -533,6 +533,96 @@ def classifier_margins(
     )
 
 
+def classifier_train(
+    df: DataFrame,
+    label_col: str,
+    dim: int = 256,
+    rounds: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, int, list[int]]]:
+    """Distributed TRAINING of the fastText-style linear quality
+    classifier that classifier_margins serves — the classifier twin of
+    the tokenizer-training pair (bpe_train / unigram_train): the repo
+    could APPLY a hashed-feature linear model (external .vec weights or
+    embedded constants) but never learn one from the corpus.
+
+    Algorithm: ANNEALED batch perceptron over the feature-hashed
+    document vectors, exact-integer end to end (no learning-rate
+    float, no sigmoid — the fixed-point house rule):
+
+    - x_i = hashed_doc_vectors(df, dim) sparse integer counts
+      (signed hashing, Weinberger et al. 2009); y_i = `label_col`
+      (must be +1/-1). Documents with no [a-z0-9] token have no sparse
+      rows and are outside the training set (consistent with
+      classifier_margins' serving contract).
+    - round r: margin_i = Σ_d x_i[d]·w[d] (integer); batch
+      subgradient g[d] = Σ_{i: y_i·margin_i <= 0} y_i·x_i[d] — an
+      order-independent integer aggregate (a per-sample perceptron is
+      sequential by definition and would not distribute); update
+      w[d] += g[d] >> (r-1). The geometric annealing is what makes
+      the BATCH variant converge: the raw full-batch step overshoots
+      the boundary and oscillates between the all-positive and
+      all-negative regimes every round (measured: n_mis ping-ponged
+      233<->267 forever on a balanced label), while the halved step
+      refines — and arithmetic right shift IS floor(g/2^r) for
+      negative g in BOTH engines (Spark shiftright = Java >>; DuckDB
+      >> verified arithmetic), where integer division would NOT be
+      (DuckDB // truncates toward zero: -7//2 = -3).
+
+    Returns [(round, n_misclassified, weights_after), ...] for rounds
+    1..`rounds` — the training curve plus every intermediate model;
+    the FINAL weights plug directly into classifier_margins.
+
+    100 TB shape: the sparse vectors + labels are scratch-materialized
+    ONCE (one corpus scan); each round is two narrow integer
+    aggregates over that table (margin agg at doc grain with the
+    weight literal via element_at — no join — then the misclassified
+    semi-join re-aggregated at dim grain) plus a doc-grain count, all
+    map-side combinable; model state is `dim` driver-side ints and the
+    plan stays constant-size across rounds (weights re-enter as a
+    literal). Overflow bound: |margin| <= dim·max|w|·max|x| must stay
+    under int64 — at ~1e12-token corpora train on a bounded sample
+    (functions.sampling) as production quality-classifier pipelines do
+    anyway."""
+    from bearysta_spark.scratch import cleanup, materialize_distributed
+
+    vec = hashed_doc_vectors(df, dim, text_col, id_col)
+    sparse = materialize_distributed(
+        vec.join(
+            df.select(
+                F.col(id_col), F.col(label_col).cast("long").alias("__y")
+            ),
+            id_col,
+        ),
+        "clftrain",
+    )
+    w = [0] * dim
+    history: list[tuple[int, int, list[int]]] = []
+    for r in range(1, int(rounds) + 1):
+        wcol = F.element_at(F.lit([int(x) for x in w]), F.col("dim") + 1)
+        per = sparse.groupBy(id_col).agg(
+            F.sum(F.col("weight") * wcol.cast("long")).alias("__m"),
+            F.first("__y").alias("__y"),
+        )
+        mis = per.filter(F.col("__y") * F.col("__m") <= 0).select(
+            id_col, "__y"
+        )
+        n_mis = mis.count()
+        grad = {
+            row["dim"]: int(row["g"])
+            for row in sparse.drop("__y")
+            .join(mis, id_col)
+            .groupBy("dim")
+            .agg(F.sum(F.col("weight") * F.col("__y")).alias("g"))
+            .collect()
+        }
+        w = [w[d] + (grad.get(d, 0) >> (r - 1)) for d in range(dim)]
+        history.append((r, n_mis, list(w)))
+    cleanup(sparse)
+    return history
+
+
 def curation_gate_flags(
     df: DataFrame,
     text_col: str = "text",

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "unigram_train_pieces",
     "knn_imi_pq_persisted",
     "unigram_trained_compression",
+    "quality_classifier_train_curve",
+    "quality_classifier_trained_filter",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative

@@ -248,3 +248,69 @@ def test_hashed_knn_exact_and_self_excluded(spark):
             sum(w * w for w in q.values()) * sum(w * w for w in d.values())
         )
         assert abs(r["sim"] - want) < 1e-12
+
+
+def test_classifier_train_converges_and_serves(spark):
+    """Annealed batch perceptron: the training curve converges on the
+    halfspace label (final n_mis well under round-2's), the final
+    weights classify substantially better than the majority class, and
+    the trained vector plugs into classifier_margins with identical
+    integer margins."""
+    from pyspark.sql import functions as F
+
+    from bearysta_spark.functions.text import (
+        classifier_margins,
+        classifier_train,
+        hashed_doc_vectors,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    labeled = d.withColumn(
+        "__lab",
+        F.when(
+            F.lit(10) * F.length(F.concat_ws("", ws)).cast("long")
+            >= F.lit(45) * F.size(ws).cast("long"),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    hist = classifier_train(labeled, "__lab", dim=256, rounds=8)
+    assert [r for r, _, _ in hist] == list(range(1, 9))
+    n_mis = [m for _, m, _ in hist]
+    # round 1 is all-misclassified by construction (w0 = 0); the
+    # annealed steps then converge instead of ping-ponging
+    assert n_mis[0] == labeled.count()
+    assert n_mis[-1] < n_mis[1] / 3
+    w = hist[-1][2]
+    assert len(w) == 256 and any(x != 0 for x in w)
+
+    # serving parity: classifier_margins with the trained weights
+    # reproduces the training margins exactly (integer dot products)
+    margins = {
+        r.doc_id: r.margin_milli
+        for r in classifier_margins(d, w).collect()
+    }
+    vec = hashed_doc_vectors(d, 256)
+    wcol = F.element_at(F.lit(w), F.col("dim") + 1).cast("long")
+    direct = {
+        r.doc_id: r.m
+        for r in vec.groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * wcol).alias("m"))
+        .collect()
+    }
+    assert margins == direct
+    # accuracy beats majority by a wide margin on the balanced label
+    labs = {
+        r["doc_id"]: r["__lab"]
+        for r in labeled.select("doc_id", "__lab").collect()
+    }
+    correct = sum(
+        1
+        for did, m in margins.items()
+        if (1 if m >= 0 else -1) == labs[did]
+    )
+    majority = max(
+        sum(1 for v in labs.values() if v == 1),
+        sum(1 for v in labs.values() if v == -1),
+    )
+    assert correct / len(margins) > 0.85 > majority / len(labs) + 0.25
