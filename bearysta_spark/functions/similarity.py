@@ -785,6 +785,34 @@ def pq_code_rows(
     return coded.select(id_col, F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
 
 
+def pq_codes_arrow(codebooks: list[list[list[float]]]):
+    """The PQ encoder as a reusable Arrow kernel: vector → m-length
+    codes array<int>, one `batch_sub @ codebook.T` dgemm per subspace
+    per Arrow batch, stable argmax (ties → lowest cell id). Both code
+    layouts derive from this one kernel — the row form
+    (pq_code_rows_arrow, for LUT-join scoring) and the array form
+    (_pq_index_frame, the persisted-index payload) — so they cannot
+    drift."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = C.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)  # (n, d)
+        out = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            scores = M[:, j * dsub : (j + 1) * dsub] @ C[j].T  # (n, ksub)
+            out[:, j] = np.argmax(scores, axis=1)  # first max = lowest cell
+        return pd.Series(list(out))
+
+    return codes
+
+
 def pq_code_rows_arrow(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -804,23 +832,7 @@ def pq_code_rows_arrow(
     1e-17 delta is measure-negligible — the same kernel-equivalence
     budget the driver-checked knn_ivf already relies on.
     Output matches pq_code_rows: (id, j, cell) rows."""
-    import numpy as np
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
-    m, _ksub, dsub = C.shape
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def codes(v: pd.Series) -> pd.Series:
-        if not len(v):
-            return pd.Series([], dtype=object)
-        M = np.array(list(v), dtype=np.float64)  # (n, d)
-        out = np.empty((len(M), m), dtype=np.int32)
-        for j in range(m):
-            scores = M[:, j * dsub : (j + 1) * dsub] @ C[j].T  # (n, ksub)
-            out[:, j] = np.argmax(scores, axis=1)  # first max = lowest cell
-        return pd.Series(list(out))
-
+    codes = pq_codes_arrow(codebooks)
     return (
         df.select(F.col(id_col), codes(F.col(vec_col)).alias("__codes"))
         .select(
@@ -1072,20 +1084,17 @@ def _pq_index_frame(
     """Shared PQ-index build: (id, codes array<int>, <cell_col>) rows —
     the coarse quantizer is whatever single-cell Column `cell_assign`
     computes (flat IVF or IMI product cells), the codes are the m-way
-    PQ assignment. One raw-vector pass; both persisted-index writers
-    call this so the code layout cannot drift between quantizers."""
-    cells = corpus.select(F.col(id_col), cell_assign.alias(cell_col))
-    wide = (
-        pq_code_rows_arrow(corpus, codebooks, id_col, vec_col)
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", "cell"))),
-                lambda s: s["cell"],
-            ).alias("codes")
-        )
+    PQ assignment. ONE raw-vector pass and ZERO shuffles: both Arrow
+    kernels (cell + codes) evaluate in a single projection over the
+    scan — this is also the streaming ingest's per-micro-batch cost
+    (streaming/ann.py), where an explode→regroup shuffle per batch
+    would dominate small batches. All persisted-index writers call
+    this so the code layout cannot drift between quantizers."""
+    return corpus.select(
+        F.col(id_col),
+        pq_codes_arrow(codebooks)(F.col(vec_col)).alias("codes"),
+        cell_assign.alias(cell_col),
     )
-    return cells.join(wide, id_col)
 
 
 def _pq_topk_from_index(

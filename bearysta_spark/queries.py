@@ -6665,6 +6665,62 @@ def knn_imi_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_imi_pq_streamed")
+def knn_imi_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMI-PQ search against a STREAM-GROWN index (streaming/ann.py) —
+    the continuous-embedding-pipeline shape: the corpus arrives as
+    three micro-batches, each quantized and committed under its
+    batch_id partition by the SAME per-batch core the streaming loop
+    runs (ingest_imipq_batch — raw vectors touched exactly once, at
+    arrival), the first two batches are folded by a mid-stream
+    compaction, and serving reads the marker-aware view through the
+    identical partition-pruned plan as the batch persisted path. The
+    shared knn_imi_pq_persisted oracle verifies the invariant that
+    makes streaming ingest trustworthy: an index grown incrementally —
+    across batch boundaries and a compaction — serves bit-identical
+    top-k to one built in a single batch pass. Chaos variants
+    (truncated-checkpoint replay, auto-compaction, layout guards) are
+    pinned in tests/test_streaming_ann.py."""
+    import os
+
+    from bearysta_spark.streaming.ann import (
+        imipq_topk_live,
+        ingest_imipq_batch,
+    )
+    from bearysta_spark.streaming.index import compact_index, delete_dir
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    path = os.path.join(_index_root(sf_dir), "imipq_stream_index")
+    # fresh stream per run: an earlier run's tiers/marker must not
+    # leak into this one (the media_ingest_dedup cleanup discipline)
+    delete_dir(spark, path)
+    n = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    cuts = (0, n // 3, (2 * n) // 3, n)
+    for b in range(3):
+        batch = e.filter(
+            (F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1])
+        ).select("vec_id", "embedding")
+        ingest_imipq_batch(
+            batch, b, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1],
+            _PQ_CODEBOOKS,
+        )
+        if b == 1:
+            compact_index(
+                spark, path, 2, partition_cols=("batch_id", "imi_cell")
+            )
+    out = imipq_topk_live(
+        q, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
+        k=5, probes=4, adc_agg=lambda c: dsum(c, 4),
+    )
+    return out.select(
+        "qid", "nid", "adc", F.col("rank").cast("int").alias("rank")
+    )
+
+
+ORACLE["knn_imi_pq_streamed"] = ORACLE["knn_imi_pq_persisted"]
+
+
 def _hll_est_sql(src: str) -> str:
     """Estimate-from-registers SQL over a CTE `src(week, bucket, m)` —
     the same exact-integer harmonic sum + linear-counting LUT as

@@ -1,0 +1,223 @@
+"""Streaming ANN ingest + live serving against a self-growing IMI-PQ
+index — the similarity-search counterpart of the dedup family's
+persisted/incremental/streaming triple.
+
+Batch ANN already has the production serving shape
+(functions.similarity.write_imipq_index + imi_pq_topk_from_index); a
+100 TB training-data pipeline additionally embeds documents
+CONTINUOUSLY and needs the index to absorb each micro-batch without a
+full rebuild. This module streams (id, vector) rows into the SAME
+codes-only, cell-partitioned layout the batch writer produces —
+per-batch cost is one Arrow quantization pass over the batch plus a
+batch-sized shuffle, never a corpus re-read — and serves top-k from a
+marker-aware consistent view of the accumulated index.
+
+Exactly-once by the house construction: the index sink is a batch_id
+dynamic-partition overwrite (a replayed micro-batch overwrites its own
+partition, never duplicates codes), the layout file pins the quantizer
+geometry (a stream restarted with different codebooks fails loudly
+BEFORE writing a mis-quantized row), and compaction — manual or
+compact_every=N from inside the loop — folds old batch partitions so
+file-listing cost stays bounded over the stream's lifetime.
+
+100 TB shape: index rows are (id, m codes, imi_cell) — ~m bytes of
+payload per vector, 32×+ smaller than raw floats — hive-partitioned by
+the K1·K2 product cell, so the serving probe's broadcast cell list
+prunes partitions before any byte is read, exactly like the batch
+path. Quantizer state that must broadcast stays K1+K2 half-width
+centroids plus the m·ksub PQ codebooks.
+
+Ingest contract: ids are unique across the stream's lifetime (the
+incremental-LSH contract); the searcher scores whatever rows the view
+exposes, so a re-sent id would be scored twice.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bearysta_spark.functions.similarity import (
+    _pq_index_frame,
+    assign_imi_cells_arrow,
+    imi_pq_topk_from_index,
+)
+from bearysta_spark.streaming.index import (
+    compact_index,
+    ensure_layout,
+    read_index_view,
+)
+
+
+def imipq_layout(
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> dict:
+    """Layout constants for a streaming IMI-PQ index: both half-space
+    codebook digests and the PQ codebook digest. All three are
+    correctness-load-bearing — cells are argmax against cb1/cb2 and
+    codes are argmax against the PQ codebooks, so an index grown under
+    one geometry and probed under another silently returns wrong
+    neighbors; ensure_layout turns that into a loud config error (the
+    centroid-digest guard of the streaming semantic-dedup arm)."""
+    return {
+        "k1": len(cb1),
+        "k2": len(cb2),
+        "m": len(codebooks),
+        "codebooks_md5": hashlib.md5(
+            json.dumps([cb1, cb2, codebooks]).encode()
+        ).hexdigest(),
+    }
+
+
+def _index_schema(id_col: str):
+    return f"{id_col} long, codes array<int>, imi_cell int, batch_id int"
+
+
+def ingest_imipq_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_root: str,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Quantize ONE micro-batch into the persisted IMI-PQ layout and
+    commit it under its batch_id partition. This is the whole per-batch
+    ingest — shared verbatim by the streaming loop and offline backfill
+    (the registered query), so the two paths cannot drift.
+
+    The row layout comes from the SAME _pq_index_frame the batch
+    writer (write_imipq_index) uses, so a stream-grown index is
+    file-compatible with a batch-built one: identical (id, codes,
+    imi_cell) rows, identical hive partitioning on the product cell
+    (plus batch_id for exactly-once), searchable by the identical
+    imi_pq_topk_from_index plan. Raw vectors are touched exactly once,
+    at ingest."""
+    spark = batch_df.sparkSession
+    ensure_layout(spark, index_root, imipq_layout(cb1, cb2, codebooks))
+    idx = _pq_index_frame(
+        batch_df,
+        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0],
+        "imi_cell",
+        codebooks,
+        id_col,
+        vec_col,
+    )
+    (
+        idx.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "imi_cell")
+        .parquet(index_root)
+    )
+
+
+def start_streaming_imipq_ingest(
+    stream_vecs: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    index_root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Stream (id, vector) rows into a self-growing persisted IMI-PQ
+    index. Each micro-batch pays one Arrow quantization pass (two half
+    dgemms for the cell + m sub-dgemms for the codes) and one
+    batch-sized codes shuffle; the index on disk grows by ~m bytes per
+    vector. compact_every=N folds batch partitions from inside the
+    loop every N batches (replay-safe: folding at upto=current only
+    touches partitions whose batches have committed)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_imipq_batch(
+            batch_df, batch_id, index_root, cb1, cb2, codebooks,
+            id_col, vec_col,
+        )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_index(
+                batch_df.sparkSession, index_root, batch_id,
+                partition_cols=("batch_id", "imi_cell"),
+            )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def imipq_index_view(
+    spark: SparkSession,
+    index_root: str,
+    id_col: str = "vec_id",
+    before_batch: int | None = None,
+) -> DataFrame | None:
+    """The marker-aware consistent view of a stream-grown IMI-PQ index
+    (streaming/index.py:read_index_view semantics: committed compaction
+    tiers honored, half-written tiers hidden, optional batch_id upper
+    bound so a probe never sees its own in-flight write). None while
+    the index holds no data."""
+    return read_index_view(
+        spark, index_root, before_batch=before_batch,
+        schema=_index_schema(id_col),
+    )
+
+
+def imipq_topk_live(
+    queries: DataFrame,
+    index_root: str,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """Top-k against everything the stream has committed so far: the
+    identical search plan as the batch persisted path
+    (imi_pq_topk_from_index — broadcast probe list dynamically prunes
+    the imi_cell partitions, broadcast ADC LUT ranks codes-only rows)
+    over the marker-aware view. Raises if the index is empty or was
+    grown under a different quantizer geometry (a read-side check
+    only — serving never creates layout state)."""
+    from bearysta_spark.streaming.index import read_layout
+
+    spark = queries.sparkSession
+    cur = read_layout(index_root, spark)
+    want = imipq_layout(cb1, cb2, codebooks)
+    if cur is not None and cur != want:
+        raise ValueError(
+            f"index layout mismatch at {index_root}: persisted {cur}, "
+            f"caller expects {want} — searching an index grown under a "
+            "different quantizer geometry returns wrong neighbors"
+        )
+    idx = imipq_index_view(spark, index_root, id_col=id_col)
+    if idx is None:
+        raise ValueError(
+            f"streaming IMI-PQ index at {index_root} holds no committed "
+            "rows yet — nothing to search"
+        )
+    return imi_pq_topk_from_index(
+        idx.drop("batch_id"),
+        queries,
+        cb1,
+        cb2,
+        codebooks,
+        k=k,
+        probes=probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        adc_agg=adc_agg,
+    )

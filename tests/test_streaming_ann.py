@@ -1,0 +1,159 @@
+"""Streaming ANN (self-growing IMI-PQ index): a stream-grown index must
+serve the IDENTICAL top-k as the batch persisted path over the same
+vectors — chaos-tested across truncated-checkpoint replay and a
+compaction boundary — and refuse to grow or serve under a different
+quantizer geometry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_streaming_multimodal import _truncate_last_commit
+
+SF = "/root/testdata/sf0.001"
+
+
+def _geometry():
+    from bearysta_spark.queries import _IMI_CODEBOOKS, _PQ_CODEBOOKS
+
+    return _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS
+
+
+def _feed(spark, land, lo, hi):
+    (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select("vec_id", "embedding")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(land)
+    )
+
+
+def _run_once(spark, land, idx, ckpt, cb1, cb2, cbs, compact_every=None):
+    from bearysta_spark.streaming.ann import start_streaming_imipq_ingest
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(land)
+    q = start_streaming_imipq_ingest(
+        stream, cb1, cb2, cbs, idx, ckpt, compact_every=compact_every
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _serve(spark, idx, cb1, cb2, cbs):
+    from bearysta_spark.queries import dsum
+    from bearysta_spark.streaming.ann import imipq_topk_live
+
+    q = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+    )
+    out = imipq_topk_live(
+        q, idx, cb1, cb2, cbs, k=5, probes=4,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+    return {(r.qid, r.rank): (r.nid, float(r.adc)) for r in out.collect()}
+
+
+def _batch_reference(spark, cb1, cb2, cbs, hi, tmp):
+    from bearysta_spark.functions.similarity import (
+        imi_pq_topk_from_index,
+        write_imipq_index,
+    )
+    from bearysta_spark.queries import dsum
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < hi)
+        .select("vec_id", "embedding")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    write_imipq_index(e, cb1, cb2, cbs, tmp)
+    out = imi_pq_topk_from_index(
+        spark.read.parquet(tmp), q, cb1, cb2, cbs, k=5, probes=4,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+    return {(r.qid, r.rank): (r.nid, float(r.adc)) for r in out.collect()}
+
+
+def test_streaming_imipq_matches_batch_with_replay_and_compaction(
+    spark, tmp_path
+):
+    from bearysta_spark.streaming.index import compact_index, read_marker
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+
+    _feed(spark, land, 0, 150)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    _feed(spark, land, 150, 300)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    _truncate_last_commit(ckpt)  # die between execute and commit
+    # replay batch 1 (partition overwrite, no duplicate codes), fold
+    # batches 0-1, then grow past the compacted tier
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    compact_index(spark, idx, 2, partition_cols=("batch_id", "imi_cell"))
+    assert read_marker(idx) == {"tier": -2, "upto": 2}
+    _feed(spark, land, 300, 500)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+
+    from bearysta_spark.streaming.ann import imipq_index_view
+
+    view = imipq_index_view(spark, idx)
+    assert view.count() == 500  # replay overwrote, never duplicated
+    got = _serve(spark, idx, cb1, cb2, cbs)
+    want = _batch_reference(
+        spark, cb1, cb2, cbs, 500, str(tmp_path / "batchidx")
+    )
+    assert got == want
+    assert len({q for q, _ in got}) == 5  # every query served k rows
+
+
+def test_streaming_imipq_layout_guard(spark, tmp_path):
+    from bearysta_spark.functions.similarity import make_pq_codebooks
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+    _feed(spark, land, 0, 100)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    other = make_pq_codebooks(dim=64, m=8, ksub=8, seed=99)
+    # growing under a different geometry must fail loudly
+    _feed(spark, land, 100, 200)
+    with pytest.raises(Exception, match="layout mismatch"):
+        _run_once(spark, land, idx, str(tmp_path / "ckpt2"),
+                  cb1, cb2, other)
+    # serving under a different geometry must fail loudly too
+    with pytest.raises(ValueError, match="layout mismatch"):
+        _serve(spark, idx, cb1, cb2, other)
+
+
+def test_streaming_imipq_serve_empty_raises(spark, tmp_path):
+    cb1, cb2, cbs = _geometry()
+    with pytest.raises(ValueError, match="no committed rows"):
+        _serve(spark, str(tmp_path / "noidx"), cb1, cb2, cbs)
+
+
+def test_streaming_imipq_auto_compaction(spark, tmp_path):
+    """compact_every=2: the ingest loop folds its own index; serving
+    over the auto-folded tier still equals the batch path."""
+    from bearysta_spark.streaming.index import read_marker
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+    for lo, hi in ((0, 150), (150, 300), (300, 500)):
+        _feed(spark, land, lo, hi)
+        _run_once(spark, land, idx, ckpt, cb1, cb2, cbs, compact_every=2)
+    m = read_marker(idx)
+    assert m is not None and m["upto"] == 2
+    got = _serve(spark, idx, cb1, cb2, cbs)
+    want = _batch_reference(
+        spark, cb1, cb2, cbs, 500, str(tmp_path / "batchidx")
+    )
+    assert got == want
