@@ -10712,6 +10712,359 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+#: DoReMi EG constants shared by engine and oracle: rounds of
+#: exponentiated-gradient ascent, milli-bits of excess loss per 1-bit
+#: weight doubling (q), the per-round shift cap, the weight rescale
+#: target (2^20), and the final uniform-smoothing mix in tenths.
+_DOREMI_ROUNDS = 8
+_DOREMI_Q = 4
+_DOREMI_SHIFT_CAP = 30
+_DOREMI_WBITS = 20
+_DOREMI_SMOOTH_TENTHS = 3
+
+#: Per-domain integer loss table shared by the DoReMi oracle: unigram
+#: cross-entropy where each token's surprisal is the whole-bit code
+#: length floor(log2(total/count)) — computed EXACTLY from integers as
+#: length(bin(total // count)) - 1 (floor(log2(t/c)) == floor(log2(t
+#: // c)) for c <= t), so no engine ever evaluates a transcendental.
+_DOREMI_BASE_CTE = """
+    toks AS MATERIALIZED (SELECT source AS dom,
+                    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+             FROM documents),
+    c1 AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                        FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+    su AS MATERIALIZED (SELECT tok, CAST(length(bin(t // c)) - 1 AS BIGINT)
+                        AS s FROM c1, tot),
+    base AS MATERIALIZED (SELECT dom, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(s) AS BIGINT) AS S,
+                    (1000 * CAST(sum(s) AS BIGINT)) // count(*) AS L
+             FROM toks JOIN su USING (tok) GROUP BY dom)"""
+
+
+def _doremi_chain_sql(
+    rounds: int = _DOREMI_ROUNDS, base_sql: str | None = None
+) -> str:
+    """The DoReMi oracle's shared CTE chain: the per-domain integer
+    loss table plus the EG trajectory unrolled as one CTE stage pair
+    per round (the unimax/kmeans unrolling idiom), ending in
+    plan(dom, n, L, w, alpha_ppm, smooth_ppm) — consumed by the
+    weights oracle's final select and the serving oracle's sampler
+    tail. Every stage is MATERIALIZED — each round references its
+    predecessor three times (weight sum, weighted loss, max), so
+    inlined CTEs would re-expand the corpus scan ~3^R times (measured:
+    fd exhaustion at R=8; the unigram_train lesson). Every quantity is
+    integer — weights are HUGEINT (shift-and-rescale keeps them in
+    [1, 2^20·2^30·2^20], well inside 128 bits) — so the replay is
+    exact on any engine with exact integer division."""
+    q, cap, wb = _DOREMI_Q, _DOREMI_SHIFT_CAP, _DOREMI_WBITS
+    stages = [
+        f"w0 AS MATERIALIZED "
+        f"(SELECT dom, CAST({1 << wb} AS HUGEINT) AS w FROM base)"
+    ]
+    for t in range(rounds):
+        stages.append(f"""
+    u{t} AS MATERIALIZED (
+      SELECT b.dom, wt.w << CAST(least(greatest(b.L - (
+          (SELECT sum(x.w * bb.L) FROM w{t} x JOIN base bb USING (dom))
+          // (SELECT sum(x.w) FROM w{t} x)
+        ), 0) // {q}, {cap}) AS INT) AS w
+      FROM w{t} wt JOIN base b USING (dom)
+    ),
+    w{t + 1} AS MATERIALIZED (
+      SELECT dom, greatest(CAST(1 AS HUGEINT),
+                           (w << {wb}) // (SELECT max(w) FROM u{t})) AS w
+      FROM u{t}
+    )""")
+    fin = f"w{rounds}"
+    sm = _DOREMI_SMOOTH_TENTHS
+    base = (
+        _DOREMI_BASE_CTE
+        if base_sql is None
+        # injected (dom, n, S, L) table — the unimax lt_cte idiom for
+        # differential tests against the Python trajectory
+        else f"base AS MATERIALIZED ({base_sql})"
+    )
+    # plan(dom, n, L, w, alpha_ppm, smooth_ppm) — shared by the weights
+    # query's final select and the serving query's sampler tail
+    chain = f"""{base},
+    {",".join(stages)},
+    alpha AS (
+      SELECT dom, w,
+             (1000000 * w) // (SELECT sum(w) FROM {fin}) AS ppm
+      FROM {fin}
+    ),
+    plan AS MATERIALIZED (
+      SELECT b.dom, b.n, b.L, a.w,
+             CAST(a.ppm AS BIGINT) AS alpha_ppm,
+             CAST(({10 - sm} * a.ppm
+                   + {sm} * (1000000 // (SELECT count(*) FROM base)))
+                  // 10 AS BIGINT) AS smooth_ppm
+      FROM alpha a JOIN base b USING (dom)
+    )"""
+    return chain
+
+
+def doremi_oracle_sql(
+    rounds: int = _DOREMI_ROUNDS, base_sql: str | None = None
+) -> str:
+    """doremi_domain_weights' oracle: the shared chain's plan rows."""
+    return f"""
+    WITH {_doremi_chain_sql(rounds, base_sql)}
+    SELECT dom AS source, n AS n_tokens, CAST(L AS BIGINT) AS loss_mb,
+           CAST(w AS BIGINT) AS weight, alpha_ppm, smooth_ppm
+    FROM plan ORDER BY source
+    """
+
+
+def _doremi_eg(
+    doms: list[tuple[str, int, int]], rounds: int = _DOREMI_ROUNDS
+) -> list[tuple]:
+    """Exact-integer DoReMi trajectory over collected (dom, n, S) model
+    state: Group-DRO exponentiated-gradient ascent on the mixture
+    simplex where the per-round reference loss is the CURRENT
+    mixture's expected loss (rounds genuinely couple — boosting a
+    hard domain raises the reference, shrinking every excess), with
+    the continuous exp(η·excess) realized as the exact power-of-two
+    step 2^(excess // q) capped at 2^30 and a max-renormalization back
+    to [1, 2^20] each round. Floor divisions on nonnegative integers
+    only, so Python ints here replay bit-identically as DuckDB
+    HUGEINTs (doremi_oracle_sql). Returns one output row per domain,
+    sorted."""
+    q, cap, wb = _DOREMI_Q, _DOREMI_SHIFT_CAP, _DOREMI_WBITS
+    doms = sorted(doms)
+    L = {d: (1000 * S) // n for d, n, S in doms}
+    w = {d: 1 << wb for d, _, _ in doms}
+    for _ in range(rounds):
+        tot = sum(w.values())
+        ref = sum(w[d] * L[d] for d in w) // tot
+        for d in w:
+            w[d] <<= min(max(L[d] - ref, 0) // q, cap)
+        mx = max(w.values())
+        for d in w:
+            w[d] = max(1, (w[d] << wb) // mx)
+    tot = sum(w.values())
+    uni = 1_000_000 // len(doms)
+    sm = _DOREMI_SMOOTH_TENTHS
+    out = []
+    for d, n, S in doms:
+        ppm = (1_000_000 * w[d]) // tot
+        out.append(
+            (d, n, L[d], w[d], ppm, ((10 - sm) * ppm + sm * uni) // 10)
+        )
+    return out
+
+
+def _doremi_loss_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, int]]:
+    """The distributed half of the DoReMi pair: per-source (domain,
+    n_tokens, total_surprisal_bits) under the corpus-global unigram
+    code-length model — one cached tokenization scan feeding the
+    vocab-bounded count table and the per-domain surprisal sum, the
+    surprisal table broadcast behind the measured-count gate. Collected
+    as <= D bounded model rows for the exact-integer EG loop. Callers
+    must be registered scoped_caches=True."""
+    from bearysta_spark.functions.dedup import (
+        BROADCAST_ROW_LIMIT,
+        _gated_broadcast,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = scoped_cache(
+        d.select(
+            F.col("source").alias("dom"),
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z0-9]+"), 0
+            ).alias("ws"),
+        )
+    )
+    toks = base.select("dom", F.explode("ws").alias("tok"))
+    c1 = scoped_cache(
+        toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    n_vocab = c1.count()
+    tot = c1.agg(F.sum("c").cast("long").alias("t"))
+    su = c1.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (F.length(F.bin(F.expr("t div c"))) - 1)
+        .cast("long")
+        .alias("s"),
+    )
+    per = (
+        toks.join(
+            _gated_broadcast(
+                su, n_vocab, BROADCAST_ROW_LIMIT,
+                "unigram surprisal table",
+            ),
+            "tok",
+        )
+        .groupBy("dom")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("S"),
+        )
+        .collect()
+    )
+    return [(r["dom"], int(r["n"]), int(r["S"])) for r in per]
+
+
+@query(
+    "doremi_domain_weights",
+    scoped_caches=True,
+    oracle=doremi_oracle_sql(),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, the Group-DRO
+    exponentiated-gradient core): learn per-source mixture weights
+    that upweight domains whose loss exceeds the current mixture's
+    expected loss — the data-mixing complement of unimax_mixture_plan
+    (capacity-capped uniformity) and dsir_importance_select
+    (target-distribution importance). The proxy loss is the corpus
+    unigram cross-entropy in whole-bit code lengths — each token costs
+    floor(log2(total/count)) bits, computed exactly from integers via
+    length(bin(total div count)) - 1 — so the entire pipeline
+    (losses, EG trajectory, final weights) is integer arithmetic and
+    the oracle (doremi_oracle_sql: the trajectory unrolled as CTE
+    stages, HUGEINT weights) replays it bit-identically; the
+    continuous exp(η·excess) step is realized as the exact
+    power-of-two step 2^(excess//q) with max-renormalization, and the
+    published final smoothing with the uniform distribution keeps
+    every domain sampled. At sf0.01 the trajectory genuinely moves:
+    the reference loss climbs as weight shifts onto the hardest
+    sources and the final mixture concentrates ~73% on the max-loss
+    domain before smoothing.
+
+    Engine twin-ness: Spark computes the per-source (n, S) loss table
+    DISTRIBUTED (one cached tokenization scan feeding the vocab-bounded
+    count table and the per-domain surprisal sum), collects the ≤ D
+    domain rows — bounded model state, the unimax/bpe_train argument —
+    and runs the EG loop in exact Python ints (_doremi_eg).
+    100 TB shape: the corpus tokenization is cached once and read
+    twice (count table + domain sum); the surprisal table is
+    vocab-bounded and broadcast behind the measured-count gate; the
+    trajectory is O(D·rounds) driver arithmetic on a cache-line-sized
+    frame. Consumers broadcast-join the D-row plan to drive
+    per-domain sampling rates."""
+    rows = _doremi_eg(_doremi_loss_rows(spark, sf_dir))
+    return spark.createDataFrame(
+        rows,
+        "source string, n_tokens long, loss_mb long, weight long,"
+        " alpha_ppm long, smooth_ppm long",
+    ).orderBy("source")
+
+
+def doremi_sample_oracle_sql(rounds: int = _DOREMI_ROUNDS) -> str:
+    """doremi_trained_sample's oracle: the shared EG chain, then the
+    largest-subsample rates and the md5-residue acceptance replayed in
+    SQL."""
+    return f"""
+    WITH {_doremi_chain_sql(rounds)},
+    docs AS (SELECT doc_id, source AS dom FROM documents),
+    nd AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_docs
+           FROM docs GROUP BY dom),
+    sc AS (SELECT min((1000000 * nd.n_docs) // p.smooth_ppm) AS c
+           FROM nd JOIN plan p USING (dom)),
+    rates AS (
+      SELECT nd.dom, nd.n_docs, p.smooth_ppm,
+             CAST(((SELECT c FROM sc) * p.smooth_ppm) // nd.n_docs
+                  AS BIGINT) AS rate_ppm
+      FROM nd JOIN plan p USING (dom)
+    ),
+    kept AS (
+      SELECT d.dom, CAST(count(*) AS BIGINT) AS kept
+      FROM docs d JOIN rates r USING (dom)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':drm'),
+                            1, 15))::BIGINT % 1000000 < r.rate_ppm
+      GROUP BY d.dom
+    )
+    SELECT r.dom AS source, r.n_docs, r.smooth_ppm, r.rate_ppm,
+           CAST(coalesce(k.kept, 0) AS BIGINT) AS kept
+    FROM rates r LEFT JOIN kept k USING (dom) ORDER BY source
+    """
+
+
+@query(
+    "doremi_trained_sample",
+    scoped_caches=True,
+    oracle=doremi_sample_oracle_sql(),
+)
+def doremi_trained_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-SERVE for the DoReMi pair (the
+    quality_classifier_trained_filter / bpe_trained_compression
+    discipline: a learned artifact is only real once something
+    downstream consumes it): learn the mixture with the exact-integer
+    EG trajectory (doremi_domain_weights), then draw the LARGEST
+    corpus subsample whose expected composition matches the learned
+    mixture — per-domain acceptance rate r_d = (c · smooth_d) // n_d
+    with c = min_e (10^6 · n_e) // smooth_e, the max uniform scale
+    keeping every rate <= 10^6 (the domain that binds keeps ~all its
+    docs; everything else is thinned toward the target proportions),
+    applied as deterministic md5-residue acceptance (the
+    cluster_balanced_sample idiom — stable under reruns, repartitions,
+    and engines). Everything after the loss table is exact integers,
+    so the oracle (doremi_sample_oracle_sql) replays the training
+    chain AND the sampler verbatim.
+
+    100 TB shape: the loss table is the shared _doremi_loss_rows scan;
+    the doc-count table and the acceptance filter are one narrow scan
+    each with the D-row rate plan broadcast — no shuffle in the
+    sampler beyond the per-domain kept count."""
+    per = _doremi_loss_rows(spark, sf_dir)
+    plan = {r[0]: r[5] for r in _doremi_eg(per)}
+    d = _t(spark, sf_dir, "documents")
+    nd = {
+        r["dom"]: int(r["n_docs"])
+        for r in d.select(F.col("source").alias("dom"))
+        .groupBy("dom")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()
+    }
+    c = min((1_000_000 * nd[k]) // plan[k] for k in plan if k in nd)
+    rates = [
+        (k, nd[k], plan[k], (c * plan[k]) // nd[k])
+        for k in sorted(plan)
+        if k in nd
+    ]
+    rf = F.broadcast(
+        spark.createDataFrame(
+            rates, "dom string, n_docs long, smooth_ppm long, rate_ppm long"
+        )
+    )
+    residue = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":drm"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    kept = (
+        d.select("doc_id", F.col("source").alias("dom"))
+        .join(rf.select("dom", "rate_ppm"), "dom")
+        .filter(residue < F.col("rate_ppm"))
+        .groupBy("dom")
+        .agg(F.count("*").cast("long").alias("kept"))
+    )
+    return (
+        rf.join(kept, "dom", "left")
+        .select(
+            F.col("dom").alias("source"),
+            "n_docs",
+            "smooth_ppm",
+            "rate_ppm",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "cluster_balanced_sample",
     scoped_caches=True,

@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "unigram_trained_compression",
     "quality_classifier_train_curve",
     "quality_classifier_trained_filter",
+    "knn_imi_pq_streamed",
+    "doremi_domain_weights",
+    "doremi_trained_sample",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -489,6 +492,9 @@ def main() -> None:
         "trigram_perplexity_buckets": "tgbkt",
         "media_ingest_dedup": "mingst",
         "knn_imi": "knnimi",
+        "knn_imi_pq_streamed": "imistr",
+        "doremi_domain_weights": "doremi",
+        "doremi_trained_sample": "drmsmp",
         "imi_ivf_recall": "imirec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",

@@ -645,3 +645,75 @@ def test_unimax_randomized_engine_oracle_differential():
         uncapped = [r[3] for r in want if r[6] == 0]
         if uncapped:
             assert max(uncapped) - min(uncapped) <= 1, (case, langs)
+
+
+def test_doremi_eg_matches_oracle_randomized():
+    """Engine-vs-oracle differential for the DoReMi EG trajectory: the
+    exact-integer Python loop (_doremi_eg) must replay bit-identically
+    as the unrolled MATERIALIZED DuckDB rounds on randomized domain
+    tables — including degenerate shapes (all-equal losses: every
+    round is a no-op; one extreme outlier: the shift cap binds)."""
+    import random
+
+    import duckdb
+
+    from bearysta_spark.queries import _doremi_eg, doremi_oracle_sql
+
+    rng = random.Random(7)
+    cases = [
+        # (dom, n_tokens, S_bits) randomized
+        [
+            (f"d{i}", n, n * rng.randint(3000, 5000) // 1000)
+            for i, n in enumerate(
+                rng.randint(100, 10_000) for _ in range(12)
+            )
+        ]
+        for _ in range(3)
+    ]
+    # all-equal losses: ref == L everywhere, weights stay uniform
+    cases.append([(f"e{i}", 1000, 4000) for i in range(5)])
+    # extreme outlier: excess // q far beyond the shift cap
+    cases.append(
+        [("hard", 10, 4000), ("easy1", 10, 10), ("easy2", 10, 11)]
+    )
+    for doms in cases:
+        vals = ", ".join(f"('{d}', {n}, {S})" for d, n, S in doms)
+        base_sql = (
+            "SELECT dom, CAST(n AS BIGINT) AS n, CAST(S AS BIGINT) AS S,"
+            " (1000 * CAST(S AS BIGINT)) // n AS L"
+            f" FROM (VALUES {vals}) AS t(dom, n, S)"
+        )
+        con = duckdb.connect()
+        got = con.sql(doremi_oracle_sql(base_sql=base_sql)).fetchall()
+        want = _doremi_eg(doms)
+        assert [tuple(r) for r in got] == want, doms
+
+
+def test_doremi_eg_properties():
+    """Trajectory invariants: weights are monotone in loss (the EG
+    update is the same nondecreasing function of L for every domain),
+    the uniform-loss corpus stays uniform, smoothing keeps every
+    domain above the uniform floor's smoothed share, and the mixture
+    concentrates on the max-loss domain."""
+    from bearysta_spark.queries import (
+        _DOREMI_SMOOTH_TENTHS,
+        _doremi_eg,
+    )
+
+    doms = [("a", 1000, 4100), ("b", 1000, 4050), ("c", 1000, 4020),
+            ("d", 1000, 4200), ("e", 1000, 3900)]
+    out = _doremi_eg(doms)
+    by = {r[0]: r for r in out}
+    # monotone: loss order == weight order
+    losses = sorted(out, key=lambda r: r[2])
+    assert [r[3] for r in losses] == sorted(r[3] for r in out)
+    # max-loss domain holds the max weight and the rescale fixes it at 2^20
+    assert by["d"][3] == 1 << 20
+    assert by["d"][4] == max(r[4] for r in out)
+    # smoothing floor: every domain gets >= sm/10 of uniform
+    floor = _DOREMI_SMOOTH_TENTHS * (1_000_000 // len(doms)) // 10
+    assert all(r[5] >= floor for r in out)
+    assert sum(r[4] for r in out) <= 1_000_000
+    # uniform losses -> uniform mixture
+    uni = _doremi_eg([(f"u{i}", 500, 2000) for i in range(4)])
+    assert len({r[4] for r in uni}) == 1
