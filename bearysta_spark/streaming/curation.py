@@ -317,6 +317,8 @@ def start_streaming_curation_pipeline(
     eval_gram_index: str | None = None,
     decontam_n: int = 8,
     decontam_min_shared: int = 1,
+    classifier_weights: tuple[list[int], int] | None = None,
+    classifier_tau_milli: int = 0,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
     exact dedup → MinHash+LSH near-dup removal with exact Jaccard
@@ -330,6 +332,21 @@ def start_streaming_curation_pipeline(
     full five-stage curation in one loop (a rebuilt index is picked up
     on the next micro-batch, no restart). Twin-equality is
     chaos-tested in tests/test_streaming_curation_composed.py.
+
+    OPTIONAL stage 6: the trained quality-classifier filter.
+    `classifier_weights` = (weights_milli, bias_milli) — e.g. the
+    output of functions.text.classifier_train, or external .vec
+    weights via load_vec_weights — scores stage-5 survivors with
+    classifier_margins (exact-integer margins, the weight vector a
+    broadcast literal) and keeps margin_milli >= classifier_tau_milli.
+    This is the train-then-serve deployment shape of
+    quality_classifier_trained_filter composed into the stream; the
+    model is static within a stream run (swap = restart, like any
+    model artifact), deterministic, and index-free, so the batch twin
+    is plain classifier_margins over the same survivor rows
+    (chaos-tested equal). clf_ok and margin_milli are emitted ALWAYS
+    so the out schema is configuration-stable; the curated corpus is
+    the near_ok AND dec_ok AND clf_ok slice.
 
     Semantics (equal to the batch funnel under the ascending-id
     contract — doc ids ascend across batches, as any ingest sequencer
@@ -594,10 +611,39 @@ def start_streaming_curation_pipeline(
         else:
             flagged = flagged.withColumn("dec_ok", F.lit(True))
 
+        # ---- optional stage 6: trained quality-classifier filter over
+        # stage-5 survivors. Margins are exact integers with the weight
+        # vector as a broadcast literal (classifier_margins) — no index,
+        # no state, so ordering vs the index sinks is unconstrained.
+        if classifier_weights is not None:
+            from bearysta_spark.functions.text import classifier_margins
+
+            wvec, bias = classifier_weights
+            scored = classifier_margins(
+                flagged.filter("near_ok and dec_ok")
+                .select(id_col, text_col),
+                wvec, bias, text_col=text_col, id_col=id_col,
+            ).select(id_col, "margin_milli")
+            flagged = flagged.join(scored, id_col, "left").withColumn(
+                "clf_ok",
+                # a stage-5 survivor always has tokens (the quality
+                # gate requires >= 15), so a null margin only means the
+                # row was dropped upstream — emit False, it is not in
+                # the curated slice anyway
+                F.coalesce(
+                    F.col("margin_milli") >= classifier_tau_milli,
+                    F.lit(False),
+                ),
+            )
+        else:
+            flagged = flagged.withColumn(
+                "margin_milli", F.lit(None).cast("long")
+            ).withColumn("clf_ok", F.lit(True))
+
         written = (
             flagged.select(
                 id_col, "source", "lang", "tc", "norm_key", "kb",
-                text_col, "near_ok", "dec_ok",
+                text_col, "near_ok", "dec_ok", "margin_milli", "clf_ok",
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
@@ -664,6 +710,11 @@ def start_streaming_curation_pipeline(
             counters = counters.unionByName(
                 stage(5, "decontam",
                       survread.filter("near_ok and dec_ok"))
+            )
+        if classifier_weights is not None:
+            counters = counters.unionByName(
+                stage(6, "classifier",
+                      survread.filter("near_ok and dec_ok and clf_ok"))
             )
         for frame, path, parts in (
             (counters, counters_path, ("batch_id",)),

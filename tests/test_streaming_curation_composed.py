@@ -479,3 +479,79 @@ def test_cap_counters_observability(spark, tmp_path):
     assert all(
         v == (0, 0) for (b, s), v in by_batch.items() if s != 4
     )
+
+
+def test_composed_pipeline_with_classifier_stage(spark, tmp_path):
+    """Optional stage 6: the trained quality-classifier filter over
+    stage-5 survivors — batch-equivalent to classifier_margins over the
+    same rows (the train-then-serve shape of
+    quality_classifier_trained_filter composed into the stream),
+    replay-safe, schema-stable (clf_ok/margin_milli exist even with no
+    model), counters row 6 matching the curated slice."""
+    from bearysta_spark.functions.text import classifier_margins
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+
+    # deterministic model: fixed pseudo-random milli-weights; tau picked
+    # from the BATCH margins so the filter provably splits the curated
+    # set (non-vacuous both ways)
+    dim = 64
+    wvec = [((i * 37) % 101) - 50 for i in range(dim)]
+    full = spark.createDataFrame(ALL, SCHEMA)
+    _, _, _, s3a, s3 = _batch_twin(spark)
+    kept_ids = sorted(r.doc_id for r in s3.collect())
+    margins = {
+        r.doc_id: r.margin_milli
+        for r in classifier_margins(
+            full.join(s3.select("doc_id"), "doc_id"), wvec, 0
+        ).collect()
+    }
+    vals = sorted(margins.values())
+    assert len(set(vals)) >= 2, "weights must spread the curated docs"
+    tau = vals[len(vals) // 2]  # median: some pass, some fail
+    want_clf = sorted(d for d in kept_ids if margins[d] >= tau)
+    assert want_clf and want_clf != kept_ids
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            classifier_weights=(wvec, 0), classifier_tau_milli=tau,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _feed(spark, p["land"], B0)
+    run()
+    _feed(spark, p["land"], B1)
+    run()
+    _truncate_last_commit(p["ckpt"])  # die between execute and commit
+    _feed(spark, p["land"], B2)
+    run()  # replays batch 1, then batch 2
+
+    rows = spark.read.parquet(p["out"]).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in s3a.collect()
+    )
+    kept = sorted(r.doc_id for r in rows if r.near_ok)
+    assert kept == kept_ids
+    curated = sorted(
+        r.doc_id for r in rows if r.near_ok and r.dec_ok and r.clf_ok
+    )
+    assert curated == want_clf
+    # margins on survivors match the batch serving exactly
+    got_m = {
+        r.doc_id: r.margin_milli for r in rows
+        if r.near_ok and r.margin_milli is not None
+    }
+    assert all(got_m[d] == margins[d] for d in kept_ids)
+    # stage-6 counter rows match the curated slice
+    cnt = spark.read.parquet(p["cnt"])
+    s6 = cnt.filter("stage = 6").agg(F.sum("n_docs")).collect()[0][0]
+    assert s6 == len(curated)
