@@ -1119,3 +1119,129 @@ def scrub_repeated_spans(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+def churn_classify(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify a crawl INCREMENT against the standing corpus — the
+    one-row churn rollup behind queries.corpus_churn_report: each
+    increment doc is `exact` (verbatim re-crawl, raw-md5 content key —
+    the dedup_exact convention), else `near` (LSH corpus×increment
+    cross-candidates verified by exact char-k-shingle Jaccard >=
+    threshold — incremental_lsh_pairs, so candidate cost scales with
+    the increment, never corpus²), else `fresh`; plus the fresh
+    slice's [a-z0-9] token mass (the usable new training data).
+
+    The synthetic benchmark corpus contains ZERO verbatim-duplicate
+    texts at any scale factor (measured), so the exact class is
+    documented-vacuous there — tests/test_dedup_similarity.py pins it
+    non-vacuously on a constructed fixture (the Gopher-gate
+    discipline: vacuous on this corpus, never silently untested).
+
+    100 TB shape: the exact arm is a 16-byte-digest semi-join; the
+    near arm's shingle table is pruned to candidate participants
+    before the verify joins; the rollup is one row. The daily
+    production form passes corpus band buckets from a persisted
+    write_lsh_index instead of re-shingling (incremental_lsh_pairs'
+    corpus_buckets path)."""
+    exact = (
+        increment.select(id_col, content_hash(text_col).alias("h"))
+        .join(
+            corpus.select(content_hash(text_col).alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    cand = incremental_lsh_pairs(
+        corpus, increment, text_col, id_col, k, num_hashes, bands
+    )
+    both = corpus.unionByName(increment)
+    sh = scoped_cache(
+        shingle_df(both, text_col, id_col, k).join(
+            cand.select(F.col("corpus_id").alias(id_col))
+            .unionByName(cand.select(F.col("new_id").alias(id_col)))
+            .distinct(),
+            id_col,
+            "left_semi",
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(
+            sh.withColumnsRenamed({id_col: "corpus_id", "shingle": "sh_a"}),
+            "corpus_id",
+        )
+        .join(
+            sh.withColumnsRenamed({id_col: "__b", "shingle": "sh_b"}),
+            (F.col("new_id") == F.col("__b"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    near = (
+        inter.join(
+            sizes.withColumnsRenamed({id_col: "corpus_id", "sz": "sz_a"}),
+            "corpus_id",
+        )
+        .join(
+            sizes.withColumnsRenamed({id_col: "new_id", "sz": "sz_b"}),
+            "new_id",
+        )
+        .filter(
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("double")
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    tc = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), 0)
+    ).cast("long")
+    cls = (
+        increment.select(id_col, tc.alias("tc"))
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            "tc",
+            F.when(F.col("__exact"), F.lit("exact"))
+            .when(F.col("__near"), F.lit("near"))
+            .otherwise(F.lit("fresh"))
+            .alias("kind"),
+        )
+    )
+    n_corpus = F.broadcast(
+        corpus.agg(F.count("*").cast("long").alias("n_corpus"))
+    )
+    return cls.crossJoin(n_corpus).agg(
+        F.first("n_corpus").alias("n_corpus"),
+        F.count("*").cast("long").alias("n_increment"),
+        F.sum(F.when(F.col("kind") == "exact", 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dup"),
+        F.sum(F.when(F.col("kind") == "near", 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_dup"),
+        F.sum(F.when(F.col("kind") == "fresh", 1).otherwise(0))
+        .cast("long")
+        .alias("n_fresh"),
+        F.sum(F.when(F.col("kind") == "fresh", F.col("tc")).otherwise(0))
+        .cast("long")
+        .alias("fresh_tokens"),
+    )

@@ -10855,6 +10855,270 @@ def _doremi_eg(
     return out
 
 
+@query(
+    "corpus_churn_report",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_SH_CTE}, {_BUCKETS_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.corpus_id, c.new_id, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.corpus_id
+      JOIN sh b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT i.new_id
+      FROM inter i JOIN sz x ON i.corpus_id = x.doc_id
+                   JOIN sz y ON i.new_id = y.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
+    ),
+    exact AS (
+      SELECT DISTINCT n.doc_id AS new_id
+      FROM documents n JOIN documents o ON md5(n.text) = md5(o.text)
+      WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 != 0
+    ),
+    cls AS (
+      SELECT d.doc_id,
+             CASE WHEN e.new_id IS NOT NULL THEN 'exact'
+                  WHEN nr.new_id IS NOT NULL THEN 'near'
+                  ELSE 'fresh' END AS kind,
+             CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS BIGINT)
+               AS tc
+      FROM documents d
+      LEFT JOIN exact e ON e.new_id = d.doc_id
+      LEFT JOIN near nr ON nr.new_id = d.doc_id
+      WHERE d.doc_id % 10 = 0
+    )
+    SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 10 != 0)
+                AS BIGINT) AS n_corpus,
+           CAST(count(*) AS BIGINT) AS n_increment,
+           CAST(sum(CASE WHEN kind = 'exact' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN kind = 'near' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN kind = 'fresh' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fresh,
+           CAST(sum(CASE WHEN kind = 'fresh' THEN tc ELSE 0 END)
+                AS BIGINT) AS fresh_tokens
+    FROM cls
+    """,
+)
+def corpus_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl churn audit — the question a pipeline owner
+    asks before paying to process a new crawl: how much of today's
+    increment is actually NEW content? The increment (doc_id % 10 = 0,
+    the dedup_increment_persisted convention) is classified against
+    the standing corpus: `exact` (verbatim re-crawl — raw-md5 content
+    key, the dedup_exact convention), `near` (reworded/re-templated —
+    LSH cross-candidates verified by exact char-5-shingle Jaccard
+    >= 0.5, corpus x increment bucket-mates ONLY so the cost scales
+    with the increment, never corpus²), else `fresh`; plus the fresh
+    slice's token mass (the usable new training data). Exact beats
+    near when both hold (an exact copy is trivially a near-dup). The
+    near and fresh classes are non-vacuous at every sf (the planted
+    near-dup structure crosses the id-slice boundary: 6/44 at sf0.01);
+    the exact class is DOCUMENTED-VACUOUS on this corpus — it contains
+    zero verbatim-duplicate texts at any sf (measured) — and is pinned
+    non-vacuously on a constructed fixture in
+    tests/test_dedup_similarity.py (the Gopher-gate discipline).
+
+    100 TB shape: the exact arm is a 16-byte-digest semi-join; the
+    near arm is incremental_lsh_pairs' increment-bounded candidate
+    join + candidate-bounded Jaccard verify (the production daily
+    shape, which would read a persisted band-bucket index via
+    write_lsh_index instead of re-shingling the corpus); the rollup is
+    one row."""
+    d = _t(spark, sf_dir, "documents")
+    return D.churn_classify(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def _drift_split_case() -> str:
+    from bearysta_spark.functions.sampling import hash_split_case_sql
+
+    return hash_split_case_sql(
+        {"old": 0.5, "new": 0.5}, "CAST(doc_id AS VARCHAR)", salt="drift"
+    )
+
+
+def corpus_drift_oracle_sql() -> str:
+    """corpus_drift_report's oracle: the same 50/50 snapshot split, the
+    old-snapshot code-length model (whole-bit surprisal + escape), and
+    the per-lang cross/self billing, all integers."""
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang, {_drift_split_case()} AS split,
+             regexp_extract_all(text, '[a-z0-9]+') AS ws
+      FROM documents
+    ),
+    co AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ws) AS tok FROM base WHERE split = 'old')
+      GROUP BY tok
+    ),
+    t_old AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM co),
+    so AS MATERIALIZED (
+      SELECT tok, CAST(length(bin(t // c)) - 1 AS BIGINT) AS s
+      FROM co, t_old
+    ),
+    cn AS MATERIALIZED (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(ws) AS tok FROM base WHERE split = 'new')
+      GROUP BY lang, tok
+    ),
+    cng AS MATERIALIZED (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS c FROM cn GROUP BY tok
+    ),
+    t_new AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cng),
+    sn AS MATERIALIZED (
+      SELECT tok, CAST(length(bin(t // c)) - 1 AS BIGINT) AS s
+      FROM cng, t_new
+    )
+    SELECT cn.lang,
+           CAST(sum(cn.c) AS BIGINT) AS n_tokens,
+           CAST(sum(cn.c * coalesce(so.s, length(bin(t_old.t))))
+                AS BIGINT) AS cross_bits,
+           CAST(sum(cn.c * sn.s) AS BIGINT) AS self_bits,
+           CAST(sum(CASE WHEN so.s IS NULL THEN cn.c ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           CAST((1000 * sum(cn.c * coalesce(so.s, length(bin(t_old.t)))))
+                // sum(cn.c)
+                - (1000 * sum(cn.c * sn.s)) // sum(cn.c)
+                AS BIGINT) AS drift_mb
+    FROM cn
+    JOIN sn USING (tok)
+    LEFT JOIN so USING (tok)
+    CROSS JOIN t_old
+    GROUP BY cn.lang ORDER BY cn.lang
+    """
+
+
+@query(
+    "corpus_drift_report",
+    scoped_caches=True,
+    oracle=corpus_drift_oracle_sql(),
+)
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift audit — the data-freshness monitor a pipeline runs
+    between crawl snapshots: code the NEW snapshot's tokens under the
+    OLD snapshot's unigram code-length model and under its own, and
+    report the per-language excess bits (an exact-integer KL-divergence
+    estimate). Snapshots are simulated by the deterministic 50/50
+    hash split (salt 'drift'), so the expected verdict on THIS corpus
+    is ~zero drift — certified, not assumed (the anisotropy-report
+    discipline): the report's value is the exact per-language
+    magnitude, and OOV mass is billed explicitly at the escape cost
+    (the code length of the whole old corpus, floor(log2 T)+1 bits —
+    what an incremental coder pays to introduce a novel word).
+
+    Every quantity is integer: per-token surprisal is the whole-bit
+    code length length(bin(total div count)) - 1 (the
+    doremi_domain_weights convention), and the drift rate subtracts
+    two independently floored milli-bit averages — (1000·cross)//n −
+    (1000·self)//n — because a single floor over the (possibly
+    negative) difference would diverge between Spark's
+    truncate-toward-zero `div` and DuckDB's flooring `//`.
+
+    100 TB shape: one cached split+tokenize scan feeds the old count
+    table, the new per-lang count table, and the billing join; both
+    code-length tables are vocab-bounded and broadcast behind the
+    measured-count gate; output is L rows."""
+    from bearysta_spark.functions.dedup import (
+        BROADCAST_ROW_LIMIT,
+        _gated_broadcast,
+    )
+    from bearysta_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    base = scoped_cache(
+        hash_split(d, {"old": 0.5, "new": 0.5}, salt="drift").select(
+            "lang",
+            "split",
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z0-9]+"), 0
+            ).alias("ws"),
+        )
+    )
+    toks = base.select("lang", "split", F.explode("ws").alias("tok"))
+    co = scoped_cache(
+        toks.filter(F.col("split") == "old")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_old_vocab = co.count()
+    t_old = co.agg(F.sum("c").cast("long").alias("t"))
+    so = co.crossJoin(F.broadcast(t_old)).select(
+        "tok",
+        (F.length(F.bin(F.expr("t div c"))) - 1).cast("long").alias("so"),
+    )
+    cn = scoped_cache(
+        toks.filter(F.col("split") == "new")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cng = cn.groupBy("tok").agg(F.sum("c").cast("long").alias("c"))
+    n_new_vocab = cng.count()
+    t_new = cng.agg(F.sum("c").cast("long").alias("t"))
+    sn = cng.crossJoin(F.broadcast(t_new)).select(
+        "tok",
+        (F.length(F.bin(F.expr("t div c"))) - 1).cast("long").alias("sn"),
+    )
+    esc = F.length(
+        F.bin(F.lit(int(t_old.collect()[0]["t"])))
+    ).cast("long")
+    billed = (
+        cn.join(
+            _gated_broadcast(
+                sn, n_new_vocab, BROADCAST_ROW_LIMIT,
+                "new-snapshot code-length table",
+            ),
+            "tok",
+        )
+        .join(
+            _gated_broadcast(
+                so, n_old_vocab, BROADCAST_ROW_LIMIT,
+                "old-snapshot code-length table",
+            ),
+            "tok",
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.coalesce(F.col("so"), esc))
+            .cast("long")
+            .alias("cross_bits"),
+            F.sum(F.col("c") * F.col("sn")).cast("long").alias("self_bits"),
+            F.sum(F.when(F.col("so").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+    )
+    return billed.select(
+        "lang",
+        "n_tokens",
+        "cross_bits",
+        "self_bits",
+        "oov_tokens",
+        (
+            F.expr("(1000 * cross_bits) div n_tokens")
+            - F.expr("(1000 * self_bits) div n_tokens")
+        )
+        .cast("long")
+        .alias("drift_mb"),
+    ).orderBy("lang")
+
+
 def _doremi_loss_rows(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[str, int, int]]:

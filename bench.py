@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "knn_imi_pq_streamed",
     "doremi_domain_weights",
     "doremi_trained_sample",
+    "corpus_drift_report",
+    "corpus_churn_report",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -495,6 +497,8 @@ def main() -> None:
         "knn_imi_pq_streamed": "imistr",
         "doremi_domain_weights": "doremi",
         "doremi_trained_sample": "drmsmp",
+        "corpus_drift_report": "drift",
+        "corpus_churn_report": "churn",
         "imi_ivf_recall": "imirec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",

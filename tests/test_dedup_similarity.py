@@ -734,3 +734,39 @@ def test_imipq_persisted_index_pruning_and_cell_exclusivity(
     assert "dynamicpruning" in p or "PartitionFilters" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_churn_classify_all_three_classes(spark):
+    """churn_classify on a constructed fixture where every class fires —
+    incl. the exact arm, which is documented-vacuous on the synthetic
+    corpus (zero verbatim-duplicate texts at any sf): a verbatim
+    re-crawl classifies `exact` (and NOT `near`, though it trivially
+    qualifies), a one-word rewording classifies `near`, unrelated text
+    classifies `fresh` with its token mass billed."""
+    from bearysta_spark.functions.dedup import churn_classify
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old barn "
+        "while rain falls softly on the quiet fields of the farm"
+    )
+    other = (
+        "completely different content about ships and harbors with "
+        "tall masts and white sails crossing the wide open sea at dawn"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, base),                                   # exact re-crawl
+            (11, base.replace("lazy dog", "sleepy dog")), # reworded
+            (12, "totally novel nine word text about mountain goats"),
+        ],
+        "doc_id long, text string",
+    )
+    row = churn_classify(corpus, inc).collect()[0]
+    assert (row.n_corpus, row.n_increment) == (2, 3)
+    assert row.n_exact_dup == 1
+    assert row.n_near_dup == 1
+    assert row.n_fresh == 1
+    assert row.fresh_tokens == 8
