@@ -1206,6 +1206,63 @@ def imi_pq_topk_from_index(
     )
 
 
+def imi_pq_topk_refined(
+    index: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 1,
+    refine: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """Two-stage IMI-PQ search with EXACT refinement — the FAISS
+    IndexRefineFlat shape production serving actually runs: stage 1
+    shortlists `refine` candidates per query by the lossy PQ ADC score
+    from the codes-only persisted index (imi_pq_topk_from_index —
+    partition-pruned, never a raw corpus float), stage 2 fetches ONLY
+    the shortlist's raw vectors (a left-semi-pruned point read of
+    ~refine·|Q| rows from the vectors store) and re-ranks by exact
+    cosine. This buys back the quantization error at a cost that
+    scales with |Q|·refine, never the corpus: the 100 TB scan stays
+    m bytes/vector, and full-width floats are touched for a few dozen
+    rows per query. Output: (qid, nid, sim, rank), ties by nid asc.
+    The |Q|·refine-row shortlist is scope-cached — it feeds both the
+    vector-fetch semi-join and the rerank join, and recomputing the
+    whole ADC stage per consumer would double stage-1 cost (callers
+    registering this must use scoped_caches=True)."""
+    from bearysta_spark.cachescope import scoped_cache
+
+    short = scoped_cache(
+        imi_pq_topk_from_index(
+            index, queries, cb1, cb2, codebooks,
+            k=refine, probes=probes, id_col=id_col, vec_col=vec_col,
+            adc_agg=adc_agg,
+        ).select("qid", "nid")
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).join(short.select("nid").distinct(), "nid", "left_semi")
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        short.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .withColumn("sim", cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
 def ivf_pq_topk_from_index(
     index: DataFrame,
     queries: DataFrame,

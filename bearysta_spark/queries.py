@@ -6665,6 +6665,111 @@ def knn_imi_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_imi_pq_refined",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_imi_rank_ctes()},
+    cb(j, cell, c) AS (VALUES
+      {_PQ_CB_SQL}),
+    cells AS (SELECT vec_id AS nid, cell AS imi_cell FROM rk WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cell AS imi_cell
+              FROM rk WHERE rn <= 4 AND vec_id < 5),
+    sub AS (
+      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
+      FROM e, cb
+    ),
+    rankedp AS (
+      SELECT vec_id, j, cell,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY score DESC, cell ASC) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id AS nid, j, cell FROM rankedp WHERE rn = 1),
+    lut AS (
+      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
+             CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
+      FROM probe p
+      JOIN cells ce USING (imi_cell)
+      JOIN codes c ON c.nid = ce.nid AND ce.nid != p.qid
+      JOIN lut l ON l.qid = p.qid AND l.j = c.j AND l.cell = c.cell
+      GROUP BY p.qid, c.nid
+    ),
+    short AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc DESC, nid ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 15
+    ),
+    resc AS (
+      SELECT s.qid, s.nid,
+             list_dot_product(qe.v, ne.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ne.v, ne.v))) AS sim
+      FROM short s JOIN e qe ON qe.vec_id = s.qid
+                   JOIN e ne ON ne.vec_id = s.nid
+    )
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid ASC) AS rank
+      FROM resc
+    ) WHERE rank <= 5
+    """,
+)
+def knn_imi_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IMI-PQ search with EXACT refinement (the FAISS
+    IndexRefineFlat shape): the lossy ADC shortlist (refine=15 per
+    query from the codes-only persisted index — knn_imi_pq_persisted's
+    machinery verbatim) re-ranked by exact cosine over ONLY the
+    shortlist's raw vectors, a left-semi-pruned point read of
+    ~refine·|Q| full-width rows. This is how production serving buys
+    back PQ quantization error without ever scanning raw floats: the
+    corpus-wide read stays m bytes/vector and exact math touches a few
+    dozen vectors per query. The oracle replays both stages (ADC
+    DECIMAL-rounded shortlist, unrounded-cosine rerank, ties by nid);
+    tests/test_dedup_similarity.py pins that refinement actually
+    REORDERS the shortlist here (the query is non-vacuous: ADC top-5
+    != refined top-5) and that every refined neighbor came from the
+    shortlist. See functions/similarity.py:imi_pq_topk_refined."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = os.path.join(_index_root(sf_dir), "imipq_index")
+    S.write_imipq_index(
+        e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
+    )
+    idx = spark.read.parquet(path)
+    out = S.imi_pq_topk_refined(
+        idx,
+        e,
+        q,
+        _IMI_CODEBOOKS[0],
+        _IMI_CODEBOOKS[1],
+        _PQ_CODEBOOKS,
+        k=5,
+        probes=4,
+        refine=15,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+    return out.select(
+        "qid",
+        "nid",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @query("knn_imi_pq_streamed")
 def knn_imi_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMI-PQ search against a STREAM-GROWN index (streaming/ann.py) —
@@ -7862,6 +7967,97 @@ def quality_classifier_trained_filter(
             F.sum("margin_milli").cast("long").alias("margin_sum"),
         )
         .orderBy("source")
+    )
+
+
+#: threshold grid for the calibration sweep (raw integer-margin units)
+_CLF_TAU_GRID = (-4000, -2000, -1000, 0, 1000, 2000, 4000)
+
+
+@query(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH {_clf_train_parts(_CLF_TRAIN_DIM, _CLF_TRAIN_ROUNDS, _CLF_TRAIN_MWL10)},
+    m AS (
+      SELECT v.doc_id, CAST(sum(v.weight * w.w) AS BIGINT) AS margin
+      FROM vec v JOIN w{_CLF_TRAIN_ROUNDS} w USING (dim)
+      GROUP BY v.doc_id
+    ),
+    lm AS (
+      SELECT m.doc_id, m.margin, l.y FROM m JOIN lab l USING (doc_id)
+    ),
+    taus(tau) AS (VALUES {", ".join(f"({t})" for t in _CLF_TAU_GRID)})
+    SELECT CAST(t.tau AS BIGINT) AS tau,
+           CAST(sum(CASE WHEN lm.margin >= t.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN lm.margin >= t.tau AND lm.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+           CAST(sum(CASE WHEN lm.margin >= t.tau AND lm.y = -1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST((1000000 * sum(CASE WHEN (lm.margin >= t.tau) =
+                                        (lm.y = 1)
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS accuracy_ppm
+    FROM lm CROSS JOIN taus t
+    GROUP BY t.tau ORDER BY tau
+    """,
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold calibration sweep for the TRAINED quality classifier —
+    the operating-curve report a filter owner reads before picking tau
+    (the third leg of the train/serve/calibrate triple): train once
+    (classifier_train, the quality_classifier_train_curve trajectory),
+    score every document through the production serving path, then for
+    each tau on a fixed grid report kept volume, true/false positives
+    against the same mean-word-length ground truth the trainer
+    distilled, and exact accuracy in ppm. All integers — margins are
+    integer dot products, accuracy is a floored ppm ratio — so the
+    oracle nests the full training replay, the serving join, and the
+    grid as one cross join. At sf0.01 the curve is genuinely
+    non-monotone-free: accuracy peaks near tau=0 (the trained
+    boundary) and degrades toward both grid ends, with kept volume
+    sweeping ~86% to ~20%.
+
+    100 TB shape: training as in quality_classifier_train_curve; the
+    sweep is ONE pass over the margin table — the |grid|-row tau frame
+    cross-joins as a broadcast literal and the rollup is
+    map-side-combinable; output is |grid| rows."""
+    hist = _clf_train_history(spark, sf_dir)
+    w_final = hist[-1][2]
+    d = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    y = F.when(
+        F.lit(10) * F.length(F.concat_ws("", ws)).cast("long")
+        >= F.lit(_CLF_TRAIN_MWL10) * F.size(ws).cast("long"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    m = T.classifier_margins(d, w_final).join(
+        d.select("doc_id", y.alias("y")), "doc_id"
+    )
+    taus = F.broadcast(
+        spark.createDataFrame([(t,) for t in _CLF_TAU_GRID], "tau long")
+    )
+    kept = F.col("margin_milli") >= F.col("tau")
+    return (
+        m.crossJoin(taus)
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(kept & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pos"),
+            F.sum(F.when(kept & (F.col("y") == -1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN (margin_milli >= tau) ="
+                " (y = 1) THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("tau")
     )
 
 

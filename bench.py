@@ -196,10 +196,12 @@ BENCH_QUERIES = [
     "quality_classifier_train_curve",
     "quality_classifier_trained_filter",
     "knn_imi_pq_streamed",
+    "knn_imi_pq_refined",
     "doremi_domain_weights",
     "doremi_trained_sample",
     "corpus_drift_report",
     "corpus_churn_report",
+    "quality_classifier_calibration",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -495,10 +497,12 @@ def main() -> None:
         "media_ingest_dedup": "mingst",
         "knn_imi": "knnimi",
         "knn_imi_pq_streamed": "imistr",
+        "knn_imi_pq_refined": "imiref",
         "doremi_domain_weights": "doremi",
         "doremi_trained_sample": "drmsmp",
         "corpus_drift_report": "drift",
         "corpus_churn_report": "churn",
+        "quality_classifier_calibration": "clfcal",
         "imi_ivf_recall": "imirec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",

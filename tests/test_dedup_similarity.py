@@ -770,3 +770,51 @@ def test_churn_classify_all_three_classes(spark):
     assert row.n_near_dup == 1
     assert row.n_fresh == 1
     assert row.fresh_tokens == 8
+
+
+def test_imipq_refined_reorders_and_stays_in_shortlist(
+    spark, embeddings, tmp_path
+):
+    """Two-stage refine non-vacuity: exact-cosine reranking must
+    actually CHANGE the ADC top-5 somewhere (else the query proves
+    nothing about refinement), every refined neighbor must come from
+    the ADC shortlist, and the refined ranking must equal brute-force
+    cosine RESTRICTED to the shortlist."""
+    from bearysta_spark.queries import _IMI_CODEBOOKS, _PQ_CODEBOOKS
+
+    cb1, cb2 = _IMI_CODEBOOKS
+    q = embeddings.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "imipq")
+    S.write_imipq_index(embeddings, cb1, cb2, _PQ_CODEBOOKS, path)
+    idx = spark.read.parquet(path)
+    adc5 = {
+        (r.qid, r.rank): r.nid
+        for r in S.imi_pq_topk_from_index(
+            idx, q, cb1, cb2, _PQ_CODEBOOKS, k=5, probes=4
+        ).collect()
+    }
+    short = {
+        (r.qid, r.nid)
+        for r in S.imi_pq_topk_from_index(
+            idx, q, cb1, cb2, _PQ_CODEBOOKS, k=15, probes=4
+        ).collect()
+    }
+    ref = S.imi_pq_topk_refined(
+        idx, embeddings, q, cb1, cb2, _PQ_CODEBOOKS,
+        k=5, probes=4, refine=15,
+    ).collect()
+    got = {(r.qid, r.rank): r.nid for r in ref}
+    assert set(got) == set(adc5)  # same (qid, rank) grid
+    assert got != adc5  # refinement reorders somewhere — non-vacuous
+    assert all((r.qid, r.nid) in short for r in ref)
+    # refined == exact cosine over the shortlist members
+    sims = {
+        (r.qid, r.nid): r.sim
+        for r in S.brute_force_topk(embeddings, q, k=1000).collect()
+    }
+    for qid in {r.qid for r in ref}:
+        members = [n for (qq, n) in short if qq == qid]
+        want = sorted(
+            members, key=lambda n: (-sims[(qid, n)], n)
+        )[:5]
+        assert [got[(qid, rk)] for rk in range(1, 6)] == want, qid
