@@ -6665,6 +6665,187 @@ def knn_imi_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _imipq_scored_ctes(refine: int) -> str:
+    """The persisted IMI-PQ search replay (cells -> probe -> codes ->
+    LUT -> DECIMAL-rounded ADC scores) plus the refine-deep shortlist
+    and its exact-cosine rerank — the shared stage chain of the
+    refined-search and refine-recall oracles."""
+    return f"""cb(j, cell, c) AS (VALUES
+      {_PQ_CB_SQL}),
+    cells AS (SELECT vec_id AS nid, cell AS imi_cell FROM rk WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cell AS imi_cell
+              FROM rk WHERE rn <= 4 AND vec_id < 5),
+    sub AS (
+      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
+      FROM e, cb
+    ),
+    rankedp AS (
+      SELECT vec_id, j, cell,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY score DESC, cell ASC) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id AS nid, j, cell FROM rankedp WHERE rn = 1),
+    lut AS (
+      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
+             CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    scored AS (
+      SELECT p.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
+      FROM probe p
+      JOIN cells ce USING (imi_cell)
+      JOIN codes c ON c.nid = ce.nid AND ce.nid != p.qid
+      JOIN lut l ON l.qid = p.qid AND l.j = c.j AND l.cell = c.cell
+      GROUP BY p.qid, c.nid
+    ),
+    short AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc DESC, nid ASC) AS rank
+        FROM scored
+      ) WHERE rank <= {refine}
+    ),
+    resc AS (
+      SELECT s.qid, s.nid,
+             list_dot_product(qe.v, ne.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ne.v, ne.v))) AS sim
+      FROM short s JOIN e qe ON qe.vec_id = s.qid
+                   JOIN e ne ON ne.vec_id = s.nid
+    )"""
+
+
+@query(
+    "imi_pq_refine_recall",
+    scoped_caches=True,
+    oracle=f"""
+    WITH {_imi_rank_ctes()},
+    {_imipq_scored_ctes(15)},
+    truth AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, e2.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, e2.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e2.v, e2.v))) DESC,
+                 e2.vec_id ASC) AS rank
+        FROM (SELECT * FROM e WHERE vec_id < 5) q
+        JOIN e e2 ON e2.vec_id != q.vec_id
+      ) WHERE rank <= 5
+    ),
+    adc5 AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc DESC, nid ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    ref5 AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rank
+        FROM resc
+      ) WHERE rank <= 5
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM truth)
+    SELECT method, hits, n.n_expected,
+           CAST((1000000 * hits) // n.n_expected AS BIGINT) AS recall_ppm
+    FROM (
+      SELECT 'adc_top5' AS method,
+             CAST(count(*) AS BIGINT) AS hits
+      FROM adc5 JOIN truth USING (qid, nid)
+      UNION ALL
+      SELECT 'refined_top5',
+             CAST(count(*) AS BIGINT)
+      FROM ref5 JOIN truth USING (qid, nid)
+      UNION ALL
+      SELECT 'shortlist15',
+             CAST(count(*) AS BIGINT)
+      FROM short JOIN truth USING (qid, nid)
+    ) CROSS JOIN n
+    ORDER BY method
+    """,
+)
+def imi_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the two-stage refined search — the measured
+    verdict on what exact refinement buys back: against brute-force
+    cosine truth (top-5 per query), report recall_ppm for the lossy
+    ADC top-5, the refined top-5, and the refine=15 shortlist itself
+    (the CEILING refinement can reach — whatever the probe stage never
+    saw is unrecoverable). At sf0.01: adc 120000, refined 200000,
+    ceiling 200000 ppm — refinement recovers EVERYTHING the shortlist
+    contains (the rerank is exact), and the residual gap to 1.0 is the
+    4-of-64-cell probe bound, the knob imi_ivf_recall audits. Integer
+    recall (1e6·hits // n_expected), no float thresholds.
+    100 TB shape: truth is |Q|·N brute with the query side broadcast
+    (an audit, run on samples); both approximate arms are the codes-only
+    partition-pruned serving plans."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = os.path.join(_index_root(sf_dir), "imipq_index")
+    S.write_imipq_index(
+        e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
+    )
+    idx = spark.read.parquet(path)
+    truth = scoped_cache(
+        S.brute_force_topk(e, q, k=5).select("qid", "nid")
+    )
+    adc5 = S.imi_pq_topk_from_index(
+        idx, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
+        k=5, probes=4, adc_agg=lambda c: dsum(c, 4),
+    ).select("qid", "nid")
+    short = scoped_cache(
+        S.imi_pq_topk_from_index(
+            idx, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
+            k=15, probes=4, adc_agg=lambda c: dsum(c, 4),
+        ).select("qid", "nid")
+    )
+    # exact rerank of the cached shortlist (imi_pq_topk_refined's
+    # stage 2, over the same shortlist frame the ceiling row reads)
+    nv = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec")
+    ).join(short.select("nid").distinct(), "nid", "left_semi")
+    qv = q.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    resc = (
+        short.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .withColumn("sim", S.cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    ref5 = (
+        resc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid")
+    )
+    n = truth.count()
+
+    def row(method: str, frame: DataFrame) -> DataFrame:
+        return frame.join(truth, ["qid", "nid"]).agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("hits"),
+            F.lit(n).cast("long").alias("n_expected"),
+            F.expr(
+                f"CAST((1000000 * count(*)) div {n} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    return (
+        row("adc_top5", adc5)
+        .unionByName(row("refined_top5", ref5))
+        .unionByName(row("shortlist15", short))
+        .orderBy("method")
+    )
+
+
 @query(
     "knn_imi_pq_refined",
     scoped_caches=True,

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "corpus_drift_report",
     "corpus_churn_report",
     "quality_classifier_calibration",
+    "imi_pq_refine_recall",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -503,6 +504,7 @@ def main() -> None:
         "corpus_drift_report": "drift",
         "corpus_churn_report": "churn",
         "quality_classifier_calibration": "clfcal",
+        "imi_pq_refine_recall": "refrec",
         "imi_ivf_recall": "imirec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",
