@@ -1226,22 +1226,34 @@ def churn_classify(
             .alias("kind"),
         )
     )
-    n_corpus = F.broadcast(
-        corpus.agg(F.count("*").cast("long").alias("n_corpus"))
-    )
-    return cls.crossJoin(n_corpus).agg(
-        F.first("n_corpus").alias("n_corpus"),
+    # aggregate the increment side ALONE, then attach n_corpus by a
+    # 1-row cross join: an EMPTY increment (a quiet crawl day) must
+    # report (N, 0, 0, 0, 0, 0) like the SQL form, not NULLs — a
+    # global agg's sums are NULL over zero rows (coalesced here) and
+    # F.first(n_corpus) over the empty cross product would lose the
+    # corpus count entirely
+    z = F.lit(0).cast("long")
+    stats = cls.agg(
         F.count("*").cast("long").alias("n_increment"),
-        F.sum(F.when(F.col("kind") == "exact", 1).otherwise(0))
-        .cast("long")
-        .alias("n_exact_dup"),
-        F.sum(F.when(F.col("kind") == "near", 1).otherwise(0))
-        .cast("long")
-        .alias("n_near_dup"),
-        F.sum(F.when(F.col("kind") == "fresh", 1).otherwise(0))
-        .cast("long")
-        .alias("n_fresh"),
-        F.sum(F.when(F.col("kind") == "fresh", F.col("tc")).otherwise(0))
-        .cast("long")
-        .alias("fresh_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "exact", 1).otherwise(0)), z
+        ).cast("long").alias("n_exact_dup"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "near", 1).otherwise(0)), z
+        ).cast("long").alias("n_near_dup"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "fresh", 1).otherwise(0)), z
+        ).cast("long").alias("n_fresh"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "fresh", F.col("tc"))
+                  .otherwise(0)), z
+        ).cast("long").alias("fresh_tokens"),
+    )
+    return (
+        corpus.agg(F.count("*").cast("long").alias("n_corpus"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_corpus", "n_increment", "n_exact_dup", "n_near_dup",
+            "n_fresh", "fresh_tokens",
+        )
     )

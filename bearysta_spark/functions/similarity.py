@@ -1219,6 +1219,7 @@ def imi_pq_topk_refined(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_agg=None,
+    shortlist: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage IMI-PQ search with EXACT refinement — the FAISS
     IndexRefineFlat shape production serving actually runs: stage 1
@@ -1234,15 +1235,22 @@ def imi_pq_topk_refined(
     The |Q|·refine-row shortlist is scope-cached — it feeds both the
     vector-fetch semi-join and the rerank join, and recomputing the
     whole ADC stage per consumer would double stage-1 cost (callers
-    registering this must use scoped_caches=True)."""
+    registering this must use scoped_caches=True). Pass `shortlist`
+    ((qid, nid) rows, e.g. an already-cached k=refine search) to skip
+    stage 1 entirely — the recall audit reranks the same frame its
+    ceiling row reads, so the two cannot drift."""
     from bearysta_spark.cachescope import scoped_cache
 
-    short = scoped_cache(
-        imi_pq_topk_from_index(
-            index, queries, cb1, cb2, codebooks,
-            k=refine, probes=probes, id_col=id_col, vec_col=vec_col,
-            adc_agg=adc_agg,
-        ).select("qid", "nid")
+    short = (
+        shortlist.select("qid", "nid")
+        if shortlist is not None
+        else scoped_cache(
+            imi_pq_topk_from_index(
+                index, queries, cb1, cb2, codebooks,
+                k=refine, probes=probes, id_col=id_col, vec_col=vec_col,
+                adc_agg=adc_agg,
+            ).select("qid", "nid")
+        )
     )
     nv = vectors.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")

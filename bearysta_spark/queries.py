@@ -6798,35 +6798,22 @@ def imi_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = scoped_cache(
         S.brute_force_topk(e, q, k=5).select("qid", "nid")
     )
-    adc5 = S.imi_pq_topk_from_index(
-        idx, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
-        k=5, probes=4, adc_agg=lambda c: dsum(c, 4),
-    ).select("qid", "nid")
+    # ONE stage-1 search feeds all three rows: the k=15 shortlist is
+    # ranked by the identical (adc DESC, nid ASC) key, so its
+    # rank <= 5 prefix IS the ADC top-5 (no second probe/LUT pass),
+    # and the refined row reranks the SAME cached frame its ceiling
+    # row counts (imi_pq_topk_refined's shortlist parameter)
     short = scoped_cache(
         S.imi_pq_topk_from_index(
             idx, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
             k=15, probes=4, adc_agg=lambda c: dsum(c, 4),
-        ).select("qid", "nid")
+        ).select("qid", "nid", "rank")
     )
-    # exact rerank of the cached shortlist (imi_pq_topk_refined's
-    # stage 2, over the same shortlist frame the ceiling row reads)
-    nv = e.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec")
-    ).join(short.select("nid").distinct(), "nid", "left_semi")
-    qv = q.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    resc = (
-        short.join(F.broadcast(qv), "qid")
-        .join(nv, "nid")
-        .withColumn("sim", S.cosine(F.col("qvec"), F.col("nvec")))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    ref5 = (
-        resc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("qid", "nid")
-    )
+    adc5 = short.filter(F.col("rank") <= 5).select("qid", "nid")
+    ref5 = S.imi_pq_topk_refined(
+        idx, e, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
+        k=5, shortlist=short,
+    ).select("qid", "nid")
     n = truth.count()
 
     def row(method: str, frame: DataFrame) -> DataFrame:
@@ -6841,7 +6828,7 @@ def imi_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         row("adc_top5", adc5)
         .unionByName(row("refined_top5", ref5))
-        .unionByName(row("shortlist15", short))
+        .unionByName(row("shortlist15", short.select("qid", "nid")))
         .orderBy("method")
     )
 
@@ -6851,53 +6838,7 @@ def imi_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped_caches=True,
     oracle=f"""
     WITH {_imi_rank_ctes()},
-    cb(j, cell, c) AS (VALUES
-      {_PQ_CB_SQL}),
-    cells AS (SELECT vec_id AS nid, cell AS imi_cell FROM rk WHERE rn = 1),
-    probe AS (SELECT vec_id AS qid, cell AS imi_cell
-              FROM rk WHERE rn <= 4 AND vec_id < 5),
-    sub AS (
-      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
-             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
-      FROM e, cb
-    ),
-    rankedp AS (
-      SELECT vec_id, j, cell,
-             row_number() OVER (PARTITION BY vec_id, j
-                                ORDER BY score DESC, cell ASC) AS rn
-      FROM sub
-    ),
-    codes AS (SELECT vec_id AS nid, j, cell FROM rankedp WHERE rn = 1),
-    lut AS (
-      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
-             CAST(cb.cell AS INT) AS cell,
-             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
-      FROM e, cb WHERE e.vec_id < 5
-    ),
-    scored AS (
-      SELECT p.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
-      FROM probe p
-      JOIN cells ce USING (imi_cell)
-      JOIN codes c ON c.nid = ce.nid AND ce.nid != p.qid
-      JOIN lut l ON l.qid = p.qid AND l.j = c.j AND l.cell = c.cell
-      GROUP BY p.qid, c.nid
-    ),
-    short AS (
-      SELECT qid, nid FROM (
-        SELECT qid, nid,
-               row_number() OVER (PARTITION BY qid
-                                  ORDER BY adc DESC, nid ASC) AS rank
-        FROM scored
-      ) WHERE rank <= 15
-    ),
-    resc AS (
-      SELECT s.qid, s.nid,
-             list_dot_product(qe.v, ne.v)
-             / (sqrt(list_dot_product(qe.v, qe.v))
-                * sqrt(list_dot_product(ne.v, ne.v))) AS sim
-      FROM short s JOIN e qe ON qe.vec_id = s.qid
-                   JOIN e ne ON ne.vec_id = s.nid
-    )
+    {_imipq_scored_ctes(15)}
     SELECT qid, nid, round(sim, 4) AS sim, CAST(rank AS INT) AS rank
     FROM (
       SELECT qid, nid, sim,

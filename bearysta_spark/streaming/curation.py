@@ -624,16 +624,34 @@ def start_streaming_curation_pipeline(
                 .select(id_col, text_col),
                 wvec, bias, text_col=text_col, id_col=id_col,
             ).select(id_col, "margin_milli")
-            flagged = flagged.join(scored, id_col, "left").withColumn(
-                "clf_ok",
-                # a stage-5 survivor always has tokens (the quality
-                # gate requires >= 15), so a null margin only means the
-                # row was dropped upstream — emit False, it is not in
-                # the curated slice anyway
-                F.coalesce(
-                    F.col("margin_milli") >= classifier_tau_milli,
-                    F.lit(False),
-                ),
+            s5 = F.col("near_ok") & F.col("dec_ok")
+            flagged = (
+                flagged.join(scored, id_col, "left")
+                # a stage-5 survivor with NO margin row is the
+                # zero-vector edge (classifier_margins scores only
+                # docs with a nonzero hashed dim — signed hashes CAN
+                # fully cancel): its true margin is exactly the bias,
+                # the serving contract's value, so bill it at bias
+                # rather than silently dropping it. Upstream-dropped
+                # rows keep a null margin and clf_ok=False — they are
+                # outside the curated slice either way.
+                .withColumn(
+                    "margin_milli",
+                    F.when(
+                        s5,
+                        F.coalesce(
+                            F.col("margin_milli"),
+                            F.lit(int(bias)).cast("long"),
+                        ),
+                    ),
+                )
+                .withColumn(
+                    "clf_ok",
+                    F.coalesce(
+                        F.col("margin_milli") >= classifier_tau_milli,
+                        F.lit(False),
+                    ),
+                )
             )
         else:
             flagged = flagged.withColumn(

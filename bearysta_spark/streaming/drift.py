@@ -14,10 +14,11 @@ from what the current models were trained on — rising drift_mb or OOV
 mass is the page-the-owner signal.
 
 Exactly-once by the house construction: the report sink is a batch_id
-dynamic-partition overwrite. The model is STATIC — re-read from files
-each micro-batch like the persisted eval-gram index, so a re-based
-reference snapshot (rebuilt model) is picked up on the next batch
-without a stream restart.
+dynamic-partition overwrite. The model is STATIC within a version and
+published by an ATOMIC marker flip (version subdirs + _current.json,
+superseded versions reclaimed one rebuild cycle late), so a re-based
+reference snapshot is picked up on the next micro-batch without a
+stream restart and without a wiped-directory crash window.
 
 100 TB shape: per-batch cost is one tokenization pass, one batch-local
 count agg, and a token equi-join against the vocab-bounded model
@@ -36,7 +37,7 @@ from bearysta_spark.streaming.index import _read_json, _write_json
 #: streaming/decontam.py): tok -> whole-bit code length, bucketed by
 #: token hash for write layout (a token probe cannot partition-prune)
 MODEL_SCHEMA = "tok string, s long, tb int"
-META = "_model_meta.json"
+META = "_current.json"
 
 
 def _tok_col(text_col: str):
@@ -53,25 +54,46 @@ def write_codelen_model(
 ) -> None:
     """Persist the reference snapshot's unigram code-length model: one
     (tok, s) row per distinct token with s = floor(log2(T/c)) computed
-    exactly as length(bin(T div c)) - 1, plus a meta sidecar carrying
-    the total T and the escape cost floor(log2 T)+1 bits (what an
-    incremental coder pays to introduce a novel token). Rebuild =
-    overwrite; running monitors pick the new model up on their next
-    micro-batch. Raises when the model comes out EMPTY — a silently
+    exactly as length(bin(T div c)) - 1, published ATOMICALLY — rows
+    land in a fresh version subdir (v<k>) and the _current.json marker
+    (total T, escape cost floor(log2 T)+1 bits, version) flips to it
+    in one rename AFTER the rows are verified non-empty. A rebuild
+    therefore never has a window where a running monitor sees a wiped
+    or half-written model (the in-place mode('overwrite') form did:
+    the old files vanish at job start, the meta only lands after — a
+    micro-batch in between crashed the stream the module contract says
+    survives rebuilds). The superseded version dir is deleted
+    DEFERRED one rebuild cycle (the compaction-reclamation
+    discipline), so a batch that read the old marker finishes against
+    present files. Raises when the model comes out EMPTY — a silently
     empty reference bills everything at the escape cost and reads as
     catastrophic drift (the empty-eval-index lesson)."""
     spark = docs.sparkSession
+    cur = _read_json(path, META, spark)
+    version = (int(cur["version"]) + 1) if cur else 0
+    vdir = f"{path}/v{version}"
     c1 = (
         docs.select(_tok_col(text_col).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    tot = c1.agg(F.sum("c").cast("long").alias("t"))
+    # one pass for the total (bounded: a single long), folded into the
+    # row write as a literal — the tot-as-crossJoin form re-scanned the
+    # whole reference a second time just to recover T for the meta
+    n_tokens = int(
+        c1.agg(F.sum("c").cast("long").alias("t")).collect()[0]["t"] or 0
+    )
+    if n_tokens == 0:
+        raise ValueError(
+            f"code-length model at {path} would be EMPTY: the reference "
+            f"snapshot has no [a-z0-9] tokens in '{text_col}' — every "
+            "monitored batch would bill at the escape cost and read as "
+            "catastrophic drift; fix the reference input"
+        )
     (
-        c1.crossJoin(F.broadcast(tot))
-        .select(
+        c1.select(
             "tok",
-            (F.length(F.bin(F.expr("t div c"))) - 1)
+            (F.length(F.bin(F.expr(f"{n_tokens} div c"))) - 1)
             .cast("long")
             .alias("s"),
             F.pmod(F.xxhash64("tok"), F.lit(buckets)).cast("int")
@@ -79,22 +101,22 @@ def write_codelen_model(
         )
         .write.mode("overwrite")
         .partitionBy("tb")
-        .parquet(path)
+        .parquet(vdir)
     )
-    t = spark.read.schema(MODEL_SCHEMA).parquet(path).count()
-    if t == 0:
-        raise ValueError(
-            f"code-length model at {path} is EMPTY: the reference "
-            f"snapshot has no [a-z0-9] tokens in '{text_col}' — every "
-            "monitored batch would bill at the escape cost and read as "
-            "catastrophic drift; fix the reference input"
-        )
-    n_tokens = int(tot.collect()[0]["t"])
+    assert spark.read.schema(MODEL_SCHEMA).parquet(vdir).count() > 0
     _write_json(
         path, META,
-        {"n_tokens": n_tokens, "escape_bits": n_tokens.bit_length()},
+        {
+            "version": version,
+            "n_tokens": n_tokens,
+            "escape_bits": n_tokens.bit_length(),
+        },
         spark,
     )
+    if version >= 2:  # deferred reclamation: keep v(k-1), drop v(k-2)
+        from bearysta_spark.streaming.index import delete_dir
+
+        delete_dir(spark, f"{path}/v{version - 2}")
 
 
 def drift_bill(
@@ -167,13 +189,18 @@ def start_streaming_drift_monitor(
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # marker first, files second (the read_index_view ordering): a
+        # rebuild committing between the two leaves this batch on the
+        # OLD version whose files are retained one full rebuild cycle
         meta = _read_json(model_root, META, spark)
         if meta is None:
             raise ValueError(
                 f"no code-length model meta under {model_root} — build "
                 "the reference with write_codelen_model first"
             )
-        model = spark.read.schema(MODEL_SCHEMA).parquet(model_root)
+        model = spark.read.schema(MODEL_SCHEMA).parquet(
+            f"{model_root}/v{int(meta['version'])}"
+        )
         report = drift_bill(
             batch_df, model, int(meta["escape_bits"]), group_col, text_col
         )

@@ -106,9 +106,13 @@ def main() -> None:
         tail = sum(times[-third:]) / third
         n = len(times)
         xbar, ybar = (n - 1) / 2, sum(times) / n
-        slope = sum(
-            (i - xbar) * (t - ybar) for i, t in enumerate(times)
-        ) / sum((i - xbar) ** 2 for i in range(n))
+        denom = sum((i - xbar) ** 2 for i in range(n))
+        slope = (
+            sum((i - xbar) * (t - ybar) for i, t in enumerate(times))
+            / denom
+            if denom
+            else 0.0  # single-sample series: slope undefined, report 0
+        )
         return {
             "times": times,
             "head_mean": round(head, 3),

@@ -818,3 +818,18 @@ def test_imipq_refined_reorders_and_stays_in_shortlist(
             members, key=lambda n: (-sims[(qid, n)], n)
         )[:5]
         assert [got[(qid, rk)] for rk in range(1, 6)] == want, qid
+
+
+def test_churn_classify_empty_increment_all_zeros(spark):
+    """A quiet crawl day (zero-row increment) reports (N, 0, 0, 0, 0,
+    0) like the SQL form — never NULLs, and never a lost corpus count
+    (the global-agg-over-empty edge)."""
+    from bearysta_spark.functions.dedup import churn_classify
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text here with several words")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame([], "doc_id long, text string")
+    row = churn_classify(corpus, inc).collect()[0]
+    assert tuple(row) == (1, 0, 0, 0, 0, 0)

@@ -145,3 +145,82 @@ def test_streaming_drift_guards(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_streaming_drift_rebuild_picked_up_without_restart(
+    spark, tmp_path
+):
+    """A re-based reference (write_codelen_model over a different
+    snapshot) is published by an atomic marker flip: the next
+    micro-batch bills under the NEW model — with no crash window and
+    no stream restart — and the superseded version dir survives one
+    rebuild cycle (deferred reclamation)."""
+    import os
+
+    from bearysta_spark.streaming.drift import (
+        start_streaming_drift_monitor,
+        write_codelen_model,
+    )
+
+    model, land, rep, ckpt = (
+        str(tmp_path / d) for d in ("model", "land", "rep", "ckpt")
+    )
+    d = _docs(spark)
+    write_codelen_model(d.filter(F.col("doc_id") % 2 == 0), model)
+
+    def feed(lo, hi):
+        (
+            d.filter(
+                (F.col("doc_id") % 2 == 1)
+                & (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(land)
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, lang string, text string"
+        ).parquet(land)
+        q = start_streaming_drift_monitor(stream, model, rep, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    feed(0, 200)
+    run()
+    # rebuild from a DIFFERENT reference slice; monitor not restarted
+    write_codelen_model(d.filter(F.col("doc_id") % 4 == 0), model)
+    assert os.path.isdir(os.path.join(model, "v0"))  # deferred
+    assert os.path.isdir(os.path.join(model, "v1"))
+    feed(200, 500)
+    run()
+
+    rows = {
+        (r.batch_id, r.lang): (r.cross_bits, r.oov_tokens)
+        for r in spark.read.parquet(rep).collect()
+    }
+    ref_v1 = [
+        r.text for r in d.filter(F.col("doc_id") % 4 == 0).collect()
+    ]
+    batch1 = [
+        (r.lang, r.text)
+        for r in d.filter(
+            (F.col("doc_id") % 2 == 1)
+            & (F.col("doc_id") >= 200)
+            & (F.col("doc_id") < 500)
+        ).collect()
+    ]
+    want = _py_reference(ref_v1, batch1)
+    got1 = {
+        lang: rows[(1, lang)] for (b, lang) in rows if b == 1
+    }
+    assert got1 == {k: (v[1], v[3]) for k, v in want.items()}
+    # a third rebuild reclaims v0
+    write_codelen_model(d.filter(F.col("doc_id") % 8 == 0), model)
+    assert not os.path.isdir(os.path.join(model, "v0"))
+    assert os.path.isdir(os.path.join(model, "v1"))
+    assert os.path.isdir(os.path.join(model, "v2"))
