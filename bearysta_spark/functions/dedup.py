@@ -1130,6 +1130,7 @@ def churn_classify(
     num_hashes: int = 12,
     bands: int = 3,
     threshold: float = 0.5,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Classify a crawl INCREMENT against the standing corpus — the
     one-row churn rollup behind queries.corpus_churn_report: each
@@ -1147,11 +1148,17 @@ def churn_classify(
     discipline: vacuous on this corpus, never silently untested).
 
     100 TB shape: the exact arm is a 16-byte-digest semi-join; the
-    near arm's shingle table is pruned to candidate participants
-    before the verify joins; the rollup is one row. The daily
-    production form passes corpus band buckets from a persisted
-    write_lsh_index instead of re-shingling (incremental_lsh_pairs'
-    corpus_buckets path)."""
+    near arm prunes the DOC rows to candidate participants BEFORE the
+    verify-shingle explode (the semi-join sits below the Generate by
+    construction — Catalyst will not push a semi-join under a Generate
+    on its own, so pruning after the explode would materialize a
+    corpus-wide shingle table just to throw it away); the rollup is
+    one row. The daily production form passes `corpus_buckets` from a
+    persisted write_lsh_index (incremental_lsh_pairs' corpus_buckets
+    path) — then the corpus-side LSH signature pass disappears and the
+    audit's explode cost is bounded by the candidate participants, so
+    a 10× larger standing corpus at fixed increment costs ~the same
+    (see scripts/churn_ladder.py)."""
     exact = (
         increment.select(id_col, content_hash(text_col).alias("h"))
         .join(
@@ -1163,19 +1170,30 @@ def churn_classify(
         .distinct()
         .withColumn("__exact", F.lit(True))
     )
-    cand = incremental_lsh_pairs(
-        corpus, increment, text_col, id_col, k, num_hashes, bands
-    )
-    both = corpus.unionByName(increment)
-    sh = scoped_cache(
-        shingle_df(both, text_col, id_col, k).join(
-            cand.select(F.col("corpus_id").alias(id_col))
-            .unionByName(cand.select(F.col("new_id").alias(id_col)))
-            .distinct(),
+    cand = scoped_cache(
+        incremental_lsh_pairs(
+            None if corpus_buckets is not None else corpus,
+            increment,
+            text_col,
             id_col,
-            "left_semi",
+            k,
+            num_hashes,
+            bands,
+            corpus_buckets=corpus_buckets,
         )
     )
+    both = corpus.unionByName(increment)
+    # prune at DOC grain first, then explode: only candidate
+    # participants' text is ever shingled (output-identical to pruning
+    # the exploded table, since shingle_df is per-doc)
+    participants = both.join(
+        cand.select(F.col("corpus_id").alias(id_col))
+        .unionByName(cand.select(F.col("new_id").alias(id_col)))
+        .distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh = scoped_cache(shingle_df(participants, text_col, id_col, k))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         cand.join(

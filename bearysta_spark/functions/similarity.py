@@ -1097,22 +1097,24 @@ def _pq_index_frame(
     )
 
 
-def _pq_topk_from_index(
+def _pq_ranked_from_index(
     index: DataFrame,
     queries: DataFrame,
     probe_cells,
     cell_col: str,
     codebooks: list[list[list[float]]],
-    k: int,
     id_col: str,
     vec_col: str,
     adc_agg,
 ) -> DataFrame:
-    """Shared persisted-PQ search: broadcast the probe list (qid,
+    """Shared persisted-PQ scoring: broadcast the probe list (qid,
     <cell_col> from the multi-cell Column `probe_cells`) so the cell
-    equi-join dynamically prunes the index partitions, then rank by
-    the broadcast ADC LUT sum. Both from-index searchers (IVF-PQ,
-    IMI-PQ) call this — identical join/rank logic by construction."""
+    equi-join dynamically prunes the index partitions, then rank EVERY
+    probed candidate by the broadcast ADC LUT sum — (qid, nid, adc,
+    rank) with no top-k cut, so operating-curve audits can read both
+    the candidate volume and any shortlist depth from one frame. Both
+    from-index searchers (IVF-PQ, IMI-PQ) rank through this —
+    identical join/rank logic by construction."""
     if adc_agg is None:
         adc_agg = F.sum
     probe = queries.select(
@@ -1134,11 +1136,27 @@ def _pq_topk_from_index(
         .agg(adc_agg(F.col("s")).alias("adc"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "adc", "rank")
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "nid", "adc", "rank"
     )
+
+
+def _pq_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    probe_cells,
+    cell_col: str,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    adc_agg,
+) -> DataFrame:
+    """Top-k cut of _pq_ranked_from_index (the serving shape)."""
+    return _pq_ranked_from_index(
+        index, queries, probe_cells, cell_col, codebooks, id_col, vec_col,
+        adc_agg,
+    ).filter(F.col("rank") <= k)
 
 
 def write_imipq_index(
@@ -1269,6 +1287,98 @@ def imi_pq_topk_refined(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "sim", "rank")
     )
+
+
+def imi_pq_operating_curve(
+    index: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probes_list: tuple[int, ...] = (1, 2, 4, 8),
+    refine_list: tuple[int, ...] = (5, 15, 30),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """The FAISS-style TUNING TABLE for the two-stage IMI-PQ search:
+    sweep the (probes × refine) grid over a persisted index and report,
+    per cell, the candidate volume (and its fraction of the corpus —
+    what stage 1 actually scans), the exact-rerank row count (what
+    stage 2 pays), and refined top-k recall against brute-force cosine
+    truth. imi_pq_refine_recall measures ONE point of this surface;
+    the curve is what a serving owner reads to pick parameters — it
+    shows where the shortlist ceiling stops binding (raising refine
+    past the probe bound buys nothing) and what each extra probe costs
+    in scanned fraction. Output: (probes, refine, n_candidates,
+    scanned_ppm, rerank_rows, hits, recall_ppm), one row per grid
+    cell, integer ppm (1e6·x // denom) throughout.
+
+    Cost shape: ONE ranked-candidate frame per probes value (cached —
+    every refine depth is a rank filter over it, so the grid costs
+    |probes_list| stage-1 searches, not |grid|); truth is |Q|·N brute
+    force (an audit, run on samples at 100 TB); reranks touch
+    ~refine·|Q| full-width rows per cell. Callers registering this
+    must use scoped_caches=True."""
+    from functools import reduce
+
+    from bearysta_spark.cachescope import scoped_cache
+
+    truth = scoped_cache(
+        brute_force_topk(vectors, queries, k=k, id_col=id_col,
+                         vec_col=vec_col).select("qid", "nid")
+    )
+    n_expected = truth.count()
+    denom = queries.count() * (vectors.count() - 1)
+    cells = []
+    for p in probes_list:
+        ranked = scoped_cache(
+            _pq_ranked_from_index(
+                index,
+                queries,
+                assign_imi_cells_arrow(cb1, cb2, p)(F.col(vec_col)),
+                "imi_cell",
+                codebooks,
+                id_col,
+                vec_col,
+                adc_agg,
+            )
+        )
+        for r in refine_list:
+            short = ranked.filter(F.col("rank") <= r).select("qid", "nid")
+            ref = imi_pq_topk_refined(
+                index, vectors, queries, cb1, cb2, codebooks,
+                k=k, id_col=id_col, vec_col=vec_col, shortlist=short,
+            )
+            hits = ref.select("qid", "nid").join(truth, ["qid", "nid"]).agg(
+                F.count("*").cast("long").alias("hits")
+            )
+            stats = ranked.agg(
+                F.count("*").cast("long").alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.when(F.col("rank") <= r, 1).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias("rerank_rows"),
+            )
+            cells.append(
+                stats.crossJoin(F.broadcast(hits)).select(
+                    F.lit(p).cast("int").alias("probes"),
+                    F.lit(r).cast("int").alias("refine"),
+                    "n_candidates",
+                    F.expr(
+                        f"CAST((1000000 * n_candidates) div {denom} "
+                        "AS BIGINT)"
+                    ).alias("scanned_ppm"),
+                    "rerank_rows",
+                    "hits",
+                    F.expr(
+                        f"CAST((1000000 * hits) div {n_expected} AS BIGINT)"
+                    ).alias("recall_ppm"),
+                )
+            )
+    return reduce(DataFrame.unionByName, cells).orderBy("probes", "refine")
 
 
 def ivf_pq_topk_from_index(

@@ -6892,6 +6892,156 @@ def knn_imi_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _imipq_curve_oracle_sql(
+    probes_list: tuple[int, ...], refine_list: tuple[int, ...], k: int = 5
+) -> str:
+    """imi_pq_operating_curve's oracle: the persisted IMI-PQ search
+    replay (shared cells/codes/LUT stages), one ranked-candidate CTE
+    per probes value, one exact-cosine rerank per (probes, refine)
+    grid cell, recall vs brute-force truth — all integer ppm."""
+    shared = f"""cb(j, cell, c) AS (VALUES
+      {_PQ_CB_SQL}),
+    cells AS (SELECT vec_id AS nid, cell AS imi_cell FROM rk WHERE rn = 1),
+    sub AS (
+      SELECT e.vec_id, CAST(cb.j AS INT) AS j, CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS score
+      FROM e, cb
+    ),
+    rankedp AS (
+      SELECT vec_id, j, cell,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY score DESC, cell ASC) AS rn
+      FROM sub
+    ),
+    codes AS (SELECT vec_id AS nid, j, cell FROM rankedp WHERE rn = 1),
+    lut AS (
+      SELECT e.vec_id AS qid, CAST(cb.j AS INT) AS j,
+             CAST(cb.cell AS INT) AS cell,
+             list_dot_product(e.v[(cb.j*8+1):(cb.j*8+8)], cb.c) AS s
+      FROM e, cb WHERE e.vec_id < 5
+    ),
+    truth AS (
+      SELECT qid, nid FROM (
+        SELECT q.vec_id AS qid, e2.vec_id AS nid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, e2.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e2.v, e2.v))) DESC,
+                 e2.vec_id ASC) AS rank
+        FROM (SELECT * FROM e WHERE vec_id < 5) q
+        JOIN e e2 ON e2.vec_id != q.vec_id
+      ) WHERE rank <= {k}
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM truth),
+    dd AS (SELECT CAST(5 * (count(*) - 1) AS BIGINT) AS d FROM e)"""
+    per_p = []
+    for p in probes_list:
+        per_p.append(f"""probe_{p} AS (
+      SELECT vec_id AS qid, cell AS imi_cell
+      FROM rk WHERE rn <= {p} AND vec_id < 5
+    ),
+    ranked_{p} AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc DESC, nid ASC) AS rank
+      FROM (
+        SELECT p.qid, c.nid, {_dsum_sql("l.s", 4)} AS adc
+        FROM probe_{p} p
+        JOIN cells ce USING (imi_cell)
+        JOIN codes c ON c.nid = ce.nid AND ce.nid != p.qid
+        JOIN lut l ON l.qid = p.qid AND l.j = c.j AND l.cell = c.cell
+        GROUP BY p.qid, c.nid
+      )
+    )""")
+    per_cell = []
+    rows = []
+    for p in probes_list:
+        for r in refine_list:
+            per_cell.append(f"""ref_{p}_{r} AS (
+      SELECT qid, nid FROM (
+        SELECT s.qid, s.nid,
+               row_number() OVER (PARTITION BY s.qid
+                 ORDER BY list_dot_product(qe.v, ne.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ne.v, ne.v))) DESC,
+                 s.nid ASC) AS rank
+        FROM (SELECT qid, nid FROM ranked_{p} WHERE rank <= {r}) s
+        JOIN e qe ON qe.vec_id = s.qid
+        JOIN e ne ON ne.vec_id = s.nid
+      ) WHERE rank <= {k}
+    )""")
+            rows.append(f"""
+      SELECT CAST({p} AS INT) AS probes, CAST({r} AS INT) AS refine,
+             nc.n_candidates,
+             CAST((1000000 * nc.n_candidates) // dd.d AS BIGINT)
+               AS scanned_ppm,
+             rr.rerank_rows, h.hits,
+             CAST((1000000 * h.hits) // nn.n_expected AS BIGINT)
+               AS recall_ppm
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+            FROM ranked_{p}) nc,
+           (SELECT CAST(count(*) AS BIGINT) AS rerank_rows
+            FROM ranked_{p} WHERE rank <= {r}) rr,
+           (SELECT CAST(count(*) AS BIGINT) AS hits
+            FROM ref_{p}_{r} JOIN truth USING (qid, nid)) h,
+           nn, dd""")
+    return (
+        f"WITH {_imi_rank_ctes()},\n    {shared},\n    "
+        + ",\n    ".join(per_p + per_cell)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY probes, refine"
+    )
+
+
+_CURVE_PROBES = (1, 2, 4, 8)
+_CURVE_REFINE = (5, 15, 30)
+
+
+@query(
+    "imi_pq_operating_curve",
+    scoped_caches=True,
+    oracle=_imipq_curve_oracle_sql(_CURVE_PROBES, _CURVE_REFINE, 5),
+)
+def imi_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN OPERATING CURVE (r10 verdict ask #3) — the FAISS tuning
+    table a serving owner reads before picking (nprobe, refine): sweep
+    probes ∈ {1,2,4,8} × refine ∈ {5,15,30} over the persisted IMI-PQ
+    index and report, per grid cell, candidate volume and its corpus
+    fraction (stage-1 scan cost), exact-rerank rows (stage-2 cost),
+    and refined top-5 recall vs brute-force cosine truth (integer
+    ppm). imi_pq_refine_recall measured ONE point (probes=4,
+    refine=15); the curve shows where the shortlist ceiling stops
+    binding — on this corpus recall saturates in REFINE once probes
+    fix the reachable set, so the residual gap is always the probe
+    bound, and scanned_ppm prices each extra probe. Stage-1 cost is
+    paid once per PROBES value, not per cell (one cached
+    ranked-candidate frame; every refine depth is a rank filter).
+    Oracle replays the full grid from the shared codebook literals.
+    See functions/similarity.py:imi_pq_operating_curve."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    path = os.path.join(_index_root(sf_dir), "imipq_index")
+    S.write_imipq_index(
+        e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
+    )
+    idx = spark.read.parquet(path)
+    return S.imi_pq_operating_curve(
+        idx,
+        e,
+        q,
+        _IMI_CODEBOOKS[0],
+        _IMI_CODEBOOKS[1],
+        _PQ_CODEBOOKS,
+        probes_list=_CURVE_PROBES,
+        refine_list=_CURVE_REFINE,
+        k=5,
+        adc_agg=lambda c: dsum(c, 4),
+    )
+
+
 @query("knn_imi_pq_streamed")
 def knn_imi_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMI-PQ search against a STREAM-GROWN index (streaming/ann.py) —
@@ -11173,10 +11323,10 @@ def _doremi_eg(
     return out
 
 
-@query(
-    "corpus_churn_report",
-    scoped_caches=True,
-    oracle=f"""
+# churn oracle, shared by the inline and persisted-index forms — the
+# two registered queries are the same audit computed against the same
+# candidate set (identical signatures/banding), so one SQL checks both
+_CHURN_ORACLE = f"""
     WITH {_SH_CTE}, {_BUCKETS_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
@@ -11227,8 +11377,10 @@ def _doremi_eg(
            CAST(sum(CASE WHEN kind = 'fresh' THEN tc ELSE 0 END)
                 AS BIGINT) AS fresh_tokens
     FROM cls
-    """,
-)
+    """
+
+
+@query("corpus_churn_report", scoped_caches=True, oracle=_CHURN_ORACLE)
 def corpus_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl churn audit — the question a pipeline owner
     asks before paying to process a new crawl: how much of today's
@@ -11259,6 +11411,33 @@ def corpus_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 10 != 0),
         d.filter(F.col("doc_id") % 10 == 0),
     )
+
+
+@query("corpus_churn_persisted", scoped_caches=True, oracle=_CHURN_ORACLE)
+def corpus_churn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY PRODUCTION form of corpus_churn_report: the standing
+    corpus's LSH band buckets come from a PERSISTED write_lsh_index
+    (the dedup_increment_persisted convention — hive-partitioned by
+    band, bucket-clustered) instead of being recomputed, so the
+    corpus-side cost of the audit is an index file scan plus a
+    candidate-pruned shingle pass: the corpus text is never
+    LSH-signatured, and only candidate-participant docs are ever
+    shingled for the Jaccard verify (churn_classify prunes at DOC
+    grain below the explode). This is the query a crawl pipeline runs
+    every morning, so its cost must be bounded by the INCREMENT — a
+    10× larger standing corpus at fixed increment costs ~the same
+    (measured: scripts/churn_ladder.py, SCALE_LADDER_r11.json). Same
+    rollup as the inline form by construction (identical
+    signatures/banding), which the shared oracle verifies."""
+    import os
+
+    d = _t(spark, sf_dir, "documents")
+    inc = d.filter(F.col("doc_id") % 10 == 0)
+    corp = d.filter(F.col("doc_id") % 10 != 0)
+    path = os.path.join(_index_root(sf_dir), "lsh_index_churn")
+    D.write_lsh_index(corp, path, num_hashes=12, bands=3)
+    idx = spark.read.parquet(path)
+    return D.churn_classify(corp, inc, corpus_buckets=idx)
 
 
 def _drift_split_case() -> str:

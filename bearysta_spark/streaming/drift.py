@@ -103,7 +103,14 @@ def write_codelen_model(
         .partitionBy("tb")
         .parquet(vdir)
     )
-    assert spark.read.schema(MODEL_SCHEMA).parquet(vdir).count() > 0
+    # explicit raise, not assert: stripped under `python -O`, and an
+    # empty model silently published here is the exact loud-error
+    # condition the monitor treats as fatal (r10 ADVICE)
+    if spark.read.schema(MODEL_SCHEMA).parquet(vdir).count() == 0:
+        raise ValueError(
+            f"code-length model write to {vdir} produced zero rows — "
+            "refusing to publish an empty version marker"
+        )
     _write_json(
         path, META,
         {

@@ -72,7 +72,7 @@ def main() -> None:
     queries = fresh_batch(0).limit(5).persist()
     queries.count()
 
-    ingest_times, serve_times, serve_at = [], [], []
+    ingest_times, serve_times, serve_at, serve_rows = [], [], [], []
     for b in range(args.batches):
         fresh_batch(b).coalesce(2).write.mode("append").parquet(land)
         stream = spark.readStream.schema(
@@ -93,7 +93,11 @@ def main() -> None:
             ).count()
             serve_times.append(round(time.perf_counter() - t0, 3))
             serve_at.append(b)
-            assert n == 25, n  # 5 queries x k=5, every serve
+            serve_rows.append(n)
+            # 5 queries x k=5 is the CEILING; a sparse early index (small
+            # --rows / unlucky hash spread) can legitimately serve fewer
+            # within the probed cells — record it, don't abort (r10 ADVICE)
+            assert n <= 25, n
 
     # vacuity guard: the index really grew N×
     view = imipq_index_view(spark, idx)
@@ -132,7 +136,11 @@ def main() -> None:
                 "n_indexed": n_indexed,
                 "compact_every": args.compact_every,
                 "ingest": stats(ingest_times),
-                "serve": {**stats(serve_times), "at_batch": serve_at},
+                "serve": {
+                    **stats(serve_times),
+                    "at_batch": serve_at,
+                    "rows_served": serve_rows,
+                },
             }
         )
     )
