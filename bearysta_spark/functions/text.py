@@ -313,6 +313,7 @@ def hashed_doc_vectors(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_ngrams: int = 1,
 ) -> DataFrame:
     """Feature-hashing (the hashing trick, Weinberger et al. 2009)
     document vectors in sparse long form: token t adds sign(t) to
@@ -327,10 +328,41 @@ def hashed_doc_vectors(
     long form to cosine/ANN ops after densifying, or use it directly
     for sparse dot products via a (dim)-key equi-join. At 100 TB the
     shuffle carries ≤ dim rows per document regardless of text bytes.
-    """
-    from bearysta_spark.functions.tokenize import word_occurrences
 
-    occ = word_occurrences(df, text_col, id_col)
+    word_ngrams=2 adds adjacent-word bigram features ("w1 w2", one
+    space — the fastText wordNgrams=2 default for quality filtering)
+    into the SAME hashed space alongside the unigrams: interaction
+    features a bag-of-words halfspace cannot express, at the cost of
+    ~2× explode volume and denser collision load per bucket. Same
+    md5 dimension/sign arithmetic per gram string, so the oracle
+    replay is the same expression over the concatenated gram list.
+    """
+    from bearysta_spark.functions.tokenize import WORD_PATTERN, word_occurrences
+
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
+    if word_ngrams == 2:
+        from bearysta_spark.functions.dedup import _spread
+
+        pre = _spread(df).select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0
+            ).alias("__ws"),
+        )
+        big = F.when(
+            F.size("__ws") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> concat_ws(' ', __ws[i-1], __ws[i]))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        occ = pre.select(
+            F.col(id_col),
+            F.explode(F.concat(F.col("__ws"), big)).alias("word"),
+        )
+    else:
+        occ = word_occurrences(df, text_col, id_col)
     h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
     # sign from the 16th hex digit's parity — independent of the
     # dimension bits above it
@@ -488,6 +520,7 @@ def classifier_margins(
     bias_milli: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_ngrams: int = 1,
 ) -> DataFrame:
     """Linear quality classifier over feature-hashed document vectors —
     the fastText-style quality-filter shape (a trained linear model over
@@ -514,7 +547,7 @@ def classifier_margins(
     (score them sigmoid(bias) via a left join if required).
     """
     dim = len(weights_milli)
-    vec = hashed_doc_vectors(df, dim, text_col, id_col)
+    vec = hashed_doc_vectors(df, dim, text_col, id_col, word_ngrams)
     w = F.element_at(
         F.lit([int(x) for x in weights_milli]), F.col("dim") + 1
     ).cast("long")
@@ -540,6 +573,7 @@ def classifier_train(
     rounds: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_ngrams: int = 1,
 ) -> list[tuple[int, int, list[int]]]:
     """Distributed TRAINING of the fastText-style linear quality
     classifier that classifier_margins serves — the classifier twin of
@@ -587,7 +621,7 @@ def classifier_train(
     anyway."""
     from bearysta_spark.scratch import cleanup, materialize_distributed
 
-    vec = hashed_doc_vectors(df, dim, text_col, id_col)
+    vec = hashed_doc_vectors(df, dim, text_col, id_col, word_ngrams)
     sparse = materialize_distributed(
         vec.join(
             df.select(

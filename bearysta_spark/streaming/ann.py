@@ -44,6 +44,7 @@ from bearysta_spark.functions.similarity import (
     _pq_index_frame,
     assign_imi_cells_arrow,
     imi_pq_topk_from_index,
+    imi_pq_topk_refined,
 )
 from bearysta_spark.streaming.index import (
     compact_index,
@@ -173,6 +174,38 @@ def imipq_index_view(
     )
 
 
+def _checked_live_index(
+    spark: SparkSession,
+    index_root: str,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+) -> DataFrame:
+    """The serving-side view both live searchers read: the marker-aware
+    consistent view, gated by the quantizer-geometry layout guard.
+    Raises if the index is empty or was grown under a different
+    geometry (a read-side check only — serving never creates layout
+    state)."""
+    from bearysta_spark.streaming.index import read_layout
+
+    cur = read_layout(index_root, spark)
+    want = imipq_layout(cb1, cb2, codebooks)
+    if cur is not None and cur != want:
+        raise ValueError(
+            f"index layout mismatch at {index_root}: persisted {cur}, "
+            f"caller expects {want} — searching an index grown under a "
+            "different quantizer geometry returns wrong neighbors"
+        )
+    idx = imipq_index_view(spark, index_root, id_col=id_col)
+    if idx is None:
+        raise ValueError(
+            f"streaming IMI-PQ index at {index_root} holds no committed "
+            "rows yet — nothing to search"
+        )
+    return idx.drop("batch_id")
+
+
 def imipq_topk_live(
     queries: DataFrame,
     index_root: str,
@@ -189,34 +222,63 @@ def imipq_topk_live(
     identical search plan as the batch persisted path
     (imi_pq_topk_from_index — broadcast probe list dynamically prunes
     the imi_cell partitions, broadcast ADC LUT ranks codes-only rows)
-    over the marker-aware view. Raises if the index is empty or was
-    grown under a different quantizer geometry (a read-side check
-    only — serving never creates layout state)."""
-    from bearysta_spark.streaming.index import read_layout
-
-    spark = queries.sparkSession
-    cur = read_layout(index_root, spark)
-    want = imipq_layout(cb1, cb2, codebooks)
-    if cur is not None and cur != want:
-        raise ValueError(
-            f"index layout mismatch at {index_root}: persisted {cur}, "
-            f"caller expects {want} — searching an index grown under a "
-            "different quantizer geometry returns wrong neighbors"
-        )
-    idx = imipq_index_view(spark, index_root, id_col=id_col)
-    if idx is None:
-        raise ValueError(
-            f"streaming IMI-PQ index at {index_root} holds no committed "
-            "rows yet — nothing to search"
-        )
+    over the checked marker-aware view (_checked_live_index)."""
+    idx = _checked_live_index(
+        queries.sparkSession, index_root, cb1, cb2, codebooks, id_col
+    )
     return imi_pq_topk_from_index(
-        idx.drop("batch_id"),
+        idx,
         queries,
         cb1,
         cb2,
         codebooks,
         k=k,
         probes=probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        adc_agg=adc_agg,
+    )
+
+
+def imipq_topk_refined_live(
+    queries: DataFrame,
+    index_root: str,
+    vectors: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    probes: int = 1,
+    refine: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+) -> DataFrame:
+    """Two-stage LIVE serving: the exact-refinement search
+    (functions.similarity.imi_pq_topk_refined — lossy ADC shortlist
+    from codes-only rows, exact-cosine rerank over a semi-join-pruned
+    point read of ~refine·|Q| raw vectors) composed over the SAME
+    checked marker-aware view imipq_topk_live serves from, so the
+    streaming arm runs the production two-stage search, not just
+    ADC-only top-k. `vectors` is the raw-vector store the pipeline
+    persisted at ingest time (the index holds m-byte codes only —
+    refinement is the one read that touches full-width floats, and
+    only for shortlist members). Batch-equality across replay and
+    compaction is chaos-tested in tests/test_streaming_ann.py; callers
+    must hold a cache scope (the shortlist is scope-cached)."""
+    idx = _checked_live_index(
+        queries.sparkSession, index_root, cb1, cb2, codebooks, id_col
+    )
+    return imi_pq_topk_refined(
+        idx,
+        vectors,
+        queries,
+        cb1,
+        cb2,
+        codebooks,
+        k=k,
+        probes=probes,
+        refine=refine,
         id_col=id_col,
         vec_col=vec_col,
         adc_agg=adc_agg,

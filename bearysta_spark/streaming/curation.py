@@ -319,6 +319,7 @@ def start_streaming_curation_pipeline(
     decontam_min_shared: int = 1,
     classifier_weights: tuple[list[int], int] | None = None,
     classifier_tau_milli: int = 0,
+    drift_model_root: str | None = None,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
     exact dedup → MinHash+LSH near-dup removal with exact Jaccard
@@ -347,6 +348,24 @@ def start_streaming_curation_pipeline(
     (chaos-tested equal). clf_ok and margin_milli are emitted ALWAYS
     so the out schema is configuration-stable; the curated corpus is
     the near_ok AND dec_ok AND clf_ok slice.
+
+    OPTIONAL drift stage (r10 verdict ask #5): `drift_model_root`
+    points at a persisted reference code-length model
+    (streaming/drift.py:write_codelen_model, versioned + atomic
+    marker). Each batch's CURATED SURVIVORS are then billed under the
+    reference vs their own batch-local model (drift_bill — the same
+    integer kernel as the standalone monitor) and the counters sink
+    gains a stage-7 "drift" row carrying drift_mb and oov_tokens, so
+    a pipeline owner reads funnel health AND data freshness from ONE
+    sink instead of running a second stream. The drift_mb/oov_tokens
+    COLUMNS exist on every counter row regardless of configuration
+    (null outside the drift row — the clf_ok schema-stability
+    discipline); the drift row's n_tokens is the billed [a-z0-9]
+    token mass of the curated slice. A rebuilt reference model is
+    picked up on the next micro-batch via the version marker, no
+    restart; a missing model raises loudly (the monitor's contract).
+    Nonzero-on-shift / ~zero-on-iid is chaos-tested in
+    tests/test_streaming_curation_composed.py.
 
     Semantics (equal to the batch funnel under the ascending-id
     contract — doc ids ascend across batches, as any ingest sequencer
@@ -699,7 +718,9 @@ def start_streaming_curation_pipeline(
             # the hot-bucket cap actually dropped (band, bucket) keys
             # this batch — cap observability for a pipeline owner
             # reading counters_path (r09 VERDICT ask #6; the batch
-            # funnel's report carries the same columns)
+            # funnel's report carries the same columns). drift_mb /
+            # oov_tokens live only on the stage-7 drift row but the
+            # columns exist on every row (schema stability).
             return frame.agg(
                 F.lit(n).cast("long").alias("stage"),
                 F.lit(name).alias("name"),
@@ -708,6 +729,8 @@ def start_streaming_curation_pipeline(
                 .alias("n_tokens"),
                 F.lit(capped[0]).cast("long").alias("n_capped_buckets"),
                 F.lit(capped[1]).cast("long").alias("n_capped_rows"),
+                F.lit(None).cast("long").alias("drift_mb"),
+                F.lit(None).cast("long").alias("oov_tokens"),
             )
 
         counters = (
@@ -734,6 +757,61 @@ def start_streaming_curation_pipeline(
                 stage(6, "classifier",
                       survread.filter("near_ok and dec_ok and clf_ok"))
             )
+        if drift_model_root is not None:
+            # bill the batch's curated survivors under the persisted
+            # reference model — the standalone monitor's exact integer
+            # kernel, landed as a stage-7 counter row so one sink
+            # carries funnel health AND data freshness. A global agg
+            # over drift_bill's single constant group guarantees one
+            # row even on a zero-survivor batch (the empty-increment
+            # churn discipline: explicit zeros, never a missing row).
+            from bearysta_spark.streaming.drift import (
+                META as _DMETA,
+                MODEL_SCHEMA as _DSCHEMA,
+                drift_bill,
+            )
+            from bearysta_spark.streaming.index import _read_json
+
+            meta = _read_json(drift_model_root, _DMETA, spark)
+            if meta is None:
+                raise ValueError(
+                    f"no code-length model meta under {drift_model_root}"
+                    " — build the reference with write_codelen_model "
+                    "first (the drift stage never creates model state)"
+                )
+            model = spark.read.schema(_DSCHEMA).parquet(
+                f"{drift_model_root}/v{int(meta['version'])}"
+            )
+            curated = survread.filter("near_ok and dec_ok and clf_ok")
+            bill = drift_bill(
+                curated.withColumn("__g", F.lit("all")),
+                model,
+                int(meta["escape_bits"]),
+                group_col="__g",
+                text_col=text_col,
+            ).agg(
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
+                .alias("__bt"),
+                F.coalesce(F.min("drift_mb"), F.lit(0)).cast("long")
+                .alias("__dmb"),
+                F.coalesce(F.sum("oov_tokens"), F.lit(0)).cast("long")
+                .alias("__oov"),
+            )
+            drift_row = (
+                curated.agg(F.count("*").cast("long").alias("n_docs"))
+                .crossJoin(F.broadcast(bill))
+                .select(
+                    F.lit(7).cast("long").alias("stage"),
+                    F.lit("drift").alias("name"),
+                    "n_docs",
+                    F.col("__bt").alias("n_tokens"),
+                    F.lit(0).cast("long").alias("n_capped_buckets"),
+                    F.lit(0).cast("long").alias("n_capped_rows"),
+                    F.col("__dmb").alias("drift_mb"),
+                    F.col("__oov").alias("oov_tokens"),
+                )
+            )
+            counters = counters.unionByName(drift_row)
         for frame, path, parts in (
             (counters, counters_path, ("batch_id",)),
             (

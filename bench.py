@@ -203,6 +203,12 @@ BENCH_QUERIES = [
     "corpus_churn_report",
     "quality_classifier_calibration",
     "imi_pq_refine_recall",
+    "corpus_churn_persisted",
+    "imi_pq_operating_curve",
+    "knn_imi_pq_refined_streamed",
+    "quality_classifier_bigram_train_curve",
+    "quality_classifier_bigram_trained_filter",
+    "quality_classifier_bigram_calibration",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -505,6 +511,12 @@ def main() -> None:
         "corpus_churn_report": "churn",
         "quality_classifier_calibration": "clfcal",
         "imi_pq_refine_recall": "refrec",
+        "corpus_churn_persisted": "churnp",
+        "imi_pq_operating_curve": "opcurv",
+        "knn_imi_pq_refined_streamed": "imirfs",
+        "quality_classifier_bigram_train_curve": "clfbtr",
+        "quality_classifier_bigram_trained_filter": "clfbfl",
+        "quality_classifier_bigram_calibration": "clfbca",
         "imi_ivf_recall": "imirec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",

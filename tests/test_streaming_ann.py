@@ -116,6 +116,80 @@ def test_streaming_imipq_matches_batch_with_replay_and_compaction(
     assert len({q for q, _ in got}) == 5  # every query served k rows
 
 
+def _serve_refined(spark, idx, cb1, cb2, cbs):
+    from bearysta_spark.cachescope import cache_scope
+    from bearysta_spark.queries import dsum
+    from bearysta_spark.streaming.ann import imipq_topk_refined_live
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    with cache_scope():
+        out = imipq_topk_refined_live(
+            q, idx, e, cb1, cb2, cbs, k=5, probes=4, refine=15,
+            adc_agg=lambda c: dsum(c, 4),
+        )
+        return {(r.qid, r.rank): (r.nid, float(r.sim)) for r in out.collect()}
+
+
+def test_streaming_imipq_refined_matches_batch_with_replay_and_compaction(
+    spark, tmp_path
+):
+    """The two-stage refined search over a stream-grown index — across
+    a truncated-checkpoint replay and a compaction boundary — must
+    equal the batch refined search over a batch-built index: the
+    shortlist comes from identical codes (bit-identical index rows),
+    and the exact rerank reads the same raw-vector store."""
+    from bearysta_spark.cachescope import cache_scope
+    from bearysta_spark.functions.similarity import (
+        imi_pq_topk_refined,
+        write_imipq_index,
+    )
+    from bearysta_spark.queries import dsum
+    from bearysta_spark.streaming.index import compact_index
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+    _feed(spark, land, 0, 150)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    _feed(spark, land, 150, 300)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    _truncate_last_commit(ckpt)  # die between execute and commit
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)  # replay batch 1
+    compact_index(spark, idx, 2, partition_cols=("batch_id", "imi_cell"))
+    _feed(spark, land, 300, 500)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+
+    got = _serve_refined(spark, idx, cb1, cb2, cbs)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    bpath = str(tmp_path / "batchidx")
+    write_imipq_index(e, cb1, cb2, cbs, bpath)
+    with cache_scope():
+        ref = imi_pq_topk_refined(
+            spark.read.parquet(bpath), e, q, cb1, cb2, cbs,
+            k=5, probes=4, refine=15, adc_agg=lambda c: dsum(c, 4),
+        )
+        want = {(r.qid, r.rank): (r.nid, float(r.sim)) for r in ref.collect()}
+    assert got == want
+    assert len({qq for qq, _ in got}) == 5
+
+
+def test_streaming_imipq_refined_layout_guard(spark, tmp_path):
+    from bearysta_spark.functions.similarity import make_pq_codebooks
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+    _feed(spark, land, 0, 100)
+    _run_once(spark, land, idx, ckpt, cb1, cb2, cbs)
+    other = make_pq_codebooks(dim=64, m=8, ksub=8, seed=99)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        _serve_refined(spark, idx, cb1, cb2, other)
+
+
 def test_streaming_imipq_layout_guard(spark, tmp_path):
     from bearysta_spark.functions.similarity import make_pq_codebooks
 

@@ -555,3 +555,104 @@ def test_composed_pipeline_with_classifier_stage(spark, tmp_path):
     cnt = spark.read.parquet(p["cnt"])
     s6 = cnt.filter("stage = 6").agg(F.sum("n_docs")).collect()[0][0]
     assert s6 == len(curated)
+
+
+def test_composed_pipeline_with_drift_stage(spark, tmp_path):
+    """Optional stage 7 (r10 verdict ask #5): each batch's curated
+    survivors billed under a persisted reference code-length model,
+    landing drift_mb/oov_tokens on the counters sink. On an iid stream
+    (reference built FROM the same docs) drift is ~zero with zero OOV;
+    on a distribution-shifted stream (rot-cipher text — disjoint token
+    sets) drift is large and every token is OOV. Replay-safe like every
+    other sink, and the stage-7 row equals the standalone drift_bill
+    kernel over the same curated rows (twin-equality)."""
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+    from bearysta_spark.streaming.drift import (
+        META,
+        MODEL_SCHEMA,
+        drift_bill,
+        write_codelen_model,
+    )
+    from bearysta_spark.streaming.index import _read_json
+
+    model_root = str(tmp_path / "model")
+    # reference = the gate-passing corpus itself → iid run drifts ~0
+    write_codelen_model(
+        spark.createDataFrame(ALL, SCHEMA), model_root
+    )
+
+    def run(p):
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            drift_model_root=model_root,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # --- iid stream: same docs the reference was built from ---
+    p = {k: str(tmp_path / "iid" / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    _feed(spark, p["land"], B0)
+    run(p)
+    _feed(spark, p["land"], B1)
+    run(p)
+    _truncate_last_commit(p["ckpt"])  # die between execute and commit
+    _feed(spark, p["land"], B2)
+    run(p)  # replays batch 1, then batch 2
+
+    cnt = spark.read.parquet(p["cnt"])
+    drows = {r.batch_id: r for r in cnt.filter("stage = 7").collect()}
+    assert set(drows) == {0, 1, 2}  # one drift row per batch, replayed ok
+    # non-drift rows carry null drift columns (schema-stable)
+    assert all(
+        r.drift_mb is None and r.oov_tokens is None
+        for r in cnt.filter("stage != 7").collect()
+    )
+    # iid: zero OOV everywhere, |drift| small (batch-local model beats
+    # the corpus-wide reference by at most a few hundred milli-bits)
+    assert all(r.oov_tokens == 0 for r in drows.values())
+    assert all(abs(r.drift_mb) < 2000 for r in drows.values())
+    # twin-equality: the stage-7 row = drift_bill over the curated rows
+    meta = _read_json(model_root, META, spark)
+    model = spark.read.schema(MODEL_SCHEMA).parquet(
+        f"{model_root}/v{int(meta['version'])}"
+    )
+    for b, r in drows.items():
+        curated = (
+            spark.read.parquet(p["out"])
+            .filter(F.col("batch_id") == b)
+            .filter("near_ok and dec_ok and clf_ok")
+        )
+        want = drift_bill(
+            curated.withColumn("__g", F.lit("all")), model,
+            int(meta["escape_bits"]), group_col="__g",
+        ).collect()
+        if r.n_docs == 0:
+            assert not want and (r.drift_mb, r.oov_tokens) == (0, 0)
+        else:
+            assert (r.n_tokens, r.drift_mb, r.oov_tokens) == (
+                want[0].n_tokens, want[0].drift_mb, want[0].oov_tokens
+            )
+
+    # --- shifted stream: rot-13 text → disjoint tokens, all OOV ---
+    import codecs
+
+    shifted = [
+        (100 + i, codecs.encode(t, "rot13"), lang, src)
+        for i, (_, t, lang, src) in enumerate(B0 + B1)
+    ]
+    p2 = {k: str(tmp_path / "shift" / k)
+          for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    _feed(spark, p2["land"], shifted)
+    run(p2)
+    d2 = spark.read.parquet(p2["cnt"]).filter("stage = 7").collect()
+    assert len(d2) == 1 and d2[0].n_docs > 0
+    # every billed token is novel to the reference; drift is large
+    # (every token costs the escape length under the reference)
+    assert d2[0].oov_tokens == d2[0].n_tokens > 0
+    assert d2[0].drift_mb > 1000

@@ -314,3 +314,44 @@ def test_classifier_train_converges_and_serves(spark):
         sum(1 for v in labs.values() if v == -1),
     )
     assert correct / len(margins) > 0.85 > majority / len(labs) + 0.25
+
+
+def test_hashed_doc_vectors_bigram_gram_stream(spark):
+    """word_ngrams=2 hashes unigrams PLUS adjacent bigrams ('w1 w2',
+    one space) into the same signed space: the bigram vector equals
+    the unigram vector of a doc whose token stream is the explicit
+    gram list (same md5 dim/sign arithmetic per gram string); a
+    single-token doc contributes no bigram; other orders raise."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.text import hashed_doc_vectors
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.dim): r.weight
+        for r in hashed_doc_vectors(df, dim=16, word_ngrams=2).collect()
+    }
+
+    import hashlib
+    from collections import defaultdict
+
+    def grams(toks):
+        return toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+
+    want: dict = defaultdict(int)
+    for doc_id, toks in ((1, ["the", "quick", "brown", "fox"]),
+                         (2, ["solo"])):
+        for g in grams(toks):
+            h = hashlib.md5(g.encode()).hexdigest()
+            dim = int(h[:15], 16) % 16
+            sign = 1 if int(h[15], 16) % 2 == 0 else -1
+            want[(doc_id, dim)] += sign
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+    with _pytest.raises(ValueError, match="word_ngrams"):
+        hashed_doc_vectors(df, dim=16, word_ngrams=3)
