@@ -11693,10 +11693,16 @@ def corpus_churn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled for the Jaccard verify (churn_classify prunes at DOC
     grain below the explode). This is the query a crawl pipeline runs
     every morning, so its cost must be bounded by the INCREMENT — a
-    10× larger standing corpus at fixed increment costs ~the same
-    (measured: scripts/churn_ladder.py, SCALE_LADDER_r11.json). Same
-    rollup as the inline form by construction (identical
-    signatures/banding), which the shared oracle verifies."""
+    10× larger standing corpus at fixed increment costs ~the same.
+    Measured (scripts/churn_ladder.py, SCALE_LADDER_r11.json): the
+    AUDIT is flat at 10× corpus (sf0.1: 2.55→2.70 s min, ratio 1.06);
+    the REGISTERED form also pays write_lsh_index inside the timed
+    region for self-containment — the once-per-corpus-build cost, so
+    its whole-query ladder (~0.25/mult) measures the harness, not the
+    daily path (the knn_imi_pq_streamed mid-stream-compaction
+    distinction). Same rollup as the inline form by construction
+    (identical signatures/banding), which the shared oracle
+    verifies."""
     import os
 
     d = _t(spark, sf_dir, "documents")
