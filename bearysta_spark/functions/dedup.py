@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bearysta_spark.cachescope import scoped_cache
@@ -407,16 +407,67 @@ def write_lsh_index(
     min/max stats let the bucket equi-join's scan skip files when AQE
     pushes bucket ranges. Returns the (file, n_rows) manifest from
     sinks.write_corpus.
+
+    The signature GEOMETRY (k, num_hashes, bands, oracle_safe) is
+    persisted alongside the rows (streaming/index.py:ensure_layout,
+    written AFTER the overwrite since the writer wipes the directory):
+    an increment probed with different parameters hashes into a
+    disjoint bucket space, so the equi-join finds ~nothing and every
+    near-dup silently classifies fresh — read the index back through
+    load_lsh_index to turn that into a loud config error.
     """
     from bearysta_spark.sinks import write_corpus
+    from bearysta_spark.streaming.index import ensure_layout
 
     sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes, oracle_safe)
     buckets = band_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
         buckets = cap_buckets(buckets, max_bucket_size, id_col)
-    return write_corpus(
+    manifest = write_corpus(
         buckets, path, partition_by=["band"], cluster_by=["bucket"]
     )
+    ensure_layout(
+        corpus.sparkSession, path,
+        {"k": k, "num_hashes": num_hashes, "bands": bands,
+         "oracle_safe": oracle_safe},
+    )
+    return manifest
+
+
+def load_lsh_index(
+    spark: SparkSession,
+    path: str,
+    k: int = 5,
+    num_hashes: int = 12,
+    bands: int = 3,
+    oracle_safe: bool = True,
+) -> DataFrame:
+    """Read a persisted LSH band-bucket index (write_lsh_index) with
+    the geometry guard: raises when the caller's (k, num_hashes,
+    bands, oracle_safe) differ from what the index was built with —
+    probing a 12-hash/3-band increment against a 16-hash/4-band index
+    joins disjoint bucket spaces and silently classifies every
+    near-dup fresh, the same silent-wrong-neighbors failure the
+    IMI-PQ serving path guards against (_checked_live_index). An index
+    written before the layout file existed (pre-r11) has no
+    _layout.json and is admitted with the caller's parameters (the
+    ensure_layout upgrade note: the geometry cannot be inferred from
+    the rows)."""
+    from bearysta_spark.streaming.index import read_layout
+
+    cur = read_layout(path, spark)
+    want = {
+        "k": k, "num_hashes": num_hashes, "bands": bands,
+        "oracle_safe": oracle_safe,
+    }
+    if cur is not None and cur != want:
+        raise ValueError(
+            f"LSH index layout mismatch at {path}: persisted {cur}, "
+            f"caller expects {want} — probing with different signature "
+            "geometry joins disjoint bucket spaces and silently "
+            "misclassifies every near-dup as fresh"
+        )
+    return spark.read.parquet(path)
 
 
 def incremental_lsh_pairs(

@@ -1059,8 +1059,14 @@ def write_ivfpq_index(
 
     This mirrors write_lsh_index for the dedup stack: build once per
     corpus snapshot, search any number of query batches from the files
-    with ivf_pq_topk_from_index."""
+    with ivf_pq_topk_from_index. The quantizer geometry is persisted
+    after the rows (streaming/index.py:ensure_layout — the writer
+    wipes the directory) so load_ivfpq_index can refuse a probe under
+    different centroids/codebooks, which would silently return wrong
+    neighbors (the streaming arm's imipq_layout guard, applied to the
+    batch index)."""
     from bearysta_spark.sinks import write_corpus
+    from bearysta_spark.streaming.index import ensure_layout
 
     idx = _pq_index_frame(
         corpus,
@@ -1070,7 +1076,78 @@ def write_ivfpq_index(
         id_col,
         vec_col,
     )
-    return write_corpus(idx, path, partition_by=["ivf_cell"])
+    manifest = write_corpus(idx, path, partition_by=["ivf_cell"])
+    ensure_layout(
+        corpus.sparkSession, path, _ivfpq_layout(centroids, codebooks)
+    )
+    return manifest
+
+
+def _ivfpq_layout(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+) -> dict:
+    """Layout constants for a persisted IVF-PQ index: cell count, PQ
+    width, and the digest of every float that determines cells/codes —
+    all correctness-load-bearing at search time."""
+    import hashlib
+    import json
+
+    return {
+        "cells": len(centroids),
+        "m": len(codebooks),
+        "codebooks_md5": hashlib.md5(
+            json.dumps([centroids, codebooks]).encode()
+        ).hexdigest(),
+    }
+
+
+def _load_guarded_index(
+    spark, path: str, want: dict, kind: str
+) -> DataFrame:
+    """Shared persisted-PQ index loader: admit a pre-layout index (the
+    geometry cannot be inferred from code rows), raise on a mismatch —
+    an index grown under one quantizer and probed under another
+    silently returns wrong neighbors."""
+    from bearysta_spark.streaming.index import read_layout
+
+    cur = read_layout(path, spark)
+    if cur is not None and cur != want:
+        raise ValueError(
+            f"{kind} index layout mismatch at {path}: persisted {cur}, "
+            f"caller expects {want} — searching an index built under a "
+            "different quantizer geometry returns wrong neighbors"
+        )
+    return spark.read.parquet(path)
+
+
+def load_ivfpq_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Read a persisted IVF-PQ index (write_ivfpq_index) with the
+    quantizer-geometry guard."""
+    return _load_guarded_index(
+        spark, path, _ivfpq_layout(centroids, codebooks), "IVF-PQ"
+    )
+
+
+def load_imipq_index(
+    spark,
+    path: str,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Read a persisted IMI-PQ index (write_imipq_index) with the
+    quantizer-geometry guard — the same imipq_layout digest the
+    streaming arm validates on every ingest and serve."""
+    from bearysta_spark.streaming.ann import imipq_layout
+
+    return _load_guarded_index(
+        spark, path, imipq_layout(cb1, cb2, codebooks), "IMI-PQ"
+    )
 
 
 def _pq_index_frame(
@@ -1177,8 +1254,13 @@ def write_imipq_index(
     to broadcast at build AND search time stays K1+K2 half-width
     centroids (square root of the cell count — r08 VERDICT ask #6
     composing the r08 IMI quantizer with the persisted-PQ serving
-    path). Raw vectors are read once, at index-build time."""
+    path). Raw vectors are read once, at index-build time. The
+    quantizer geometry is persisted after the rows (the streaming
+    ingest's imipq_layout, identical digest) so load_imipq_index
+    refuses a mismatched probe."""
     from bearysta_spark.sinks import write_corpus
+    from bearysta_spark.streaming.ann import imipq_layout
+    from bearysta_spark.streaming.index import ensure_layout
 
     idx = _pq_index_frame(
         corpus,
@@ -1188,7 +1270,11 @@ def write_imipq_index(
         id_col,
         vec_col,
     )
-    return write_corpus(idx, path, partition_by=["imi_cell"])
+    manifest = write_corpus(idx, path, partition_by=["imi_cell"])
+    ensure_layout(
+        corpus.sparkSession, path, imipq_layout(cb1, cb2, codebooks)
+    )
+    return manifest
 
 
 def imi_pq_topk_from_index(
@@ -1318,10 +1404,15 @@ def imi_pq_operating_curve(
 
     Cost shape: ONE ranked-candidate frame per probes value (cached —
     every refine depth is a rank filter over it, so the grid costs
-    |probes_list| stage-1 searches, not |grid|); truth is |Q|·N brute
-    force (an audit, run on samples at 100 TB); reranks touch
-    ~refine·|Q| full-width rows per cell. Callers registering this
-    must use scoped_caches=True."""
+    |probes_list| stage-1 searches, not |grid|), and ONE exact-cosine
+    pass per probes value (the deepest shortlist's sims, cached — a
+    refine-r shortlist is a rank-prefix of the refine-max one under
+    the shared (adc, nid) ordering, so every shallower cell reranks by
+    filtering the same sims instead of re-fetching raw vectors); truth
+    is |Q|·N brute force (an audit, run on samples at 100 TB); raw
+    full-width rows are touched for ~max(refine)·|Q| rows per probes
+    value total. Callers registering this must use
+    scoped_caches=True."""
     from functools import reduce
 
     from bearysta_spark.cachescope import scoped_cache
@@ -1332,6 +1423,19 @@ def imi_pq_operating_curve(
     )
     n_expected = truth.count()
     denom = queries.count() * (vectors.count() - 1)
+    if n_expected == 0 or denom <= 0:
+        # the ppm columns divide by these driver-side literals; under
+        # non-ANSI Spark `div 0` is NULL, so an empty query set or a
+        # <2-vector corpus would emit a full grid of NULL-recall rows —
+        # a silently meaningless audit. Raise like the other
+        # empty-input guards (_checked_live_index, write_codelen_model).
+        raise ValueError(
+            "imi_pq_operating_curve: empty query set or <2 corpus "
+            f"vectors (n_expected={n_expected}, denom={denom}) — the "
+            "recall/scanned ppm columns would be NULL"
+        )
+    rmax = max(refine_list)
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     cells = []
     for p in probes_list:
         ranked = scoped_cache(
@@ -1346,11 +1450,28 @@ def imi_pq_operating_curve(
                 adc_agg,
             )
         )
+        deep = ranked.filter(F.col("rank") <= rmax).select(
+            "qid", "nid", "rank"
+        )
+        nv = vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        ).join(deep.select("nid").distinct(), "nid", "left_semi")
+        sims = scoped_cache(
+            deep.join(F.broadcast(qv), "qid")
+            .join(nv, "nid")
+            .select(
+                "qid", "nid", "rank",
+                cosine(F.col("qvec"), F.col("nvec")).alias("sim"),
+            )
+        )
         for r in refine_list:
-            short = ranked.filter(F.col("rank") <= r).select("qid", "nid")
-            ref = imi_pq_topk_refined(
-                index, vectors, queries, cb1, cb2, codebooks,
-                k=k, id_col=id_col, vec_col=vec_col, shortlist=short,
+            w = Window.partitionBy("qid").orderBy(
+                F.desc("sim"), F.asc("nid")
+            )
+            ref = (
+                sims.filter(F.col("rank") <= r)
+                .withColumn("__rr", F.row_number().over(w))
+                .filter(F.col("__rr") <= k)
             )
             hits = ref.select("qid", "nid").join(truth, ["qid", "nid"]).agg(
                 F.count("*").cast("long").alias("hits")

@@ -4307,7 +4307,7 @@ def dedup_increment_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = d.filter(F.col("doc_id") % 10 != 0)
     path = os.path.join(_index_root(sf_dir), "lsh_index")
     D.write_lsh_index(corp, path, num_hashes=12, bands=3)
-    idx = spark.read.parquet(path)
+    idx = D.load_lsh_index(spark, path, num_hashes=12, bands=3)
     out = D.incremental_lsh_pairs(
         None, inc, num_hashes=12, bands=3, corpus_buckets=idx
     )
@@ -6565,7 +6565,7 @@ def knn_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     path = os.path.join(_index_root(sf_dir), "ivfpq_index")
     S.write_ivfpq_index(e, _IVF_CENTROIDS, _PQ_CODEBOOKS, path)
-    idx = spark.read.parquet(path)
+    idx = S.load_ivfpq_index(spark, path, _IVF_CENTROIDS, _PQ_CODEBOOKS)
     out = S.ivf_pq_topk_from_index(
         idx,
         q,
@@ -6649,7 +6649,9 @@ def knn_imi_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.write_imipq_index(
         e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
     )
-    idx = spark.read.parquet(path)
+    idx = S.load_imipq_index(
+        spark, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS
+    )
     out = S.imi_pq_topk_from_index(
         idx,
         q,
@@ -6794,7 +6796,9 @@ def imi_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.write_imipq_index(
         e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
     )
-    idx = spark.read.parquet(path)
+    idx = S.load_imipq_index(
+        spark, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS
+    )
     truth = scoped_cache(
         S.brute_force_topk(e, q, k=5).select("qid", "nid")
     )
@@ -6871,7 +6875,9 @@ def knn_imi_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.write_imipq_index(
         e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
     )
-    idx = spark.read.parquet(path)
+    idx = S.load_imipq_index(
+        spark, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS
+    )
     out = S.imi_pq_topk_refined(
         idx,
         e,
@@ -7027,7 +7033,9 @@ def imi_pq_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.write_imipq_index(
         e, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS, path
     )
-    idx = spark.read.parquet(path)
+    idx = S.load_imipq_index(
+        spark, path, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS
+    )
     return S.imi_pq_operating_curve(
         idx,
         e,
@@ -11710,7 +11718,7 @@ def corpus_churn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = d.filter(F.col("doc_id") % 10 != 0)
     path = os.path.join(_index_root(sf_dir), "lsh_index_churn")
     D.write_lsh_index(corp, path, num_hashes=12, bands=3)
-    idx = spark.read.parquet(path)
+    idx = D.load_lsh_index(spark, path, num_hashes=12, bands=3)
     return D.churn_classify(corp, inc, corpus_buckets=idx)
 
 

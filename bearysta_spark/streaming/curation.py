@@ -319,6 +319,7 @@ def start_streaming_curation_pipeline(
     decontam_min_shared: int = 1,
     classifier_weights: tuple[list[int], int] | None = None,
     classifier_tau_milli: int = 0,
+    classifier_word_ngrams: int = 1,
     drift_model_root: str | None = None,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
@@ -345,9 +346,12 @@ def start_streaming_curation_pipeline(
     model is static within a stream run (swap = restart, like any
     model artifact), deterministic, and index-free, so the batch twin
     is plain classifier_margins over the same survivor rows
-    (chaos-tested equal). clf_ok and margin_milli are emitted ALWAYS
-    so the out schema is configuration-stable; the curated corpus is
-    the near_ok AND dec_ok AND clf_ok slice.
+    (chaos-tested equal). `classifier_word_ngrams` must match how the
+    weights were trained (fastText wordNgrams=2 models serve with the
+    bigram gram stream — hashed_doc_vectors word_ngrams). clf_ok and
+    margin_milli are emitted ALWAYS so the out schema is
+    configuration-stable; the curated corpus is the near_ok AND dec_ok
+    AND clf_ok slice.
 
     OPTIONAL drift stage (r10 verdict ask #5): `drift_model_root`
     points at a persisted reference code-length model
@@ -638,10 +642,15 @@ def start_streaming_curation_pipeline(
             from bearysta_spark.functions.text import classifier_margins
 
             wvec, bias = classifier_weights
+            # classifier_word_ngrams must match how the weights were
+            # TRAINED (a unigram serve under a bigram-trained model
+            # silently misprices every document — the serving-parity
+            # rule of quality_classifier_bigram_trained_filter)
             scored = classifier_margins(
                 flagged.filter("near_ok and dec_ok")
                 .select(id_col, text_col),
                 wvec, bias, text_col=text_col, id_col=id_col,
+                word_ngrams=classifier_word_ngrams,
             ).select(id_col, "margin_milli")
             s5 = F.col("near_ok") & F.col("dec_ok")
             flagged = (

@@ -38,17 +38,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, functions as F
 
-OFFSET = 10_000_000
-LOWER = "abcdefghijklmnopqrstuvwxyz"
-UPPER = LOWER.upper()
-
-
-def rot(s: str, k: int) -> str:
-    k %= 26
-    return s[k:] + s[:k]
+# shared with the general scale ladder so the two rot-cipher
+# replications cannot drift (review finding: a future fix — e.g. to
+# digit handling, digits being rot-invariant — must land once)
+from scale_ladder import LOWER, OFFSET, UPPER, rot  # noqa: E402
 
 
 def replicate(d: DataFrame, mult: int) -> DataFrame:
@@ -75,7 +72,11 @@ def main() -> None:
     mults = [int(m) for m in args.mults.split(",")]
 
     from bearysta_spark.session import get_spark
-    from bearysta_spark.functions.dedup import churn_classify, write_lsh_index
+    from bearysta_spark.functions.dedup import (
+        churn_classify,
+        load_lsh_index,
+        write_lsh_index,
+    )
     from bearysta_spark.cachescope import cache_scope
 
     spark = get_spark("churn_ladder")
@@ -98,7 +99,7 @@ def main() -> None:
         t0 = time.perf_counter()
         write_lsh_index(corpus, idx_path, num_hashes=12, bands=3)
         build_sec = round(time.perf_counter() - t0, 3)
-        idx = spark.read.parquet(idx_path)
+        idx = load_lsh_index(spark, idx_path, num_hashes=12, bands=3)
         audits = []
         row = None
         for _ in range(args.reps):
@@ -110,8 +111,15 @@ def main() -> None:
             audits.append(round(time.perf_counter() - t0, 3))
         # vacuity guards: the corpus really grew, and the audit still
         # finds the planted cross-boundary near-dups at every rung
-        # (replica-0 candidates; rot replicas must not add or remove any)
+        # (replica-0 candidates; rot replicas must not add or remove
+        # any). n_near_dup must be NONZERO — a flat-audit result on a
+        # corpus where the verify explode never fires would measure
+        # nothing (the documented-vacuous discipline).
         assert row.n_corpus == n_corp and row.n_increment == n_inc
+        assert row.n_near_dup > 0, (
+            "no cross-boundary near-dups at this --src: the "
+            "verify-shingle path is unexercised, ladder result vacuous"
+        )
         if rungs:
             assert row.n_near_dup == rungs[0]["n_near_dup"], (
                 row.n_near_dup, rungs[0]["n_near_dup"])

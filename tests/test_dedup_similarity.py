@@ -908,3 +908,67 @@ def test_churn_classify_empty_increment_all_zeros(spark):
     inc = spark.createDataFrame([], "doc_id long, text string")
     row = churn_classify(corpus, inc).collect()[0]
     assert tuple(row) == (1, 0, 0, 0, 0, 0)
+
+
+def test_lsh_index_geometry_guard(spark, tmp_path):
+    """load_lsh_index must refuse an index built under different
+    signature geometry: probing a 12-hash/3-band increment against a
+    16-hash/4-band index joins disjoint bucket spaces and silently
+    classifies every near-dup fresh (review finding — the IMI-PQ
+    layout-guard discipline applied to the LSH index)."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.dedup import (
+        load_lsh_index,
+        write_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text with enough words to shingle nicely"),
+         (2, "another document with different words in it entirely")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_idx")
+    write_lsh_index(corpus, path, num_hashes=16, bands=4)
+    # matching geometry loads
+    assert load_lsh_index(spark, path, num_hashes=16, bands=4).count() > 0
+    # mismatched geometry raises loudly
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        load_lsh_index(spark, path, num_hashes=12, bands=3)
+
+
+def test_pq_index_geometry_guards(spark, embeddings, tmp_path):
+    """load_imipq_index / load_ivfpq_index must refuse an index built
+    under a different quantizer geometry (same digest discipline as
+    the streaming arm's imipq_layout guard — a mismatched probe
+    silently returns wrong neighbors)."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.similarity import (
+        load_imipq_index,
+        load_ivfpq_index,
+        make_pq_codebooks,
+        write_imipq_index,
+        write_ivfpq_index,
+    )
+    from bearysta_spark.queries import (
+        _IMI_CODEBOOKS,
+        _IVF_CENTROIDS,
+        _PQ_CODEBOOKS,
+    )
+
+    cb1, cb2 = _IMI_CODEBOOKS
+    p1 = str(tmp_path / "imipq")
+    write_imipq_index(embeddings, cb1, cb2, _PQ_CODEBOOKS, p1)
+    assert load_imipq_index(spark, p1, cb1, cb2, _PQ_CODEBOOKS).count() > 0
+    other = make_pq_codebooks(dim=64, m=8, ksub=8, seed=99)
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        load_imipq_index(spark, p1, cb1, cb2, other)
+
+    p2 = str(tmp_path / "ivfpq")
+    write_ivfpq_index(embeddings, _IVF_CENTROIDS, _PQ_CODEBOOKS, p2)
+    assert load_ivfpq_index(
+        spark, p2, _IVF_CENTROIDS, _PQ_CODEBOOKS
+    ).count() > 0
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        load_ivfpq_index(spark, p2, _IVF_CENTROIDS, other)

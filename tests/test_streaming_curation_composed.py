@@ -656,3 +656,55 @@ def test_composed_pipeline_with_drift_stage(spark, tmp_path):
     # (every token costs the escape length under the reference)
     assert d2[0].oov_tokens == d2[0].n_tokens > 0
     assert d2[0].drift_mb > 1000
+
+
+def test_composed_pipeline_classifier_bigram_serving_parity(spark, tmp_path):
+    """classifier_word_ngrams=2: the stage-6 filter serves a
+    bigram-trained model with the bigram gram stream — margins on the
+    curated slice equal batch classifier_margins(word_ngrams=2) over
+    the same rows, and DIFFER from a unigram serve of the same weights
+    (the misconfiguration the parameter exists to prevent)."""
+    from bearysta_spark.functions.text import classifier_margins
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+
+    dim = 64
+    wvec = [((i * 53) % 97) - 48 for i in range(dim)]
+    full = spark.createDataFrame(ALL, SCHEMA)
+    _, _, _, _, s3 = _batch_twin(spark)
+    kept_ids = sorted(r.doc_id for r in s3.collect())
+    want = {
+        r.doc_id: r.margin_milli
+        for r in classifier_margins(
+            full.join(s3.select("doc_id"), "doc_id"), wvec, 0,
+            word_ngrams=2,
+        ).collect()
+    }
+    uni = {
+        r.doc_id: r.margin_milli
+        for r in classifier_margins(
+            full.join(s3.select("doc_id"), "doc_id"), wvec, 0,
+        ).collect()
+    }
+    assert want != uni  # the gram stream genuinely changes margins
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    _feed(spark, p["land"], ALL)
+    stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+    q = start_streaming_curation_pipeline(
+        stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+        classifier_weights=(wvec, 0), classifier_tau_milli=0,
+        classifier_word_ngrams=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(p["out"]).collect()
+    got = {
+        r.doc_id: r.margin_milli for r in rows
+        if r.near_ok and r.margin_milli is not None
+    }
+    assert got == {d: want[d] for d in kept_ids}
