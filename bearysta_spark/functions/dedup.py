@@ -1172,6 +1172,117 @@ def scrub_repeated_spans(
     )
 
 
+def lsh_banding_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 12,
+    bands_list: tuple[int, ...] = (1, 2, 3, 4, 6, 12),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The LSH BANDING tuning table — the dedup twin of
+    similarity.imi_pq_operating_curve: for each banding of the same
+    `num_hashes` MinHash signature, report candidate-pair volume,
+    exact-verified pairs (char-k-shingle Jaccard >= threshold), and
+    precision/recall vs the EXACT all-pairs truth, integer ppm. This
+    is the S-curve a dedup owner reads before picking (bands,
+    rows_per_band): more bands (fewer rows each) = looser = recall up,
+    precision/candidate-cost down; the knee is where verify cost stops
+    buying recall. Every bands value must divide num_hashes.
+
+    Cost shape: ONE shingle explode and ONE signature pass shared
+    across the whole grid (cached); per bands value the bucket
+    self-join is candidate-bounded as in production; the exact truth
+    is the inverted-index all-pairs join (ngram_jaccard_pairs' plan) —
+    an audit cost, run on samples at 100 TB, never standalone on the
+    full corpus. Callers registering this must use
+    scoped_caches=True."""
+    from functools import reduce
+
+    bad = [b for b in bands_list if num_hashes % b]
+    if bad:
+        raise ValueError(
+            f"bands {bad} do not divide num_hashes={num_hashes}"
+        )
+    sh = scoped_cache(shingle_df(df, text_col, id_col, k))
+    sigs = scoped_cache(
+        minhash_signatures(
+            df, text_col, id_col, k, num_hashes, oracle_safe=True, sh=sh
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = scoped_cache(
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("sz").alias("sz_a")), "id_a")
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"),
+                         F.col("sz").alias("sz_b")), "id_b")
+        .filter(
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("double")
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    n_true = truth.count()
+    if n_true == 0:
+        raise ValueError(
+            "lsh_banding_curve: zero exact near-dup pairs at this "
+            f"threshold ({threshold}) — recall is undefined and the "
+            "curve would be vacuous"
+        )
+    rows = []
+    for b in bands_list:
+        cand = scoped_cache(
+            band_buckets(sigs, id_col, num_hashes, b)
+            .select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                band_buckets(sigs, id_col, num_hashes, b).select(
+                    F.col(id_col).alias("id_b"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        hits = cand.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("n_verified")
+        )
+        rows.append(
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            .crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(num_hashes // b).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                    "ELSE CAST((1000000 * n_verified) div n_candidates "
+                    "AS BIGINT) END"
+                ).alias("precision_ppm"),
+                F.expr(
+                    f"CAST((1000000 * n_verified) div {n_true} AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+    return reduce(DataFrame.unionByName, rows).orderBy("bands")
+
+
 def churn_classify(
     corpus: DataFrame,
     increment: DataFrame,

@@ -11722,6 +11722,101 @@ def corpus_churn_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.churn_classify(corp, inc, corpus_buckets=idx)
 
 
+def _banding_curve_oracle_sql(
+    bands_list: tuple[int, ...], num_hashes: int = 12
+) -> str:
+    """lsh_banding_curve's oracle: the shared shingle/signature chain
+    (_SH_CTE/_SIG_MINS — bit-identical md5 minhash), the exact
+    all-pairs Jaccard truth, then per bands value the banded buckets,
+    the candidate self-join, and the precision/recall row."""
+    shared = f"""sig AS MATERIALIZED (
+      SELECT doc_id, {_SIG_MINS} FROM sh GROUP BY doc_id),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    ainter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT i.id_a, i.id_b
+      FROM ainter i JOIN sz x ON i.id_a = x.doc_id
+                    JOIN sz y ON i.id_b = y.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (x.sz + y.sz - i.inter) >= 0.5
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)"""
+    per_b, rows = [], []
+    for b in bands_list:
+        r = num_hashes // b
+        bexprs = ",".join(
+            "md5(" + "||'|'||".join(f"h{j * r + i}" for i in range(r)) + ")"
+            for j in range(b)
+        )
+        per_b.append(f"""buckets_{b} AS (
+      SELECT doc_id, unnest(generate_series(0, {b - 1})) AS band,
+             unnest([{bexprs}]) AS bucket
+      FROM sig
+    ),
+    cand_{b} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets_{b} a JOIN buckets_{b} b
+        ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+    )""")
+        rows.append(f"""
+      SELECT CAST({b} AS INT) AS bands,
+             CAST({r} AS INT) AS rows_per_band,
+             nc.n_candidates, nv.n_verified,
+             CASE WHEN nc.n_candidates = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((1000000 * nv.n_verified) // nc.n_candidates
+                            AS BIGINT) END AS precision_ppm,
+             CAST((1000000 * nv.n_verified) // nt.n_true AS BIGINT)
+               AS recall_ppm
+      FROM (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+            FROM cand_{b}) nc,
+           (SELECT CAST(count(*) AS BIGINT) AS n_verified
+            FROM cand_{b} JOIN truth USING (id_a, id_b)) nv,
+           nt""")
+    return (
+        f"WITH {_SH_CTE},\n    {shared},\n    "
+        + ",\n    ".join(per_b)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY bands"
+    )
+
+
+_BANDING_GRID = (1, 2, 3, 4, 6, 12)
+
+
+@query(
+    "dedup_banding_curve",
+    scoped_caches=True,
+    oracle=_banding_curve_oracle_sql(_BANDING_GRID),
+)
+def dedup_banding_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH BANDING tuning table (the imi_pq_operating_curve idiom
+    applied to dedup): sweep every banding of the shared 12-hash
+    MinHash signature — bands ∈ {1,2,3,4,6,12}, rows_per_band 12→1 —
+    and report candidate-pair volume, exact-verified pairs, and
+    precision/recall vs exact all-pairs char-5-shingle Jaccard ≥ 0.5
+    truth, integer ppm. This is the S-curve a dedup owner reads before
+    picking the banding. Measured at sf0.01: b=1 (one 12-row band) is
+    precision-perfect but misses 4 of 25 true pairs (recall 840000);
+    recall hits 1000000 from b=2 on and STAYS there while candidate
+    volume explodes 26 → 135 → 1025 → 13273 → 103180 (b=2..12) and
+    precision collapses 961538 → 242 ppm — every band looser than the
+    knee pays pure verify cost for zero recall on this corpus. The
+    production default (bands=3, r=4) sits one step past the knee:
+    the headroom production keeps for lower-Jaccard corpora, now a
+    measured choice instead of folklore. One shingle explode and one signature pass
+    feed the whole grid (cached); the truth join is the audit cost,
+    run on samples at 100 TB. Oracle replays the bit-identical md5
+    signature chain, every banding, and both ppm ratios."""
+    d = _t(spark, sf_dir, "documents")
+    return D.lsh_banding_curve(d, bands_list=_BANDING_GRID)
+
+
 def _drift_split_case() -> str:
     from bearysta_spark.functions.sampling import hash_split_case_sql
 

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "quality_classifier_bigram_train_curve",
     "quality_classifier_bigram_trained_filter",
     "quality_classifier_bigram_calibration",
+    "dedup_banding_curve",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -517,6 +518,7 @@ def main() -> None:
         "quality_classifier_bigram_train_curve": "clfbtr",
         "quality_classifier_bigram_trained_filter": "clfbfl",
         "quality_classifier_bigram_calibration": "clfbca",
+        "dedup_banding_curve": "bandcv",
         "imi_ivf_recall": "imirec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",
