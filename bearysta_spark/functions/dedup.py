@@ -1194,10 +1194,15 @@ def lsh_banding_curve(
     Cost shape: ONE shingle explode and ONE signature pass shared
     across the whole grid (cached); per bands value the bucket
     self-join is candidate-bounded as in production; the exact truth
-    is the inverted-index all-pairs join (ngram_jaccard_pairs' plan) —
-    an audit cost, run on samples at 100 TB, never standalone on the
-    full corpus. Callers registering this must use
-    scoped_caches=True."""
+    is the inverted-index all-pairs join — QUADRATIC in the input BY
+    DESIGN (it is the thing LSH exists to avoid), which is why the
+    registered audit clamps to a deterministic sample
+    (queries._BANDING_CLAMP) and a 100 TB owner tunes banding on a
+    sample too. (A prefix-filtered truth was tried and reverted: at
+    t=0.5 the prefix is ~half of every doc's shingles, so the pruning
+    pays more in window+DF passes than it saves — measured slower
+    than all-pairs at the registered scale.) Callers registering this
+    must use scoped_caches=True."""
     from functools import reduce
 
     bad = [b for b in bands_list if num_hashes % b]
