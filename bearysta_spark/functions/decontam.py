@@ -198,3 +198,125 @@ def contaminated_docs(
         .groupBy(id_col, *keep_cols)
         .agg(F.count_distinct("gram").cast("long").alias("shared_grams"))
     )
+
+
+def substring_anchor_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    window: int = 20,
+    stride: int = 6,
+    train_id: str = "doc_id",
+    eval_id: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-SUBSTRING decontamination (Lee et al. 2022 / the Gopher
+    verbatim-overlap arm, r11 VERDICT #3): find eval text that appears
+    VERBATIM, at CHARACTER grain, inside training documents — the leak
+    class both n-gram arms miss: a snippet shorter than n tokens has
+    ZERO n-grams (bloom_decontam finds nothing; containment has
+    |G_e| = 0), and token n-grams also blur whitespace/punctuation
+    so char-exact overlap is never what they test.
+
+    Method — the sorted-suffix-prefix idea recast as an anchor join
+    (the same prefilter→verify economics as prefix_jaccard_pairs, but
+    the verify is FREE because the join key IS the evidence):
+
+      train side: the `window`-char substring at every position
+        1, 1+stride, 2·stride+1, ... (suffix prefixes at fixed depth,
+        sampled at `stride`) — |bytes|/stride rows;
+      eval side: the window at EVERY position (exhaustive — the eval
+        suite is small by construction), DISTINCT-ed and broadcast;
+      equi-join on the literal substring: any shared run of length
+        >= window + stride − 1 (the DETECTION GUARANTEE, L) must
+        contain a train-side anchor whose window also starts inside
+        the eval copy, so it cannot be missed; shorter runs may or
+        may not align. The matched key is the shared text itself —
+        exact by construction, no hash, no verify pass.
+
+    Returns (train_id, eval_id, n_anchors, min_shared_chars) rows:
+    n_anchors = distinct matched train anchor positions for the pair;
+    min_shared_chars = window + (max_run − 1)·stride where max_run is
+    the longest run of CONSECUTIVE matched train anchors (positions
+    exactly `stride` apart) — a certified lower bound on the longest
+    shared substring, NOT an estimate: r consecutive anchors each
+    match a window-char eval substring and adjacent windows overlap
+    by window − stride chars.
+
+    100 TB shape: the eval window set broadcasts (gated the same way
+    the gram arms gate); the train side is one scan emitting
+    |bytes|/stride short rows that die at the broadcast hash join —
+    NO shuffle of corpus data; only true hits reach the (pair) rollup,
+    which is map-side-combinable. The guarantee knob trades scan rows
+    for sensitivity: L = window + stride − 1."""
+    w, s = int(window), int(stride)
+    if w < 4 or s < 1:
+        raise ValueError(f"window >= 4 and stride >= 1 required, got {w}, {s}")
+    # texts shorter than the window cannot carry a w-char key (and
+    # sequence(1, 0, s) is an error, not empty) — filter, don't clamp
+    ev = (
+        eval_df.filter(F.length(text_col) >= w)
+        .select(
+            F.col(eval_id),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (w - 1))
+            ).alias("__p"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(eval_id, F.substring("__t", F.col("__p"), F.lit(w)).alias("__key"))
+        .distinct()
+    )
+    tr = (
+        train.filter(F.length(text_col) >= w)
+        .select(
+            F.col(train_id),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - (w - 1), F.lit(s)
+                )
+            ).alias("__p"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            train_id, "__p",
+            F.substring("__t", F.col("__p"), F.lit(w)).alias("__key"),
+        )
+    )
+    evc = scoped_cache(ev)
+    hits = tr.join(
+        _gated_broadcast(
+            evc, evc.count(), BROADCAST_ROW_LIMIT, "eval window set"
+        ),
+        "__key",
+    ).select(
+        train_id, eval_id, "__p"
+    )
+    # consecutive-anchor runs: anchors are at positions ≡ 1 (mod s), so
+    # (p − 1)/s − row_number() is constant within a consecutive run
+    # (the gaps-and-islands idiom) — one window + one two-level rollup
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(train_id, eval_id).orderBy("__p")
+    runs = (
+        hits.withColumn(
+            "__grp",
+            ((F.col("__p") - 1) / s).cast("long")
+            - F.row_number().over(win),
+        )
+        .groupBy(train_id, eval_id, "__grp")
+        .agg(F.count("*").alias("__run"))
+    )
+    return (
+        runs.groupBy(train_id, eval_id)
+        .agg(
+            F.sum("__run").cast("long").alias("n_anchors"),
+            F.max("__run").cast("long").alias("max_run"),
+        )
+        .select(
+            train_id,
+            eval_id,
+            "n_anchors",
+            (F.lit(w) + (F.col("max_run") - 1) * F.lit(s))
+            .cast("long")
+            .alias("min_shared_chars"),
+        )
+    )

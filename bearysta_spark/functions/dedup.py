@@ -417,8 +417,22 @@ def write_lsh_index(
     load_lsh_index to turn that into a loud config error.
     """
     from bearysta_spark.sinks import write_corpus
-    from bearysta_spark.streaming.index import ensure_layout
+    from bearysta_spark.streaming.index import (
+        clear_pending_write,
+        ensure_layout,
+        mark_pending_write,
+    )
 
+    layout = {
+        "k": k, "num_hashes": num_hashes, "bands": bands,
+        "oracle_safe": oracle_safe,
+    }
+    spark = corpus.sparkSession
+    # sibling pending marker: the overwrite wipes the dir (including
+    # any layout), so a crash before ensure_layout would otherwise
+    # leave a populated index indistinguishable from a pre-layout
+    # legacy one — admissible under ANY caller geometry (r11 ADVICE)
+    mark_pending_write(spark, path, layout)
     sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes, oracle_safe)
     buckets = band_buckets(sigs, id_col, num_hashes, bands)
     if max_bucket_size is not None:
@@ -426,11 +440,8 @@ def write_lsh_index(
     manifest = write_corpus(
         buckets, path, partition_by=["band"], cluster_by=["bucket"]
     )
-    ensure_layout(
-        corpus.sparkSession, path,
-        {"k": k, "num_hashes": num_hashes, "bands": bands,
-         "oracle_safe": oracle_safe},
-    )
+    ensure_layout(spark, path, layout)
+    clear_pending_write(spark, path)
     return manifest
 
 
@@ -452,10 +463,16 @@ def load_lsh_index(
     written before the layout file existed (pre-r11) has no
     _layout.json and is admitted with the caller's parameters (the
     ensure_layout upgrade note: the geometry cannot be inferred from
-    the rows)."""
-    from bearysta_spark.streaming.index import read_layout
+    the rows) — EXCEPT when a pending-write marker shows the missing
+    layout is an interrupted rebuild, which raises (r11 ADVICE)."""
+    from bearysta_spark.streaming.index import (
+        check_pending_write,
+        read_layout,
+    )
 
     cur = read_layout(path, spark)
+    if cur is None:
+        check_pending_write(spark, path)
     want = {
         "k": k, "num_hashes": num_hashes, "bands": bands,
         "oracle_safe": oracle_safe,
@@ -1298,6 +1315,7 @@ def churn_classify(
     bands: int = 3,
     threshold: float = 0.5,
     corpus_buckets: DataFrame | None = None,
+    corpus_index_path: str | None = None,
 ) -> DataFrame:
     """Classify a crawl INCREMENT against the standing corpus — the
     one-row churn rollup behind queries.corpus_churn_report: each
@@ -1325,7 +1343,27 @@ def churn_classify(
     path) — then the corpus-side LSH signature pass disappears and the
     audit's explode cost is bounded by the candidate participants, so
     a 10× larger standing corpus at fixed increment costs ~the same
-    (see scripts/churn_ladder.py)."""
+    (see scripts/churn_ladder.py).
+
+    `corpus_index_path` closes the geometry gap the bare
+    `corpus_buckets` frame leaves open (r11 ADVICE): buckets read via
+    spark.read.parquet BYPASS load_lsh_index's guard, so an index
+    persisted under different (k, num_hashes, bands) joins a DISJOINT
+    bucket space and silently classifies every near-dup as fresh —
+    the exact failure this function's probe exists to catch. Pass the
+    index ROOT here and the persisted layout is validated against
+    this call's geometry (raising on mismatch); with
+    corpus_buckets=None the buckets are also loaded from it through
+    the guard, making the safe path the short one. Callers passing a
+    bare pre-built frame must thread identical (k, num_hashes, bands)
+    into BOTH load_lsh_index and churn_classify themselves."""
+    if corpus_index_path is not None:
+        idx = load_lsh_index(
+            corpus.sparkSession, corpus_index_path,
+            k=k, num_hashes=num_hashes, bands=bands,
+        )
+        if corpus_buckets is None:
+            corpus_buckets = idx
     exact = (
         increment.select(id_col, content_hash(text_col).alias("h"))
         .join(

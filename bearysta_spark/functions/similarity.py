@@ -252,6 +252,227 @@ def assign_imi_cells_arrow(
     return cells
 
 
+def assign_imi_cells_scored_arrow(
+    cb1: list[list[float]], cb2: list[list[float]], probes: int = 1
+):
+    """assign_imi_cells_arrow returning (cell, qc) STRUCTS, where
+    qc = <v, centroid(cell)> = s1_i + s2_j — the query-to-coarse-
+    centroid inner product the RESIDUAL-encoded ADC needs as its
+    per-cell offset: score(q, x) ≈ <q, cent(cell)> + <q, r̂>. The
+    probing pass computes these scores anyway; emitting them costs
+    nothing extra and keeps offset and probe order consistent by
+    construction (FAISS IndexIVFPQ's coarse_dis term). Same kernel
+    shape and tie rule as assign_imi_cells_arrow."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C1 = np.asarray(cb1, dtype=np.float64)
+    C2 = np.asarray(cb2, dtype=np.float64)
+    d1 = C1.shape[1]
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("qc", DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def cells(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        s1 = M[:, :d1] @ C1.T
+        s2 = M[:, d1:] @ C2.T
+        flat = (s1[:, :, None] + s2[:, None, :]).reshape(len(M), -1)
+        idx = np.argsort(-flat, axis=1, kind="stable")[:, :probes]
+        return pd.Series(
+            [
+                [(int(c), float(row[c])) for c in cs]
+                for cs, row in zip(idx, flat)
+            ]
+        )
+
+    return cells
+
+
+def assign_cells_scored_arrow(centroids: list[list[float]], probes: int = 1):
+    """assign_cells_arrow returning (cell, qc) structs — the flat-IVF
+    twin of assign_imi_cells_scored_arrow (qc = <v, centroid(cell)>,
+    the residual ADC's per-cell offset)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("qc", DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def cells(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        scores = M @ C.T
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :probes]
+        return pd.Series(
+            [
+                [(int(c), float(row[c])) for c in cs]
+                for cs, row in zip(idx, scores)
+            ]
+        )
+
+    return cells
+
+
+def _residual_l2_codes(R, C):
+    """L2-argmin PQ encode of a residual batch (n, d) against codebooks
+    (m, ksub, dsub): FAISS ProductQuantizer::compute_codes semantics —
+    the quantized value is an actual RECONSTRUCTION (x̂ = cent + r̂),
+    unlike the raw path's direction-only IP-argmax. argmin via the
+    expanded form (−2·r·c + ||c||², the r² term is per-row constant);
+    first min = lowest cell id (np.argmin), matching the oracle's
+    ORDER BY score DESC, cell ASC on score = r·c − ||c||²/2."""
+    import numpy as np
+
+    m, _ksub, dsub = C.shape
+    out = np.empty((len(R), m), dtype=np.int32)
+    for j in range(m):
+        sub = R[:, j * dsub : (j + 1) * dsub]
+        score = sub @ C[j].T - 0.5 * (C[j] * C[j]).sum(axis=1)[None, :]
+        out[:, j] = np.argmax(score, axis=1)  # first max = lowest cell
+    return out
+
+
+def imi_cell_residual_codes_arrow(
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+):
+    """ONE-pass residual IMI-PQ indexing kernel: vector → [imi_cell,
+    code_0..code_{m-1}] where the codes L2-quantize the RESIDUAL
+    x − centroid(cell) (FAISS IndexIVFPQ's encode_vectors with
+    by_residual=true, on the IMI coarse quantizer). Keeping cell
+    assignment and residual encoding in one kernel preserves
+    _pq_index_frame's contract — one raw-vector scan, zero shuffles —
+    and guarantees the residual is taken against the SAME cell the row
+    is stored under."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C1 = np.asarray(cb1, dtype=np.float64)
+    C2 = np.asarray(cb2, dtype=np.float64)
+    C = np.asarray(codebooks, dtype=np.float64)
+    d1 = C1.shape[1]
+    k2 = C2.shape[0]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cell_codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        s1 = M[:, :d1] @ C1.T
+        s2 = M[:, d1:] @ C2.T
+        flat = (s1[:, :, None] + s2[:, None, :]).reshape(len(M), -1)
+        cells = np.argsort(-flat, axis=1, kind="stable")[:, 0]
+        cent = np.concatenate([C1[cells // k2], C2[cells % k2]], axis=1)
+        codes = _residual_l2_codes(M - cent, C)
+        return pd.Series(
+            list(
+                np.concatenate(
+                    [cells[:, None].astype(np.int32), codes], axis=1
+                )
+            )
+        )
+
+    return cell_codes
+
+
+def ivf_cell_residual_codes_arrow(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+):
+    """Flat-IVF twin of imi_cell_residual_codes_arrow: vector →
+    [ivf_cell, residual codes...]."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    CC = np.asarray(centroids, dtype=np.float64)
+    C = np.asarray(codebooks, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cell_codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        M = np.array(list(v), dtype=np.float64)
+        cells = np.argsort(-(M @ CC.T), axis=1, kind="stable")[:, 0]
+        codes = _residual_l2_codes(M - CC[cells], C)
+        return pd.Series(
+            list(
+                np.concatenate(
+                    [cells[:, None].astype(np.int32), codes], axis=1
+                )
+            )
+        )
+
+    return cell_codes
+
+
+def imi_residual_frame(
+    df: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Residual vectors against the IMI coarse quantizer, as PURE
+    Catalyst expressions: cell = (argmax<h1, cb1>, argmax<h2, cb2>)
+    via nearest_cells' literal fold, residual = v − concat(cb1_i,
+    cb2_j) via zip_with. This is the TRAINING-path residual builder
+    (pq_codebooks_fit input): expression dot products are sequential
+    folds, IEEE-identical to DuckDB's list_dot_product, so the trained
+    codebooks replay bit-for-bit in the oracle (the kmeans_fit
+    discipline) — the Arrow dgemm kernels are reserved for the index
+    build, where a last-ulp argmax flip is measure-zero for scoring
+    but would COMPOUND through training iterations. Ties take the
+    higher cell (nearest_cells' reverse-sort; oracle mirrors with
+    ORDER BY score DESC, cell DESC)."""
+    d1, d2 = len(cb1[0]), len(cb2[0])
+    h1 = F.slice(F.col(vec_col), 1, d1)
+    h2 = F.slice(F.col(vec_col), d1 + 1, d2)
+    i = nearest_cells(h1, cb1, 1)[0]
+    j = nearest_cells(h2, cb2, 1)[0]
+    lit1 = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb1])
+    lit2 = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb2])
+    cent = F.concat(
+        F.element_at(lit1, i + 1), F.element_at(lit2, j + 1)
+    )
+    return df.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col), cent, lambda a, b: a.cast("double") - b
+        ),
+    )
+
+
 def imi_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1046,6 +1267,7 @@ def write_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoding: str = "raw",
 ) -> DataFrame:
     """Persist the IVF-PQ index: one row per vector — (id, codes
     array<int>, ivf_cell) — hive-partitioned by ivf_cell, exactly the
@@ -1064,10 +1286,25 @@ def write_ivfpq_index(
     wipes the directory) so load_ivfpq_index can refuse a probe under
     different centroids/codebooks, which would silently return wrong
     neighbors (the streaming arm's imipq_layout guard, applied to the
-    batch index)."""
-    from bearysta_spark.sinks import write_corpus
-    from bearysta_spark.streaming.index import ensure_layout
+    batch index).
 
+    encoding="residual" stores FAISS IndexIVFPQ's by_residual form:
+    codes L2-quantize x − centroid(cell) instead of x itself
+    (ivf_cell_residual_codes_arrow), and searches add the
+    <q, centroid(cell)> offset to the ADC sum. The layout carries the
+    encoding, so an index written one way REFUSES a probe planned the
+    other way — mixed encodings don't error anywhere downstream, they
+    just return wrong neighbors."""
+    from bearysta_spark.sinks import write_corpus
+    from bearysta_spark.streaming.index import (
+        clear_pending_write,
+        ensure_layout,
+        mark_pending_write,
+    )
+
+    layout = _ivfpq_layout(centroids, codebooks, encoding)
+    spark = corpus.sparkSession
+    mark_pending_write(spark, path, layout)  # see write_lsh_index
     idx = _pq_index_frame(
         corpus,
         assign_cells_arrow(centroids, 1)(F.col(vec_col))[0],
@@ -1075,29 +1312,43 @@ def write_ivfpq_index(
         codebooks,
         id_col,
         vec_col,
+        residual_kernel=(
+            ivf_cell_residual_codes_arrow(centroids, codebooks)
+            if encoding == "residual"
+            else None
+        ),
     )
     manifest = write_corpus(idx, path, partition_by=["ivf_cell"])
-    ensure_layout(
-        corpus.sparkSession, path, _ivfpq_layout(centroids, codebooks)
-    )
+    ensure_layout(spark, path, layout)
+    clear_pending_write(spark, path)
     return manifest
 
 
 def _ivfpq_layout(
-    centroids: list[list[float]], codebooks: list[list[list[float]]]
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    encoding: str = "raw",
 ) -> dict:
     """Layout constants for a persisted IVF-PQ index: cell count, PQ
-    width, and the digest of every float that determines cells/codes —
-    all correctness-load-bearing at search time."""
+    width, the digest of every float that determines cells/codes, and
+    the code ENCODING (raw IP-argmax vs residual L2) — all
+    correctness-load-bearing at search time: a residual index scored
+    without the <q, cent> offset (or vice versa) silently returns
+    wrong neighbors."""
     import hashlib
     import json
 
+    if encoding not in ("raw", "residual"):
+        raise ValueError(
+            f"encoding must be 'raw' or 'residual', got {encoding!r}"
+        )
     return {
         "cells": len(centroids),
         "m": len(codebooks),
         "codebooks_md5": hashlib.md5(
             json.dumps([centroids, codebooks]).encode()
         ).hexdigest(),
+        "encoding": encoding,
     }
 
 
@@ -1105,12 +1356,18 @@ def _load_guarded_index(
     spark, path: str, want: dict, kind: str
 ) -> DataFrame:
     """Shared persisted-PQ index loader: admit a pre-layout index (the
-    geometry cannot be inferred from code rows), raise on a mismatch —
-    an index grown under one quantizer and probed under another
-    silently returns wrong neighbors."""
-    from bearysta_spark.streaming.index import read_layout
+    geometry cannot be inferred from code rows) UNLESS a pending-write
+    marker shows the missing layout is an interrupted rebuild (r11
+    ADVICE), raise on a mismatch — an index grown under one quantizer
+    and probed under another silently returns wrong neighbors."""
+    from bearysta_spark.streaming.index import (
+        check_pending_write,
+        read_layout,
+    )
 
     cur = read_layout(path, spark)
+    if cur is None:
+        check_pending_write(spark, path)
     if cur is not None and cur != want:
         raise ValueError(
             f"{kind} index layout mismatch at {path}: persisted {cur}, "
@@ -1125,11 +1382,12 @@ def load_ivfpq_index(
     path: str,
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
+    encoding: str = "raw",
 ) -> DataFrame:
     """Read a persisted IVF-PQ index (write_ivfpq_index) with the
-    quantizer-geometry guard."""
+    quantizer-geometry guard (centroids, codebooks, AND encoding)."""
     return _load_guarded_index(
-        spark, path, _ivfpq_layout(centroids, codebooks), "IVF-PQ"
+        spark, path, _ivfpq_layout(centroids, codebooks, encoding), "IVF-PQ"
     )
 
 
@@ -1139,14 +1397,16 @@ def load_imipq_index(
     cb1: list[list[float]],
     cb2: list[list[float]],
     codebooks: list[list[list[float]]],
+    encoding: str = "raw",
 ) -> DataFrame:
     """Read a persisted IMI-PQ index (write_imipq_index) with the
     quantizer-geometry guard — the same imipq_layout digest the
-    streaming arm validates on every ingest and serve."""
+    streaming arm validates on every ingest and serve (centroids,
+    codebooks, AND encoding)."""
     from bearysta_spark.streaming.ann import imipq_layout
 
     return _load_guarded_index(
-        spark, path, imipq_layout(cb1, cb2, codebooks), "IMI-PQ"
+        spark, path, imipq_layout(cb1, cb2, codebooks, encoding), "IMI-PQ"
     )
 
 
@@ -1157,6 +1417,7 @@ def _pq_index_frame(
     codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
+    residual_kernel=None,
 ) -> DataFrame:
     """Shared PQ-index build: (id, codes array<int>, <cell_col>) rows —
     the coarse quantizer is whatever single-cell Column `cell_assign`
@@ -1166,7 +1427,21 @@ def _pq_index_frame(
     scan — this is also the streaming ingest's per-micro-batch cost
     (streaming/ann.py), where an explode→regroup shuffle per batch
     would dominate small batches. All persisted-index writers call
-    this so the code layout cannot drift between quantizers."""
+    this so the code layout cannot drift between quantizers.
+
+    `residual_kernel` (a *_cell_residual_codes_arrow kernel) switches
+    to residual encoding: cell and codes then come from ONE combined
+    kernel — the residual must be taken against the exact cell the row
+    is stored under, so splitting them across two kernels would invite
+    a cell/residual mismatch. `cell_assign` is ignored in that mode."""
+    if residual_kernel is not None:
+        arr = residual_kernel(F.col(vec_col))
+        m = len(codebooks)
+        return corpus.select(
+            F.col(id_col),
+            F.slice(arr, 2, m).alias("codes"),
+            F.element_at(arr, 1).alias(cell_col),
+        )
     return corpus.select(
         F.col(id_col),
         pq_codes_arrow(codebooks)(F.col(vec_col)).alias("codes"),
@@ -1183,6 +1458,7 @@ def _pq_ranked_from_index(
     id_col: str,
     vec_col: str,
     adc_agg,
+    scored_probes: bool = False,
 ) -> DataFrame:
     """Shared persisted-PQ scoring: broadcast the probe list (qid,
     <cell_col> from the multi-cell Column `probe_cells`) so the cell
@@ -1191,27 +1467,65 @@ def _pq_ranked_from_index(
     rank) with no top-k cut, so operating-curve audits can read both
     the candidate volume and any shortlist depth from one frame. Both
     from-index searchers (IVF-PQ, IMI-PQ) rank through this —
-    identical join/rank logic by construction."""
+    identical join/rank logic by construction.
+
+    scored_probes=True is the RESIDUAL-encoding serve: `probe_cells`
+    is then an array<struct<cell,qc>> (a *_scored_arrow kernel) and
+    the final score is adc + qc, qc = <q, centroid(cell)> — the
+    coarse-centroid term the residual codes dropped at encode time.
+    The combine is exact-decimal (both addends cast to DECIMAL(25,10),
+    rounded at 4dp) so it is order-independent and engine-replayable;
+    qc is constant per (qid, nid) group because a vector is stored
+    under exactly one cell. Raw indexes must NOT pass this (and
+    residual indexes must) — the layout `encoding` guard enforces the
+    pairing at load time."""
     if adc_agg is None:
         adc_agg = F.sum
-    probe = queries.select(
-        F.col(id_col).alias("qid"),
-        F.explode(probe_cells).alias(cell_col),
-    )
+    if scored_probes:
+        probe = queries.select(
+            F.col(id_col).alias("qid"),
+            F.explode(probe_cells).alias("__pc"),
+        ).select("qid", F.col("__pc.cell").alias(cell_col), "__pc.qc")
+    else:
+        probe = queries.select(
+            F.col(id_col).alias("qid"),
+            F.explode(probe_cells).alias(cell_col),
+        )
     lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
     cand = index.join(F.broadcast(probe), cell_col).filter(
         F.col("qid") != F.col(id_col)
     )
-    scored = (
-        cand.select(
-            "qid",
-            F.col(id_col).alias("nid"),
-            F.posexplode("codes").alias("j", "cell"),
+    sel = ["qid", F.col(id_col).alias("nid"),
+           F.posexplode("codes").alias("j", "cell")]
+    if scored_probes:
+        sel.insert(2, F.col("qc"))
+        scored = (
+            cand.select(*sel)
+            .join(F.broadcast(lut), ["qid", "j", "cell"])
+            .groupBy("qid", "nid")
+            .agg(
+                adc_agg(F.col("s")).alias("__adc_r"),
+                F.max("qc").alias("__qc"),
+            )
+            .select(
+                "qid",
+                "nid",
+                F.round(
+                    F.col("__adc_r").cast("decimal(25,10)")
+                    + F.col("__qc").cast("decimal(25,10)"),
+                    4,
+                )
+                .cast("double")
+                .alias("adc"),
+            )
         )
-        .join(F.broadcast(lut), ["qid", "j", "cell"])
-        .groupBy("qid", "nid")
-        .agg(adc_agg(F.col("s")).alias("adc"))
-    )
+    else:
+        scored = (
+            cand.select(*sel)
+            .join(F.broadcast(lut), ["qid", "j", "cell"])
+            .groupBy("qid", "nid")
+            .agg(adc_agg(F.col("s")).alias("adc"))
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).select(
         "qid", "nid", "adc", "rank"
@@ -1228,12 +1542,139 @@ def _pq_topk_from_index(
     id_col: str,
     vec_col: str,
     adc_agg,
+    scored_probes: bool = False,
 ) -> DataFrame:
     """Top-k cut of _pq_ranked_from_index (the serving shape)."""
     return _pq_ranked_from_index(
         index, queries, probe_cells, cell_col, codebooks, id_col, vec_col,
-        adc_agg,
+        adc_agg, scored_probes,
     ).filter(F.col("rank") <= k)
+
+
+def imi_pq_index_frame(
+    corpus: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoding: str = "raw",
+) -> DataFrame:
+    """The IMI-PQ index ROWS — (id, codes array<int>, imi_cell) under
+    the stated encoding — without the persistence step: what
+    write_imipq_index writes and ingest_imipq_batch commits (all three
+    build through this, so the row layout cannot drift), exposed for
+    audits that score an index without needing the on-disk artifact."""
+    return _pq_index_frame(
+        corpus,
+        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0],
+        "imi_cell",
+        codebooks,
+        id_col,
+        vec_col,
+        residual_kernel=(
+            imi_cell_residual_codes_arrow(cb1, cb2, codebooks)
+            if encoding == "residual"
+            else None
+        ),
+    )
+
+
+def imi_pq_probe_sweep(
+    index: DataFrame,
+    queries: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probes_list: tuple[int, ...],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    adc_agg=None,
+    encoding: str = "raw",
+) -> DataFrame:
+    """Top-k at EVERY probes value in one pass — the sweep form of
+    imi_pq_topk_from_index: candidates are scored ONCE at
+    max(probes_list) with each candidate carrying its cell's probe
+    RANK (prn), and each grid point is then a prn filter + re-rank
+    over the cached scored frame. Scoring cost is paid once per sweep
+    instead of once per probes value (the imi_pq_operating_curve
+    stage-1 discipline); the per-point result is identical to a
+    standalone probes=p search because a probes=p candidate set is
+    exactly the prn < p slice and ADC does not depend on prn. Returns
+    (probes, qid, nid) top-k rows. Callers must hold a cache scope
+    (the scored frame is scope-cached)."""
+    from bearysta_spark.cachescope import scoped_cache
+
+    if adc_agg is None:
+        adc_agg = F.sum
+    P = max(probes_list)
+    residual = encoding == "residual"
+    pc = (
+        assign_imi_cells_scored_arrow(cb1, cb2, P)
+        if residual
+        else assign_imi_cells_arrow(cb1, cb2, P)
+    )(F.col(vec_col))
+    if residual:
+        probe = queries.select(
+            F.col(id_col).alias("qid"),
+            F.posexplode(pc).alias("prn", "__pc"),
+        ).select(
+            "qid", "prn", F.col("__pc.cell").alias("imi_cell"), "__pc.qc"
+        )
+    else:
+        probe = queries.select(
+            F.col(id_col).alias("qid"),
+            F.posexplode(pc).alias("prn", "imi_cell"),
+        )
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    cand = index.join(F.broadcast(probe), "imi_cell").filter(
+        F.col("qid") != F.col(id_col)
+    )
+    sel = ["qid", F.col(id_col).alias("nid"), "prn"]
+    if residual:
+        sel.append(F.col("qc"))
+    base = cand.select(
+        *sel, F.posexplode("codes").alias("j", "cell")
+    ).join(F.broadcast(lut), ["qid", "j", "cell"])
+    if residual:
+        scored = (
+            base.groupBy("qid", "nid", "prn")
+            .agg(
+                adc_agg(F.col("s")).alias("__adc_r"),
+                F.max("qc").alias("__qc"),
+            )
+            .select(
+                "qid",
+                "nid",
+                "prn",
+                F.round(
+                    F.col("__adc_r").cast("decimal(25,10)")
+                    + F.col("__qc").cast("decimal(25,10)"),
+                    4,
+                )
+                .cast("double")
+                .alias("adc"),
+            )
+        )
+    else:
+        scored = base.groupBy("qid", "nid", "prn").agg(
+            adc_agg(F.col("s")).alias("adc")
+        )
+    scored = scoped_cache(scored)
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
+    out = None
+    for p in probes_list:
+        cut = (
+            scored.filter(F.col("prn") < p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(p).cast("int").alias("probes"), "qid", "nid"
+            )
+        )
+        out = cut if out is None else out.unionAll(cut)
+    return out
 
 
 def write_imipq_index(
@@ -1244,6 +1685,7 @@ def write_imipq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoding: str = "raw",
 ) -> DataFrame:
     """Persist the IMI-PQ index — the FAISS IndexIVFPQ shape with the
     INVERTED MULTI-INDEX as the coarse quantizer (write_ivfpq_index's
@@ -1257,23 +1699,25 @@ def write_imipq_index(
     path). Raw vectors are read once, at index-build time. The
     quantizer geometry is persisted after the rows (the streaming
     ingest's imipq_layout, identical digest) so load_imipq_index
-    refuses a mismatched probe."""
+    refuses a mismatched probe. encoding="residual" stores
+    x − centroid(cell) codes (see write_ivfpq_index)."""
     from bearysta_spark.sinks import write_corpus
     from bearysta_spark.streaming.ann import imipq_layout
-    from bearysta_spark.streaming.index import ensure_layout
+    from bearysta_spark.streaming.index import (
+        clear_pending_write,
+        ensure_layout,
+        mark_pending_write,
+    )
 
-    idx = _pq_index_frame(
-        corpus,
-        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0],
-        "imi_cell",
-        codebooks,
-        id_col,
-        vec_col,
+    layout = imipq_layout(cb1, cb2, codebooks, encoding)
+    spark = corpus.sparkSession
+    mark_pending_write(spark, path, layout)  # see write_lsh_index
+    idx = imi_pq_index_frame(
+        corpus, cb1, cb2, codebooks, id_col, vec_col, encoding
     )
     manifest = write_corpus(idx, path, partition_by=["imi_cell"])
-    ensure_layout(
-        corpus.sparkSession, path, imipq_layout(cb1, cb2, codebooks)
-    )
+    ensure_layout(spark, path, layout)
+    clear_pending_write(spark, path)
     return manifest
 
 
@@ -1288,6 +1732,7 @@ def imi_pq_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_agg=None,
+    encoding: str = "raw",
 ) -> DataFrame:
     """IMI-PQ top-k against a PERSISTED index (write_imipq_index):
     queries probe their `probes` best product cells (multi-sequence
@@ -1296,17 +1741,25 @@ def imi_pq_topk_from_index(
     read, and candidates are ranked by the PQ ADC LUT sum — raw corpus
     vectors never touch the search path. Identical join/rank logic to
     ivf_pq_topk_from_index — shared via _pq_topk_from_index; only the
-    quantizer differs."""
+    quantizer differs. `encoding` must match how the index was WRITTEN
+    (load_imipq_index's layout guard enforces it): residual serves add
+    the <q, centroid(cell)> offset the residual codes dropped."""
+    residual = encoding == "residual"
     return _pq_topk_from_index(
         index,
         queries,
-        assign_imi_cells_arrow(cb1, cb2, probes)(F.col(vec_col)),
+        (
+            assign_imi_cells_scored_arrow(cb1, cb2, probes)
+            if residual
+            else assign_imi_cells_arrow(cb1, cb2, probes)
+        )(F.col(vec_col)),
         "imi_cell",
         codebooks,
         k,
         id_col,
         vec_col,
         adc_agg,
+        scored_probes=residual,
     )
 
 
@@ -1324,6 +1777,7 @@ def imi_pq_topk_refined(
     vec_col: str = "embedding",
     adc_agg=None,
     shortlist: DataFrame | None = None,
+    encoding: str = "raw",
 ) -> DataFrame:
     """Two-stage IMI-PQ search with EXACT refinement — the FAISS
     IndexRefineFlat shape production serving actually runs: stage 1
@@ -1352,7 +1806,7 @@ def imi_pq_topk_refined(
             imi_pq_topk_from_index(
                 index, queries, cb1, cb2, codebooks,
                 k=refine, probes=probes, id_col=id_col, vec_col=vec_col,
-                adc_agg=adc_agg,
+                adc_agg=adc_agg, encoding=encoding,
             ).select("qid", "nid")
         )
     )
@@ -1412,7 +1866,16 @@ def imi_pq_operating_curve(
     is |Q|·N brute force (an audit, run on samples at 100 TB); raw
     full-width rows are touched for ~max(refine)·|Q| rows per probes
     value total. Callers registering this must use
-    scoped_caches=True."""
+    scoped_caches=True.
+
+    ASSUMPTION (r11 ADVICE): `queries` is a SUBSET of `vectors` — the
+    scanned_ppm denominator is |Q|·(N−1), matching the qid != nid
+    self-exclusion in _pq_ranked_from_index. For an external query set
+    nothing is self-excluded, candidates can reach |Q|·N, and
+    scanned_ppm could exceed 1_000_000; callers auditing a disjoint
+    query batch should read n_candidates (exact either way) rather
+    than the ppm column. The registered query satisfies the
+    assumption (queries = vec_id < 5 of the corpus)."""
     from functools import reduce
 
     from bearysta_spark.cachescope import scoped_cache
@@ -1512,6 +1975,7 @@ def ivf_pq_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_agg=None,
+    encoding: str = "raw",
 ) -> DataFrame:
     """IVF-PQ top-k against a PERSISTED index (write_ivfpq_index):
     identical math to ivf_pq_topk, but the corpus side is the index
@@ -1519,15 +1983,22 @@ def ivf_pq_topk_from_index(
     partition column prunes whole partitions before scan. The probe
     list and ADC LUT broadcast; the only wide op is the
     map-side-combined per-(qid, nid) ADC sum (shared core:
-    _pq_topk_from_index)."""
+    _pq_topk_from_index). `encoding` must match how the index was
+    WRITTEN (load_ivfpq_index's layout guard enforces it)."""
+    residual = encoding == "residual"
     return _pq_topk_from_index(
         index,
         queries,
-        assign_cells_arrow(centroids, probes)(F.col(vec_col)),
+        (
+            assign_cells_scored_arrow(centroids, probes)
+            if residual
+            else assign_cells_arrow(centroids, probes)
+        )(F.col(vec_col)),
         "ivf_cell",
         codebooks,
         k,
         id_col,
         vec_col,
         adc_agg,
+        scored_probes=residual,
     )

@@ -657,6 +657,125 @@ def classifier_train(
     return history
 
 
+#: persisted classifier-model schema: one row per hashed dimension
+CLASSIFIER_MODEL_SCHEMA = "dim int, w long"
+#: marker file name (the drift model's atomic version-flip convention)
+CLASSIFIER_META = "_current.json"
+
+
+def write_classifier_model(
+    spark,
+    path: str,
+    weights_milli: list[int],
+    word_ngrams: int = 1,
+    bias_milli: int = 0,
+    label: str | None = None,
+) -> dict:
+    """Persist a trained quality-classifier model (classifier_train's
+    final weights) — the train-once/serve-many artifact every other
+    trained state in this repo already has (write_lsh_index,
+    write_imipq_index, write_codelen_model) and the classifier lacked:
+    every serve/calibrate query retrained in-query. One (dim, w) row
+    per hashed dimension, published ATOMICALLY with the drift model's
+    versioned-marker protocol: rows land in a fresh v<k> subdir and
+    the _current.json marker flips to it only after the row count is
+    verified == dim, so a serving stream never reads a wiped or
+    half-written model and a rebuild is picked up on the next
+    micro-batch without restart. The superseded version dir is deleted
+    deferred one rebuild cycle (the compaction-reclamation discipline).
+
+    The marker carries the serving GEOMETRY — dim, word_ngrams,
+    bias_milli — because mismatched serve geometry fails silently: a
+    unigram serve under a bigram-trained model, or a dim-512 serve of
+    dim-256 weights, misprices every document without erroring (the
+    r11 geometry-guard lesson, ensure_layout's rationale).
+    load_classifier_model validates it. Returns the marker dict."""
+    from bearysta_spark.streaming.index import _read_json, _write_json
+
+    dim = len(weights_milli)
+    if word_ngrams not in (1, 2):
+        raise ValueError(
+            f"word_ngrams must be 1 or 2, got {word_ngrams} "
+            "(hashed_doc_vectors' contract)"
+        )
+    cur = _read_json(path, CLASSIFIER_META, spark)
+    version = (int(cur["version"]) + 1) if cur else 0
+    vdir = f"{path}/v{version}"
+    rows = [(d, int(w)) for d, w in enumerate(weights_milli)]
+    spark.createDataFrame(rows, CLASSIFIER_MODEL_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(vdir)
+    n = spark.read.schema(CLASSIFIER_MODEL_SCHEMA).parquet(vdir).count()
+    if n != dim:
+        raise ValueError(
+            f"classifier model write to {vdir} produced {n} rows, "
+            f"expected dim={dim} — refusing to publish the marker"
+        )
+    meta = {
+        "version": version,
+        "dim": dim,
+        "word_ngrams": int(word_ngrams),
+        "bias_milli": int(bias_milli),
+    }
+    if label is not None:
+        meta["label"] = label
+    _write_json(path, CLASSIFIER_META, meta, spark)
+    if version >= 2:  # deferred reclamation: keep v(k-1), drop v(k-2)
+        from bearysta_spark.streaming.index import delete_dir
+
+        delete_dir(spark, f"{path}/v{version - 2}")
+    return meta
+
+
+def load_classifier_model(
+    spark,
+    path: str,
+    dim: int | None = None,
+    word_ngrams: int | None = None,
+) -> tuple[list[int], dict]:
+    """Read back a persisted classifier model (write_classifier_model):
+    returns (weights_milli, meta). Collecting the weight rows is
+    bounded model state (dim longs), the same contract as
+    classifier_train's driver-side weight vector. The geometry guard:
+    pass the dim / word_ngrams the serving path will use and a
+    mismatch raises — serving with the wrong gram stream or hashed
+    width misprices every document silently (no join fails, no row is
+    lost, the margins are just wrong). A missing model raises loudly
+    (the drift monitor's never-create-state contract)."""
+    from bearysta_spark.streaming.index import _read_json
+
+    meta = _read_json(path, CLASSIFIER_META, spark)
+    if meta is None:
+        raise ValueError(
+            f"no classifier model under {path} — train with "
+            "classifier_train and publish with write_classifier_model "
+            "first (serving never creates model state)"
+        )
+    if dim is not None and int(meta["dim"]) != dim:
+        raise ValueError(
+            f"classifier model at {path} has dim={meta['dim']}, caller "
+            f"expects {dim} — serving in a different hashed width "
+            "misprices every document silently"
+        )
+    if word_ngrams is not None and int(meta["word_ngrams"]) != word_ngrams:
+        raise ValueError(
+            f"classifier model at {path} was trained with word_ngrams="
+            f"{meta['word_ngrams']}, caller would serve with "
+            f"{word_ngrams} — a unigram serve under a bigram-trained "
+            "model (or vice versa) misprices every document silently"
+        )
+    vdir = f"{path}/v{int(meta['version'])}"
+    rows = (
+        spark.read.schema(CLASSIFIER_MODEL_SCHEMA)
+        .parquet(vdir)
+        .collect()
+    )
+    w = [0] * int(meta["dim"])
+    for r in rows:
+        w[r["dim"]] = int(r["w"])
+    return w, meta
+
+
 def curation_gate_flags(
     df: DataFrame,
     text_col: str = "text",

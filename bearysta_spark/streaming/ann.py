@@ -41,8 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bearysta_spark.functions.similarity import (
-    _pq_index_frame,
-    assign_imi_cells_arrow,
+    imi_pq_index_frame,
     imi_pq_topk_from_index,
     imi_pq_topk_refined,
 )
@@ -57,14 +56,22 @@ def imipq_layout(
     cb1: list[list[float]],
     cb2: list[list[float]],
     codebooks: list[list[list[float]]],
+    encoding: str = "raw",
 ) -> dict:
     """Layout constants for a streaming IMI-PQ index: both half-space
-    codebook digests and the PQ codebook digest. All three are
-    correctness-load-bearing — cells are argmax against cb1/cb2 and
-    codes are argmax against the PQ codebooks, so an index grown under
-    one geometry and probed under another silently returns wrong
-    neighbors; ensure_layout turns that into a loud config error (the
-    centroid-digest guard of the streaming semantic-dedup arm)."""
+    codebook digests, the PQ codebook digest, and the code ENCODING
+    (raw IP-argmax vs residual L2, r11 VERDICT #2). All four are
+    correctness-load-bearing — cells are argmax against cb1/cb2, codes
+    are quantized against the PQ codebooks under the stated encoding,
+    and a residual index scored without the <q, centroid> offset (or
+    vice versa) silently returns wrong neighbors; ensure_layout turns
+    that into a loud config error (the centroid-digest guard of the
+    streaming semantic-dedup arm). Pre-`encoding` indexes carry no
+    field and refuse BOTH new forms — a rebuild, not a guess."""
+    if encoding not in ("raw", "residual"):
+        raise ValueError(
+            f"encoding must be 'raw' or 'residual', got {encoding!r}"
+        )
     return {
         "k1": len(cb1),
         "k2": len(cb2),
@@ -72,6 +79,7 @@ def imipq_layout(
         "codebooks_md5": hashlib.md5(
             json.dumps([cb1, cb2, codebooks]).encode()
         ).hexdigest(),
+        "encoding": encoding,
     }
 
 
@@ -88,6 +96,7 @@ def ingest_imipq_batch(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoding: str = "raw",
 ) -> None:
     """Quantize ONE micro-batch into the persisted IMI-PQ layout and
     commit it under its batch_id partition. This is the whole per-batch
@@ -102,14 +111,11 @@ def ingest_imipq_batch(
     imi_pq_topk_from_index plan. Raw vectors are touched exactly once,
     at ingest."""
     spark = batch_df.sparkSession
-    ensure_layout(spark, index_root, imipq_layout(cb1, cb2, codebooks))
-    idx = _pq_index_frame(
-        batch_df,
-        assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0],
-        "imi_cell",
-        codebooks,
-        id_col,
-        vec_col,
+    ensure_layout(
+        spark, index_root, imipq_layout(cb1, cb2, codebooks, encoding)
+    )
+    idx = imi_pq_index_frame(
+        batch_df, cb1, cb2, codebooks, id_col, vec_col, encoding
     )
     (
         idx.withColumn("batch_id", F.lit(batch_id))
@@ -130,6 +136,7 @@ def start_streaming_imipq_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    encoding: str = "raw",
 ):
     """Stream (id, vector) rows into a self-growing persisted IMI-PQ
     index. Each micro-batch pays one Arrow quantization pass (two half
@@ -142,7 +149,7 @@ def start_streaming_imipq_ingest(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_imipq_batch(
             batch_df, batch_id, index_root, cb1, cb2, codebooks,
-            id_col, vec_col,
+            id_col, vec_col, encoding,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_index(
@@ -181,6 +188,7 @@ def _checked_live_index(
     cb2: list[list[float]],
     codebooks: list[list[list[float]]],
     id_col: str,
+    encoding: str = "raw",
 ) -> DataFrame:
     """The serving-side view both live searchers read: the marker-aware
     consistent view, gated by the quantizer-geometry layout guard.
@@ -190,7 +198,7 @@ def _checked_live_index(
     from bearysta_spark.streaming.index import read_layout
 
     cur = read_layout(index_root, spark)
-    want = imipq_layout(cb1, cb2, codebooks)
+    want = imipq_layout(cb1, cb2, codebooks, encoding)
     if cur is not None and cur != want:
         raise ValueError(
             f"index layout mismatch at {index_root}: persisted {cur}, "
@@ -217,6 +225,7 @@ def imipq_topk_live(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_agg=None,
+    encoding: str = "raw",
 ) -> DataFrame:
     """Top-k against everything the stream has committed so far: the
     identical search plan as the batch persisted path
@@ -224,7 +233,8 @@ def imipq_topk_live(
     the imi_cell partitions, broadcast ADC LUT ranks codes-only rows)
     over the checked marker-aware view (_checked_live_index)."""
     idx = _checked_live_index(
-        queries.sparkSession, index_root, cb1, cb2, codebooks, id_col
+        queries.sparkSession, index_root, cb1, cb2, codebooks, id_col,
+        encoding,
     )
     return imi_pq_topk_from_index(
         idx,
@@ -237,6 +247,7 @@ def imipq_topk_live(
         id_col=id_col,
         vec_col=vec_col,
         adc_agg=adc_agg,
+        encoding=encoding,
     )
 
 
@@ -253,6 +264,7 @@ def imipq_topk_refined_live(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     adc_agg=None,
+    encoding: str = "raw",
 ) -> DataFrame:
     """Two-stage LIVE serving: the exact-refinement search
     (functions.similarity.imi_pq_topk_refined — lossy ADC shortlist
@@ -267,7 +279,8 @@ def imipq_topk_refined_live(
     compaction is chaos-tested in tests/test_streaming_ann.py; callers
     must hold a cache scope (the shortlist is scope-cached)."""
     idx = _checked_live_index(
-        queries.sparkSession, index_root, cb1, cb2, codebooks, id_col
+        queries.sparkSession, index_root, cb1, cb2, codebooks, id_col,
+        encoding,
     )
     return imi_pq_topk_refined(
         idx,
@@ -282,4 +295,5 @@ def imipq_topk_refined_live(
         id_col=id_col,
         vec_col=vec_col,
         adc_agg=adc_agg,
+        encoding=encoding,
     )

@@ -320,6 +320,7 @@ def start_streaming_curation_pipeline(
     classifier_weights: tuple[list[int], int] | None = None,
     classifier_tau_milli: int = 0,
     classifier_word_ngrams: int = 1,
+    classifier_model_root: str | None = None,
     drift_model_root: str | None = None,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
@@ -352,6 +353,19 @@ def start_streaming_curation_pipeline(
     margin_milli are emitted ALWAYS so the out schema is
     configuration-stable; the curated corpus is the near_ok AND dec_ok
     AND clf_ok slice.
+
+    `classifier_model_root` is the PERSISTED-MODEL form of stage 6
+    (mutually exclusive with `classifier_weights` — both raises): the
+    root of a functions.text.write_classifier_model artifact. The
+    weights, bias, AND geometry come from the versioned marker, read
+    EVERY micro-batch — so a retrained/republished model is picked up
+    on the next batch without restart (the drift-model pickup
+    protocol), and the load passes load_classifier_model's geometry
+    guard with `classifier_word_ngrams` so a model retrained under a
+    different gram stream REFUSES to serve instead of silently
+    mispricing (the r11 geometry-guard lesson). A missing model raises
+    loudly — serving never creates model state. Rebuild pickup is
+    chaos-tested in tests/test_streaming_curation_composed.py.
 
     OPTIONAL drift stage (r10 verdict ask #5): `drift_model_root`
     points at a persisted reference code-length model
@@ -432,6 +446,13 @@ def start_streaming_curation_pipeline(
         shingle_df,
     )
     from bearysta_spark.functions.text import curation_gate_flags
+
+    if classifier_weights is not None and classifier_model_root is not None:
+        raise ValueError(
+            "classifier_weights and classifier_model_root are mutually "
+            "exclusive — static weights OR the persisted-model root, "
+            "not both (ambiguous which model serves)"
+        )
 
     spark = stream_docs.sparkSession
 
@@ -638,10 +659,26 @@ def start_streaming_curation_pipeline(
         # stage-5 survivors. Margins are exact integers with the weight
         # vector as a broadcast literal (classifier_margins) — no index,
         # no state, so ordering vs the index sinks is unconstrained.
-        if classifier_weights is not None:
+        if classifier_weights is not None or classifier_model_root is not None:
             from bearysta_spark.functions.text import classifier_margins
 
-            wvec, bias = classifier_weights
+            if classifier_model_root is not None:
+                # persisted-model serve: marker re-read EVERY batch so
+                # a republished model is picked up next micro-batch
+                # (the drift-model protocol); the load enforces the
+                # gram-stream geometry and raises on a missing model
+                from bearysta_spark.functions.text import (
+                    load_classifier_model,
+                )
+
+                wvec, cmeta = load_classifier_model(
+                    spark,
+                    classifier_model_root,
+                    word_ngrams=classifier_word_ngrams,
+                )
+                bias = int(cmeta.get("bias_milli", 0))
+            else:
+                wvec, bias = classifier_weights
             # classifier_word_ngrams must match how the weights were
             # TRAINED (a unigram serve under a bigram-trained model
             # silently misprices every document — the serving-parity

@@ -600,3 +600,58 @@ def split_by_bloom(
         .unionByName(nulls),
         tagged.filter(F.col("__all_hit")).drop("__all_hit"),
     )
+
+
+def _pending_parts(path: str) -> tuple[str, str]:
+    root, base = os.path.split(path.rstrip("/"))
+    return root, f"{base}.layout.pending"
+
+
+def mark_pending_write(
+    spark: SparkSession | None, path: str, layout: dict
+) -> None:
+    """Publish a SIBLING pending marker before an index overwrite-write
+    (r11 ADVICE): the row write wipes `path` (including any layout
+    file), so a crash between the rows landing and ensure_layout
+    publishing leaves a fully-populated index with NO _layout.json —
+    indistinguishable from a pre-upgrade legacy index, which loaders
+    admit under ANY caller geometry. The sibling marker (it lives
+    NEXT TO the index dir, so the wipe cannot eat it) makes the two
+    states distinguishable: layout missing + marker present =
+    interrupted write, refuse; both missing = legacy, admit."""
+    root, name = _pending_parts(path)
+    if not _is_uri(path) and root:
+        os.makedirs(root, exist_ok=True)
+    _write_json(root, name, layout, spark)
+
+
+def clear_pending_write(spark: SparkSession | None, path: str) -> None:
+    root, name = _pending_parts(path)
+    p = os.path.join(root, name)
+    if _is_uri(path):
+        assert spark is not None
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        return
+    try:
+        os.unlink(p)
+    except FileNotFoundError:
+        pass
+
+
+def check_pending_write(spark: SparkSession | None, path: str) -> None:
+    """Raise if `path` carries a pending-write marker but no layout —
+    a half-completed rebuild must not be probeable under stale params
+    (loaders call this before admitting a layout-less index as
+    legacy)."""
+    root, name = _pending_parts(path)
+    if _read_json(root, name, spark) is not None:
+        raise ValueError(
+            f"index at {path} has a pending-write marker but no layout "
+            "— a rebuild crashed between the row write and the layout "
+            "publish; rebuild the index (a half-written index probed "
+            "under stale geometry silently returns wrong results)"
+        )

@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "quality_classifier_bigram_trained_filter",
     "quality_classifier_bigram_calibration",
     "dedup_banding_curve",
+    "quality_classifier_persisted_filter",
+    "imi_pq_residual_recall",
+    "eval_substring_decontam",
     # NOT benched (documented, not silent): dedup_clusters,
     # dedup_clusters_star, dedup_canonical_corpus and
     # dedup_cluster_purity — iterative
@@ -218,6 +221,35 @@ BENCH_QUERIES = [
     # is covered by near_dup_pairs (the pair-generation stage
     # dominates) and the replica timings.
 ]
+
+
+# Audit-group keys (r11 VERDICT ask #8): deliberately-bounded audit
+# sweeps — recall audits vs brute/exact truth, operating/tuning curves,
+# calibration grids, training-trajectory curves, cross-method agreement
+# reports. Their cost is the price of the AUDIT (clamped exact passes,
+# parameter grids), not of serving a query, so cross-round totals
+# should compare the serving subtotal like-for-like; the headline
+# `value` stays all-inclusive for continuity with r01-r11.
+AUDIT_QUERIES = {
+    "ann_lsh_recall",
+    "imi_ivf_recall",
+    "imi_pq_refine_recall",
+    "imi_pq_operating_curve",
+    "imi_pq_residual_recall",
+    "dedup_banding_curve",
+    "quality_classifier_calibration",
+    "quality_classifier_bigram_calibration",
+    "quality_classifier_train_curve",
+    "quality_classifier_bigram_train_curve",
+    "sparse_knn_recall",
+    "audio_landmark_recall",
+    "rp_distance_preservation",
+    "dedup_method_agreement",
+    "sketch_method_agreement",
+    "multimodal_dedup_agreement",
+    "tokenizer_fertility_agreement",
+    "jaccard_band_histogram",
+}
 
 
 # The 22 TPC-H queries have been code-identical since r01 and serve as
@@ -310,6 +342,10 @@ def main() -> None:
         sum(times.get(k, 0.0) for k in CONTROL_R05_MINIMA), 2
     )
     control_ratio = round(control_sec / sum(CONTROL_R05_MINIMA.values()), 3)
+    audit_sec = round(
+        sum(v for k, v in times.items() if k in AUDIT_QUERIES), 2
+    )
+    serving_sec = round(total - audit_sec, 2)
 
     # Production-path variants: the registered dedup queries run
     # oracle_safe=True (md5-based hashing, engine-portable for the DuckDB
@@ -520,6 +556,9 @@ def main() -> None:
         "quality_classifier_bigram_calibration": "clfbca",
         "dedup_banding_curve": "bandcv",
         "imi_ivf_recall": "imirec",
+        "quality_classifier_persisted_filter": "clfper",
+        "eval_substring_decontam": "subdec",
+        "imi_pq_residual_recall": "resrec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",
         "multimodal_meta": "mmeta",
@@ -547,6 +586,15 @@ def main() -> None:
                 "prod_xxhash": prod_times,
                 "control_sec": control_sec,
                 "control_ratio": control_ratio,
+                # audit-vs-serving split (r11 VERDICT ask #8):
+                # serving_sec = value - audit_sec is the like-for-like
+                # cross-round serving subtotal; AUDIT_QUERIES membership
+                # is enumerated in BASELINE.md (a full in-band key list
+                # would push ~17 per-query values out of the driver's
+                # 2000-char stdout parse window)
+                "audit_sec": audit_sec,
+                "serving_sec": serving_sec,
+                "audit_n": sum(1 for k in times if k in AUDIT_QUERIES),
                 "n": n_runs,
                 "sf": sf,
             },

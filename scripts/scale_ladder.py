@@ -162,6 +162,14 @@ def main() -> None:
         fn = QUERIES[name]
 
         def run(sf_dir: str) -> float:
+            # trained-model memos (e.g. queries._CLF_TRAIN_MEMO) make a
+            # repeat run measure serving only — correct for the bench's
+            # steady-state story, WRONG here: the ladder's question is
+            # how the TOTAL cost (training included — training scales
+            # with the corpus) moves with scale, so every sample pays cold
+            from bearysta_spark import queries as _Q
+
+            _Q._CLF_TRAIN_MEMO.clear()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             sec = time.perf_counter() - t0

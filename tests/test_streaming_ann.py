@@ -231,3 +231,71 @@ def test_streaming_imipq_auto_compaction(spark, tmp_path):
         spark, cb1, cb2, cbs, 500, str(tmp_path / "batchidx")
     )
     assert got == want
+
+
+def test_streaming_imipq_residual_matches_batch_and_guards(spark, tmp_path):
+    """encoding='residual' on the streaming arm (r11 VERDICT #2): a
+    stream-grown residual index serves identical top-k to the batch
+    residual writer over the same vectors, and the encoding is part of
+    the layout — a raw-configured stream refuses to grow a residual
+    index, and a raw serve refuses to read one."""
+    from bearysta_spark.functions.similarity import (
+        imi_pq_topk_from_index,
+        write_imipq_index,
+    )
+    from bearysta_spark.queries import dsum
+    from bearysta_spark.streaming.ann import imipq_topk_live
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+
+    _feed(spark, land, 0, 200)
+    _run_once_enc(spark, land, idx, ckpt, cb1, cb2, cbs, "residual")
+    _feed(spark, land, 200, 500)
+    _run_once_enc(spark, land, idx, ckpt, cb1, cb2, cbs, "residual")
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r.qid, r.rank): (r.nid, float(r.adc))
+        for r in imipq_topk_live(
+            q, idx, cb1, cb2, cbs, k=5, probes=4,
+            adc_agg=lambda c: dsum(c, 4), encoding="residual",
+        ).collect()
+    }
+    bpath = str(tmp_path / "batchidx")
+    write_imipq_index(e, cb1, cb2, cbs, bpath, encoding="residual")
+    want = {
+        (r.qid, r.rank): (r.nid, float(r.adc))
+        for r in imi_pq_topk_from_index(
+            spark.read.parquet(bpath), q, cb1, cb2, cbs, k=5, probes=4,
+            adc_agg=lambda c: dsum(c, 4), encoding="residual",
+        ).collect()
+    }
+    assert got == want and len({qq for qq, _ in got}) == 5
+
+    # raw-configured ingest refuses the residual index's layout
+    _feed(spark, land, 500, 510)
+    with pytest.raises(Exception, match="layout"):
+        _run_once(spark, land, idx, str(tmp_path / "ckpt2"), cb1, cb2, cbs)
+    # raw serve refuses too
+    with pytest.raises(ValueError, match="layout mismatch"):
+        imipq_topk_live(q, idx, cb1, cb2, cbs, k=5, probes=4)
+
+
+def _run_once_enc(spark, land, idx, ckpt, cb1, cb2, cbs, encoding):
+    from bearysta_spark.streaming.ann import start_streaming_imipq_ingest
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(land)
+    q = start_streaming_imipq_ingest(
+        stream, cb1, cb2, cbs, idx, ckpt, encoding=encoding
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

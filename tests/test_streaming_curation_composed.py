@@ -708,3 +708,118 @@ def test_composed_pipeline_classifier_bigram_serving_parity(spark, tmp_path):
         if r.near_ok and r.margin_milli is not None
     }
     assert got == {d: want[d] for d in kept_ids}
+
+
+def test_composed_pipeline_classifier_persisted_model_pickup(
+    spark, tmp_path
+):
+    """Stage 6 from a PERSISTED model (classifier_model_root, VERDICT
+    r11 #1): the marker is re-read every micro-batch, so (a) batches
+    served before a republish are scored under the old model and
+    batches after under the new one — rebuild pickup WITHOUT restart,
+    the drift-model protocol; (b) a model republished under a
+    different gram stream REFUSES to serve (geometry guard) instead
+    of silently mispricing; (c) weights+root together raise; (d) a
+    missing model raises loudly. Replay-chaos on the republish
+    boundary: the commit truncation forces batch 1 to replay AFTER
+    the republish — replayed output is billed under the CURRENT
+    model (foreachBatch replay re-executes side effects; the sink is
+    exactly-once on rows, not on model version), which the test pins
+    explicitly rather than leaving undefined."""
+    import pytest
+
+    from bearysta_spark.functions.text import (
+        classifier_margins,
+        write_classifier_model,
+    )
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+
+    dim = 64
+    w_old = [((i * 37) % 101) - 50 for i in range(dim)]
+    w_new = [-x for x in w_old]
+    model_root = str(tmp_path / "clf_model")
+    write_classifier_model(spark, model_root, w_old, word_ngrams=1)
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            classifier_model_root=model_root, classifier_tau_milli=0,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _feed(spark, p["land"], B0)
+    run()  # batch 0 under w_old
+    # republish (retrain) — and chaos: batch 1 lands, commits, then the
+    # commit is truncated so it REPLAYS after the flip, with batch 2
+    _feed(spark, p["land"], B1)
+    run()
+    write_classifier_model(spark, model_root, w_new, word_ngrams=1)
+    _truncate_last_commit(p["ckpt"])
+    _feed(spark, p["land"], B2)
+    run()  # replays batch 1 (now under w_new), then batch 2
+
+    full = spark.createDataFrame(ALL, SCHEMA)
+    m_old = {
+        r.doc_id: r.margin_milli
+        for r in classifier_margins(full, w_old, 0).collect()
+    }
+    m_new = {
+        r.doc_id: r.margin_milli
+        for r in classifier_margins(full, w_new, 0).collect()
+    }
+    rows = {
+        r.doc_id: r
+        for r in spark.read.parquet(p["out"]).collect()
+        if r.near_ok and r.dec_ok and r.margin_milli is not None
+    }
+    assert rows, "curated slice must be non-empty"
+    for d, r in rows.items():
+        want = m_old if r.batch_id == 0 else m_new  # replay = current
+        assert r.margin_milli == want[d], (d, r.batch_id)
+        assert r.clf_ok == (r.margin_milli >= 0)
+
+    # geometry guard: republish under the bigram stream — a unigram
+    # serve must REFUSE, not silently misprice
+    write_classifier_model(spark, model_root, w_old, word_ngrams=2)
+    _feed(spark, p["land"], [(30, E, "en", "s3")])
+    stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+    q = start_streaming_curation_pipeline(
+        stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+        classifier_model_root=model_root, classifier_tau_milli=0,
+    )
+    with pytest.raises(Exception, match="word_ngrams"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # configuration errors are loud and immediate
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        start_streaming_curation_pipeline(
+            spark.readStream.schema(SCHEMA).parquet(p["land"]),
+            p["idx"], p["lsh"], p["out"], p["cnt"],
+            str(tmp_path / "ckpt2"),
+            classifier_weights=(w_old, 0),
+            classifier_model_root=model_root,
+        )
+    with pytest.raises(Exception, match="no classifier model"):
+        q2 = start_streaming_curation_pipeline(
+            spark.readStream.schema(SCHEMA).parquet(p["land"]),
+            str(tmp_path / "idx3"), str(tmp_path / "lsh3"),
+            str(tmp_path / "out3"), str(tmp_path / "cnt3"),
+            str(tmp_path / "ckpt3"),
+            classifier_model_root=str(tmp_path / "no_model"),
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()

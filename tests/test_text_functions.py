@@ -355,3 +355,141 @@ def test_hashed_doc_vectors_bigram_gram_stream(spark):
     assert got == want
     with _pytest.raises(ValueError, match="word_ngrams"):
         hashed_doc_vectors(df, dim=16, word_ngrams=3)
+
+
+def test_classifier_model_roundtrip_and_versioning(spark, tmp_path):
+    """write_classifier_model / load_classifier_model: the persisted
+    train-once/serve-many artifact (VERDICT r11 #1). Round-trip is
+    exact (integer weights), the marker carries geometry, rebuilds
+    flip the version atomically, and reclamation is deferred one
+    cycle (v(k-2) dropped, v(k-1) kept for in-flight readers)."""
+    import os
+
+    from bearysta_spark.functions.text import (
+        load_classifier_model,
+        write_classifier_model,
+    )
+
+    path = str(tmp_path / "clf_model")
+    w0 = [3, -1, 0, 250, -999, 7, 0, 12]
+    meta = write_classifier_model(
+        spark, path, w0, word_ngrams=1, bias_milli=5, label="t"
+    )
+    assert meta == {
+        "version": 0, "dim": 8, "word_ngrams": 1,
+        "bias_milli": 5, "label": "t",
+    }
+    got, m = load_classifier_model(spark, path, dim=8, word_ngrams=1)
+    assert got == w0 and m["bias_milli"] == 5
+
+    # rebuild: version flips, latest wins
+    w1 = [x + 1 for x in w0]
+    write_classifier_model(spark, path, w1, word_ngrams=1)
+    got1, m1 = load_classifier_model(spark, path)
+    assert got1 == w1 and m1["version"] == 1
+    assert os.path.isdir(os.path.join(path, "v0"))  # kept for readers
+
+    # third rebuild: v0 reclaimed (deferred one cycle), v1 kept
+    write_classifier_model(spark, path, w0, word_ngrams=1)
+    assert not os.path.isdir(os.path.join(path, "v0"))
+    assert os.path.isdir(os.path.join(path, "v1"))
+    got2, _ = load_classifier_model(spark, path)
+    assert got2 == w0
+
+
+def test_classifier_model_geometry_guard(spark, tmp_path):
+    """Mismatched serve geometry fails silently at the margin level
+    (no join breaks, the prices are just wrong) — so the load boundary
+    must raise: wrong dim, wrong word_ngrams, missing model, and a
+    write with word_ngrams outside hashed_doc_vectors' {1,2} contract."""
+    import pytest
+
+    from bearysta_spark.functions.text import (
+        load_classifier_model,
+        write_classifier_model,
+    )
+
+    path = str(tmp_path / "clf_model")
+    with pytest.raises(ValueError, match="no classifier model"):
+        load_classifier_model(spark, path)
+    with pytest.raises(ValueError, match="word_ngrams"):
+        write_classifier_model(spark, path, [1, 2], word_ngrams=3)
+
+    write_classifier_model(spark, path, [1, -2, 3, 0], word_ngrams=2)
+    with pytest.raises(ValueError, match="dim=4"):
+        load_classifier_model(spark, path, dim=8)
+    with pytest.raises(ValueError, match="word_ngrams=2"):
+        load_classifier_model(spark, path, word_ngrams=1)
+    # matching geometry passes
+    w, meta = load_classifier_model(spark, path, dim=4, word_ngrams=2)
+    assert w == [1, -2, 3, 0] and meta["word_ngrams"] == 2
+
+
+def test_substring_decontam_catches_what_ngram_arms_miss(spark):
+    """The planted-verbatim fixture (r11 VERDICT #3): a 6-word eval
+    snippet copied verbatim from a training document has ZERO word
+    8-grams, so bloom_decontam(n=8) and an 8-gram containment both
+    find NOTHING — structurally, not by bad luck — while the
+    char-grain anchor join flags the leaking pair with a certified
+    shared-substring lower bound covering the whole snippet."""
+    from bearysta_spark.functions.decontam import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+        gram_rows,
+        substring_anchor_hits,
+    )
+
+    leak = "the stolen benchmark answer is forty two"   # 7 words, 41 chars
+    train = spark.createDataFrame(
+        [
+            (1, f"some long training document where {leak} appears "
+                "verbatim in the middle of otherwise unrelated prose "
+                "that keeps going for a while", "s"),
+            (2, "a completely clean training document with nothing "
+                "shared beyond common words", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, leak, "s"), (101, "another unleaked eval item", "s")],
+        "doc_id long, text string, source string",
+    )
+
+    # both n-gram arms: the snippet has < 8 words -> zero 8-grams ->
+    # no probe is even emitted; nothing is flagged
+    assert gram_rows(bench, 8, "text", ("doc_id",)).count() == 0
+    assert contaminated_docs(train, bench, n=8).count() == 0
+    assert contaminated_docs_bloom(train, bench, n=8).count() == 0
+
+    # the char-grain arm flags exactly the leaking pair, with the
+    # full-snippet inclusion certified (window 16, stride 4: runs of
+    # consecutive anchors certify >= 16 + (r-1)*4 shared chars)
+    got = substring_anchor_hits(
+        train, bench.withColumnRenamed("doc_id", "eval_id"),
+        window=16, stride=4,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_id"], r["eval_id"]) == (1, 100)
+    # snippet is 41 chars: anchors exist over its whole span, so the
+    # certified bound must reach at least (41 - 16 + 1) rounded down
+    # to the anchor grid — and never exceed the true 41+ shared chars
+    assert r["min_shared_chars"] >= 36
+    assert r["n_anchors"] >= 6
+
+
+def test_clf_train_memo_semantics(spark, sf_dir):
+    """_CLF_TRAIN_MEMO: serve/calibrate paths reuse the session-trained
+    model (train-once/serve-many); use_memo=False (the *_train_curve
+    contract — their measured value IS the training loop) recomputes
+    every call but still publishes, and the recomputed trajectory is
+    bit-identical (exact-integer training)."""
+    from bearysta_spark import queries as Q
+
+    Q._CLF_TRAIN_MEMO.clear()
+    h1 = Q._clf_train_history(spark, sf_dir, use_memo=False)
+    assert len(Q._CLF_TRAIN_MEMO) == 1  # cold run publishes
+    h2 = Q._clf_train_history(spark, sf_dir)
+    assert h2 is h1  # memo read returns the published object
+    h3 = Q._clf_train_history(spark, sf_dir, use_memo=False)
+    assert h3 is not h1 and h3 == h1  # recomputed, deterministic
