@@ -45,7 +45,7 @@ def skewed_fact(spark, sf_dir: str):
     )
 
 
-def run_cell(spark, fact, dim, salted: bool, salt: int) -> tuple[float, int]:
+def run_cell(spark, fact, dim, salted: bool, salt: int):
     from bearysta_spark.operators.skew import salted_join
 
     t0 = time.perf_counter()
@@ -58,8 +58,23 @@ def run_cell(spark, fact, dim, salted: bool, salt: int) -> tuple[float, int]:
     )
     rows = out.collect()
     sec = time.perf_counter() - t0
+    # the SCALE-VALID witness (wall clock is flat at test scale — a
+    # 300k-row hot task is milliseconds on 32 cores; at 100 TB it is
+    # the critical path): the share of join-output rows landing in the
+    # LARGEST join task. Plain join concentrates the whale key in one
+    # task (~hot share); salting bounds it near 1/salt of the hot share
+    # plus an even background. Measured post-AQE, so the aqe_skew=on
+    # rows show what runtime splitting achieves WITHOUT salting.
+    dist = [
+        r["n"]
+        for r in joined.withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    share = max(dist) / sum(dist)
     spark.catalog.clearCache()
-    return sec, sum(r["n"] for r in rows)
+    return sec, sum(r["n"] for r in rows), round(share, 4), len(dist)
 
 
 def main() -> None:
@@ -83,6 +98,22 @@ def main() -> None:
     # the shape under test: shuffle join (dim must not broadcast at
     # 100 TB) — pin it off so base and 10× run the same physical plan
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # test-scale fidelity knobs: (a) AQE partition COALESCING merges
+    # everything at MB scale and hides the key-skew layout entirely
+    # (measured: whole join collapses to 1 task) — at 100 TB a hot
+    # partition is never coalesced away, so fix the partition count;
+    # (b) AQE skew-join only splits partitions past byte thresholds
+    # (256 MB default) that MB-scale data never reaches — lower them so
+    # the aqe_skew=on cells exercise the SPLIT DECISION the way a
+    # 100 TB run would, instead of silently never triggering
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+    )
 
     results: dict = {}
     for label, sf_dir in (("base", args.src), (f"{args.mult}x", scaled_dir)):
@@ -97,11 +128,20 @@ def main() -> None:
             )
             for variant in ("plain", "salted"):
                 # min over 2 runs (the ladder protocol)
-                s1, n1 = run_cell(spark, fact, dim, variant == "salted", args.salt)
-                s2, n2 = run_cell(spark, fact, dim, variant == "salted", args.salt)
+                s1, n1, sh1, np1 = run_cell(
+                    spark, fact, dim, variant == "salted", args.salt
+                )
+                s2, n2, sh2, np2 = run_cell(
+                    spark, fact, dim, variant == "salted", args.salt
+                )
                 assert n1 == n2, "row-count drift between repeats"
                 key = f"{label}/aqe_skew={'on' if aqe_skew else 'off'}/{variant}"
-                results[key] = {"sec": round(min(s1, s2), 2), "rows": n1}
+                results[key] = {
+                    "sec": round(min(s1, s2), 2),
+                    "rows": n1,
+                    "max_task_share": max(sh1, sh2),
+                    "n_tasks": np1,
+                }
                 print(json.dumps({"cell": key, **results[key]}), flush=True)
     # equality audit: salted result == plain result (same rows) at base
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
