@@ -208,6 +208,7 @@ def substring_anchor_hits(
     train_id: str = "doc_id",
     eval_id: str = "eval_id",
     text_col: str = "text",
+    eval_windows: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-SUBSTRING decontamination (Lee et al. 2022 / the Gopher
     verbatim-overlap arm, r11 VERDICT #3): find eval text that appears
@@ -252,19 +253,32 @@ def substring_anchor_hits(
     if w < 4 or s < 1:
         raise ValueError(f"window >= 4 and stride >= 1 required, got {w}, {s}")
     # texts shorter than the window cannot carry a w-char key (and
-    # sequence(1, 0, s) is an error, not empty) — filter, don't clamp
-    ev = (
-        eval_df.filter(F.length(text_col) >= w)
-        .select(
-            F.col(eval_id),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - (w - 1))
-            ).alias("__p"),
-            F.col(text_col).alias("__t"),
+    # sequence(1, 0, s) is an error, not empty) — filter, don't clamp.
+    # `eval_windows` (a prebuilt (eval_id, akey) frame, e.g. the
+    # persisted streaming/decontam.write_eval_anchor_index read back
+    # through its window guard) skips the eval-side construction — the
+    # inline and persisted forms then share this exact join + rollup,
+    # so they cannot drift
+    if eval_windows is not None:
+        ev = eval_windows.select(
+            F.col(eval_id), F.col("akey").alias("__key")
+        ).distinct()
+    else:
+        ev = (
+            eval_df.filter(F.length(text_col) >= w)
+            .select(
+                F.col(eval_id),
+                F.explode(
+                    F.sequence(F.lit(1), F.length(text_col) - (w - 1))
+                ).alias("__p"),
+                F.col(text_col).alias("__t"),
+            )
+            .select(
+                eval_id,
+                F.substring("__t", F.col("__p"), F.lit(w)).alias("__key"),
+            )
+            .distinct()
         )
-        .select(eval_id, F.substring("__t", F.col("__p"), F.lit(w)).alias("__key"))
-        .distinct()
-    )
     tr = (
         train.filter(F.length(text_col) >= w)
         .select(

@@ -4414,6 +4414,88 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_canonical_by_quality",
+    scoped_caches=True,
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE}, {_CAND_CTE}, {_CLUSTER_CTES},
+    comp AS (
+      SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc
+    ),
+    tcs AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS tc
+      FROM documents
+    ),
+    lab AS (
+      SELECT d.doc_id, d.source, t.tc,
+             coalesce(c.component, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+      JOIN tcs t USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, source, tc, comp,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY tc DESC, doc_id ASC) AS rn
+      FROM lab
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN tc ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM ranked GROUP BY source
+    """,
+)
+def dedup_canonical_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_canonical_corpus with the KEEP POLICY real pipelines run:
+    each duplicate cluster keeps its HIGHEST-QUALITY member — here the
+    exact-integer [a-z0-9] token count (ties by min doc_id), the
+    keep-the-longest-replica rule — instead of keep-min-id. The policy
+    changes which text survives (and therefore the kept token mass the
+    training run actually gets), not how many: per source the report
+    adds kept_tokens next to docs/kept/dropped, so the two policies'
+    budget difference is readable side by side with
+    dedup_canonical_corpus. Oracle replays the full chain (LSH
+    candidates → Jaccard verify → recursive transitive closure →
+    per-component argmax) in SQL.
+    100 TB shape: identical to dedup_canonical_corpus plus one
+    component-grain window (the component table is pair-bounded, tiny
+    next to the corpus; unclustered docs are their own component and
+    pay no shuffle beyond the same left join)."""
+    from bearysta_spark.functions.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_verified(d, num_hashes=12, bands=3, threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+        {"node": "doc_id"}
+    )
+    tc = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    ).cast("long")
+    lab = (
+        d.select("doc_id", "source", tc.alias("tc"))
+        .join(labels, "doc_id", "left")
+        .withColumn("comp", F.coalesce("component", "doc_id"))
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("tc"), F.asc("doc_id"))
+    ranked = lab.withColumn("rn", F.row_number().over(w))
+    keep = F.col("rn") == 1
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("dropped"),
+        F.sum(F.when(keep, F.col("tc")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+@query(
     "simhash_pairs",
     scoped_caches=True,
     oracle="""
@@ -11178,6 +11260,66 @@ def eval_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("train_id", "eval_id")
 
 
+
+@query("eval_substring_decontam_persisted", scoped_caches=True)
+def eval_substring_decontam_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED-INDEX form of eval_substring_decontam — the
+    production shape: the eval suite's exhaustive anchor-window set is
+    written ONCE per suite version
+    (streaming/decontam.write_eval_anchor_index — bucketed short-key
+    rows, window width persisted as the guarded layout with the r12
+    pending-write discipline) and every corpus pass probes the FILES
+    (load_eval_anchor_index validates the width: a probe cut at a
+    different window matches nothing and silently admits every leak).
+    The probe + certified-run rollup is literally
+    substring_anchor_hits with eval_windows= the loaded index, so the
+    inline and persisted forms share one code path and the shared
+    oracle (the full inline replay) verifies the round trip.
+    This is also the index the streaming arm
+    (start_streaming_substring_decontam) probes per micro-batch.
+    100 TB shape: eval-side cost moves OUT of the corpus pass — the
+    index read is eval-sized and broadcast; the corpus side is
+    unchanged (one scan, |bytes|/stride keys, no shuffle)."""
+    import os
+
+    from bearysta_spark.functions.decontam import substring_anchor_hits
+    from bearysta_spark.streaming.decontam import (
+        load_eval_anchor_index,
+        write_eval_anchor_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(
+        (F.col("doc_id") % 17 == 0) & (F.length("text") >= 200)
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.substring("text", 41, 40).alias("text"),
+    )
+    path = os.path.join(_index_root(sf_dir), "eval_anchor_index")
+    write_eval_anchor_index(ev, path, window=16)
+    idx = load_eval_anchor_index(spark, path, window=16)
+    tr = d.filter(F.col("doc_id") % 17 != 0)
+    out = substring_anchor_hits(
+        tr, None, window=16, stride=4, eval_windows=idx
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("train_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        "n_anchors",
+        "min_shared_chars",
+    ).orderBy("train_id", "eval_id")
+
+
+# the persisted index holds exactly the inline form's distinct window
+# set (write -> guarded load round trip), so the inline replay oracle
+# verifies the persisted probe end-to-end
+ORACLE["eval_substring_decontam_persisted"] = ORACLE[
+    "eval_substring_decontam"
+]
+
+
 @query(
     "unigram_viterbi_stats",
     oracle=TK.unigram_viterbi_oracle_sql(),
@@ -13606,6 +13748,8 @@ _DRIVER_PRIORITY = [
     # before its siblings so _CLF_TRAIN_MEMO is warm for the rest.
     "quality_classifier_persisted_filter",
     "eval_substring_decontam",
+    "eval_substring_decontam_persisted",
+    "dedup_canonical_by_quality",
     "doremi_domain_weights",
     "doremi_trained_sample",
     "corpus_drift_report",

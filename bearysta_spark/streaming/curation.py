@@ -317,6 +317,10 @@ def start_streaming_curation_pipeline(
     eval_gram_index: str | None = None,
     decontam_n: int = 8,
     decontam_min_shared: int = 1,
+    eval_anchor_index: str | None = None,
+    substring_window: int = 16,
+    substring_stride: int = 4,
+    substring_min_anchors: int = 1,
     classifier_weights: tuple[list[int], int] | None = None,
     classifier_tau_milli: int = 0,
     classifier_word_ngrams: int = 1,
@@ -335,6 +339,22 @@ def start_streaming_curation_pipeline(
     full five-stage curation in one loop (a rebuilt index is picked up
     on the next micro-batch, no restart). Twin-equality is
     chaos-tested in tests/test_streaming_curation_composed.py.
+
+    OPTIONAL stage 5b (r12): EXACT-SUBSTRING decontamination against a
+    persisted eval ANCHOR index (`eval_anchor_index`, built with
+    streaming/decontam.py:write_eval_anchor_index): stage-5 survivors
+    whose stride-sampled window substrings match >=
+    `substring_min_anchors` index keys are flagged sub_ok = false —
+    the character-grain arm for eval snippets too short to carry a
+    single word n-gram (stage 5's structural blind spot; see
+    queries.eval_substring_decontam). Guarantee: any shared run >=
+    substring_window + substring_stride − 1 chars is caught. The index
+    is static/external and re-read per batch (re-versioned suites
+    picked up without restart; the window layout guard fails a
+    width-mismatched rebuild loudly). sub_ok is emitted ALWAYS; the
+    curated corpus is the near_ok AND dec_ok AND sub_ok AND clf_ok
+    slice, and the counters sink gains a stage-8 "substring" row
+    (stage ids are append-only; 8 sits logically between 5 and 6).
 
     OPTIONAL stage 6: the trained quality-classifier filter.
     `classifier_weights` = (weights_milli, bias_milli) — e.g. the
@@ -655,6 +675,61 @@ def start_streaming_curation_pipeline(
         else:
             flagged = flagged.withColumn("dec_ok", F.lit(True))
 
+        # ---- optional stage 5b: EXACT-SUBSTRING decontamination
+        # against the persisted eval anchor index (r12 — the
+        # character-grain arm for eval snippets too short to carry a
+        # single word n-gram, which stage 5 is structurally blind to).
+        # Static/external like the gram index, re-read per batch (a
+        # re-versioned suite is picked up next micro-batch; the window
+        # guard makes a width-mismatched rebuild fail loudly instead
+        # of silently matching nothing). Checked over stage-5
+        # survivors; sub_ok is emitted ALWAYS (schema stability).
+        if eval_anchor_index is not None:
+            from bearysta_spark.streaming.decontam import (
+                load_eval_anchor_index,
+            )
+
+            akeys = load_eval_anchor_index(
+                spark, eval_anchor_index, substring_window
+            ).select("akey")
+            w_, s_ = int(substring_window), int(substring_stride)
+            anchors = (
+                flagged.filter("near_ok and dec_ok")
+                .filter(F.length(text_col) >= w_)
+                .select(
+                    F.col(id_col),
+                    F.explode(
+                        F.sequence(
+                            F.lit(1),
+                            F.length(text_col) - (w_ - 1),
+                            F.lit(s_),
+                        )
+                    ).alias("__p"),
+                    F.col(text_col).alias("__t"),
+                )
+                .select(
+                    id_col,
+                    "__p",
+                    F.substring("__t", F.col("__p"), F.lit(w_)).alias(
+                        "akey"
+                    ),
+                )
+            )
+            leaked = (
+                anchors.join(akeys, "akey", "left_semi")
+                .groupBy(id_col)
+                .agg(F.count_distinct("__p").alias("__na"))
+                .filter(F.col("__na") >= substring_min_anchors)
+                .select(id_col)
+            )
+            flagged = flagged.join(
+                leaked.withColumn("__sl", F.lit(True)), id_col, "left"
+            ).withColumn(
+                "sub_ok", F.coalesce(~F.col("__sl"), F.lit(True))
+            ).drop("__sl")
+        else:
+            flagged = flagged.withColumn("sub_ok", F.lit(True))
+
         # ---- optional stage 6: trained quality-classifier filter over
         # stage-5 survivors. Margins are exact integers with the weight
         # vector as a broadcast literal (classifier_margins) — no index,
@@ -684,12 +759,12 @@ def start_streaming_curation_pipeline(
             # silently misprices every document — the serving-parity
             # rule of quality_classifier_bigram_trained_filter)
             scored = classifier_margins(
-                flagged.filter("near_ok and dec_ok")
+                flagged.filter("near_ok and dec_ok and sub_ok")
                 .select(id_col, text_col),
                 wvec, bias, text_col=text_col, id_col=id_col,
                 word_ngrams=classifier_word_ngrams,
             ).select(id_col, "margin_milli")
-            s5 = F.col("near_ok") & F.col("dec_ok")
+            s5 = F.col("near_ok") & F.col("dec_ok") & F.col("sub_ok")
             flagged = (
                 flagged.join(scored, id_col, "left")
                 # a stage-5 survivor with NO margin row is the
@@ -726,7 +801,8 @@ def start_streaming_curation_pipeline(
         written = (
             flagged.select(
                 id_col, "source", "lang", "tc", "norm_key", "kb",
-                text_col, "near_ok", "dec_ok", "margin_milli", "clf_ok",
+                text_col, "near_ok", "dec_ok", "sub_ok", "margin_milli",
+                "clf_ok",
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
@@ -798,10 +874,16 @@ def start_streaming_curation_pipeline(
                 stage(5, "decontam",
                       survread.filter("near_ok and dec_ok"))
             )
-        if classifier_weights is not None:
+        if eval_anchor_index is not None:
+            counters = counters.unionByName(
+                stage(8, "substring",
+                      survread.filter("near_ok and dec_ok and sub_ok"))
+            )
+        if classifier_weights is not None or classifier_model_root is not None:
             counters = counters.unionByName(
                 stage(6, "classifier",
-                      survread.filter("near_ok and dec_ok and clf_ok"))
+                      survread.filter(
+                          "near_ok and dec_ok and sub_ok and clf_ok"))
             )
         if drift_model_root is not None:
             # bill the batch's curated survivors under the persisted

@@ -157,3 +157,203 @@ def start_streaming_decontam(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+#: explicit reader schema for the persisted eval ANCHOR index (the
+#: exact-substring arm): zero-row suites must read as empty, not wedge
+ANCHOR_INDEX_SCHEMA = "eval_id long, akey string, ab int"
+
+
+def write_eval_anchor_index(
+    eval_docs: DataFrame,
+    path: str,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "eval_id",
+    buckets: int = 32,
+) -> None:
+    """Persist the eval suite's EXHAUSTIVE window-char substring set —
+    the exact-substring decontamination index (the character-grain
+    sibling of write_eval_gram_index, backing
+    functions.decontam.substring_anchor_hits' eval side): one row per
+    DISTINCT (eval_id, window-substring), bucketed by key hash to
+    bound file sizes. Eval suites are small by contract, so the index
+    is |eval bytes|·~window rows of short strings — broadcastable at
+    probe time.
+
+    `window` is correctness-load-bearing (a probe cut at a different
+    width never matches a single key), so it is persisted as the index
+    LAYOUT and the probing arms validate it — with the r12
+    pending-write discipline: marker before the wiping write, layout
+    after, so an interrupted rebuild is refused instead of admitted.
+    Raises on an EMPTY index (every eval text shorter than `window`),
+    the write_eval_gram_index lesson."""
+    from bearysta_spark.streaming.index import (
+        clear_pending_write,
+        ensure_layout,
+        mark_pending_write,
+    )
+
+    spark = eval_docs.sparkSession
+    layout = {"window": int(window)}
+    mark_pending_write(spark, path, layout)
+    (
+        eval_docs.filter(F.length(text_col) >= window)
+        .select(
+            F.col(id_col).cast("long").alias("eval_id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (window - 1))
+            ).alias("__p"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            "eval_id",
+            F.substring("__t", F.col("__p"), F.lit(window)).alias("akey"),
+        )
+        .distinct()
+        .withColumn(
+            "ab", F.pmod(F.xxhash64("akey"), F.lit(buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("ab")
+        .parquet(path)
+    )
+    n = spark.read.schema(ANCHOR_INDEX_SCHEMA).parquet(path).count()
+    if n == 0:
+        raise ValueError(
+            f"eval anchor index at {path} is EMPTY: no eval text has "
+            f">= window={window} chars in '{text_col}' — an empty index "
+            "decontaminates nothing; lower window or fix the eval input"
+        )
+    ensure_layout(spark, path, layout)
+    clear_pending_write(spark, path)
+
+
+def load_eval_anchor_index(
+    spark: SparkSession, path: str, window: int
+) -> DataFrame:
+    """Read the persisted anchor index with the window guard: probing
+    with a different cut width silently matches NOTHING (every doc
+    passes decontamination), so a mismatch raises; a missing layout
+    with a pending marker is an interrupted rebuild and raises too."""
+    from bearysta_spark.streaming.index import (
+        check_pending_write,
+        read_layout,
+    )
+
+    cur = read_layout(path, spark)
+    if cur is None:
+        check_pending_write(spark, path)
+    want = {"window": int(window)}
+    if cur is not None and cur != want:
+        raise ValueError(
+            f"eval anchor index layout mismatch at {path}: persisted "
+            f"{cur}, caller expects {want} — a probe cut at a different "
+            "window width matches nothing and silently admits every "
+            "contaminated document"
+        )
+    return spark.read.schema(ANCHOR_INDEX_SCHEMA).parquet(path)
+
+
+def start_streaming_substring_decontam(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    report_path: str,
+    checkpoint: str,
+    window: int = 16,
+    stride: int = 4,
+    min_anchors: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming EXACT-SUBSTRING decontamination — the character-grain
+    sibling of start_streaming_decontam, for the leak class word
+    n-grams are structurally blind to (eval snippets shorter than n
+    tokens; see queries.eval_substring_decontam). Per micro-batch:
+    window-char substrings sampled every `stride` positions are
+    equi-joined against the persisted eval anchor index (any shared
+    run >= window + stride − 1 chars is GUARANTEED to match); docs
+    with >= min_anchors matched anchor positions are dropped.
+
+    Same contracts as the gram arm: exactly-once batch_id
+    dynamic-partition overwrite on both sinks; the index is STATIC and
+    re-read each micro-batch, so a rebuilt (re-versioned) eval suite
+    is picked up without restart — and the window guard
+    (load_eval_anchor_index) turns a suite rebuilt at a different
+    width into a loud error instead of a silently-passing filter.
+    Batch-equivalence with substring_anchor_hits is the tested
+    contract.
+
+    100 TB shape: the batch side emits |batch bytes|/stride short keys
+    in one scan; the index side is eval-sized and AQE-broadcast, so
+    batch payload never shuffles (survivors re-selected by id
+    anti-join, the gram arm's discipline)."""
+    spark = stream_docs.sparkSession
+    w, s = int(window), int(stride)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        idx = load_eval_anchor_index(spark, index_path, w).select("akey")
+        anchors = (
+            batch_df.filter(F.length(text_col) >= w)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.length(text_col) - (w - 1), F.lit(s)
+                    )
+                ).alias("__p"),
+                F.col(text_col).alias("__t"),
+            )
+            .select(
+                id_col,
+                "__p",
+                F.substring("__t", F.col("__p"), F.lit(w)).alias("akey"),
+            )
+        )
+        contaminated = (
+            anchors.join(idx, "akey", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count_distinct("__p").alias("__na"))
+            .filter(F.col("__na") >= min_anchors)
+            .select(id_col)
+        )
+        surv = batch_df.join(contaminated, id_col, "left_anti")
+        written = surv.withColumn("batch_id", F.lit(batch_id))
+        (
+            written.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        survread = (
+            spark.read.schema(written.schema)
+            .parquet(out_path)
+            .filter(F.col("batch_id") == batch_id)
+        )
+        report = (
+            batch_df.agg(F.count("*").cast("long").alias("n_docs_in"))
+            .crossJoin(
+                survread.agg(F.count("*").cast("long").alias("n_docs_out"))
+            )
+            .select(
+                "n_docs_in",
+                (F.col("n_docs_in") - F.col("n_docs_out"))
+                .cast("long")
+                .alias("n_docs_contaminated"),
+                "n_docs_out",
+            )
+        )
+        (
+            report.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -213,8 +213,10 @@ BENCH_QUERIES = [
     "quality_classifier_persisted_filter",
     "imi_pq_residual_recall",
     "eval_substring_decontam",
+    "eval_substring_decontam_persisted",
     # NOT benched (documented, not silent): dedup_clusters,
-    # dedup_clusters_star, dedup_canonical_corpus and
+    # dedup_clusters_star, dedup_canonical_corpus,
+    # dedup_canonical_by_quality and
     # dedup_cluster_purity — iterative
     # connected-components queries whose localCheckpoint
     # materialization makes per-run timings bimodal; their cost story
@@ -558,6 +560,7 @@ def main() -> None:
         "imi_ivf_recall": "imirec",
         "quality_classifier_persisted_filter": "clfper",
         "eval_substring_decontam": "subdec",
+        "eval_substring_decontam_persisted": "subdcp",
         "imi_pq_residual_recall": "resrec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",

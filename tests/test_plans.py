@@ -505,3 +505,38 @@ def test_cache_scope_isolation(spark):
     assert inner_scope.release() == 0  # idempotent
     assert release_scoped_caches() == 1  # global drain frees outer
     assert not outer.storageLevel.useMemory
+
+
+def test_substring_decontam_broadcast_and_no_corpus_shuffle(spark):
+    """eval_substring_decontam (r12): the anchor join must broadcast
+    the eval window set — corpus anchors die at a scan-side
+    BroadcastHashJoin, never a SortMergeJoin shuffle of corpus keys —
+    and the whole path stays JVM-side (no Python eval)."""
+    p = plan_of(spark, "eval_substring_decontam")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # the train-anchor stream must not sort-merge: that would shuffle
+    # |bytes|/stride corpus keys
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_classifier_persisted_filter_weights_are_literal(spark):
+    """quality_classifier_persisted_filter: serving scores via an
+    element_at lookup on the broadcast weight LITERAL — no weight-table
+    join anywhere (the margins path is one explode + two
+    map-side-combinable sums)."""
+    p = plan_of(spark, "quality_classifier_persisted_filter")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "element_at" in p
+    assert "partial" in p.lower()  # map-side combine on the margin sums
+
+
+def test_residual_recall_no_cartesian_outside_truth(spark):
+    """imi_pq_residual_recall: candidate scoring is cell-equi-join +
+    broadcast LUT; the only NestedLoop is the brute-force truth's
+    deliberate qid != nid pair audit (bounded: |Q| broadcast)."""
+    p = plan_of(spark, "imi_pq_residual_recall")
+    assert "CartesianProduct" not in p
+    # ADC rollup map-side combines
+    assert "partial" in p.lower()

@@ -823,3 +823,92 @@ def test_composed_pipeline_classifier_persisted_model_pickup(
             q2.processAllAvailable()
         finally:
             q2.stop()
+
+
+def test_composed_pipeline_with_substring_stage(spark, tmp_path):
+    """Optional stage 5b (r12): exact-substring decontamination against
+    the persisted eval anchor index, composed into the stream — drops a
+    verbatim short-snippet leak the gram stage cannot see (the snippet
+    is 7 words: zero 8-grams), twin-equal to batch
+    substring_anchor_hits over the stage-5 survivors, replay-safe,
+    schema-stable (sub_ok exists even unconfigured — pinned by every
+    other composed test reading the new column implicitly), stage-8
+    counter row matching the curated slice."""
+    from bearysta_spark.functions.decontam import substring_anchor_hits
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+    from bearysta_spark.streaming.decontam import write_eval_anchor_index
+
+    snip = "the stolen benchmark answer is forty two"
+    # a FRESH gate-passing doc carrying the verbatim snippet mid-text
+    # (not derived from E/A/D — a near-dup twin would fall at stage 4
+    # and never reach stage 5b)
+    E_LEAK = (
+        "tall cranes lift heavy beams while workers below watch "
+        + snip
+        + " painted in white along the old brick wall near the gate"
+    )
+    ev = spark.createDataFrame(
+        [(900, snip)], "eval_id long, text string"
+    )
+    idxp = str(tmp_path / "anchor_idx")
+    write_eval_anchor_index(ev, idxp, window=16)
+
+    rows0 = B0
+    rows1 = B1
+    rows2 = B2 + [(25, E_LEAK, "en", "s2")]
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            eval_anchor_index=idxp,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _feed(spark, p["land"], rows0)
+    run()
+    _feed(spark, p["land"], rows1)
+    run()
+    _truncate_last_commit(p["ckpt"])  # die between execute and commit
+    _feed(spark, p["land"], rows2)
+    run()  # replays batch 1, then batch 2
+
+    allrows = rows0 + rows1 + rows2
+    _, _, _, s3a, s3 = _batch_twin(spark, rows=allrows)
+    outrows = spark.read.parquet(p["out"]).collect()
+    assert sorted(r.doc_id for r in outrows) == sorted(
+        r.doc_id for r in s3a.collect()
+    )
+    kept = {r.doc_id for r in outrows if r.near_ok}
+    assert kept == {r.doc_id for r in s3.collect()}
+
+    # twin equality: sub_ok=false exactly for the batch operator's
+    # leaked set over stage-5 survivors
+    full = spark.createDataFrame(allrows, SCHEMA)
+    leaked = {
+        r["doc_id"]
+        for r in substring_anchor_hits(
+            full.join(s3.select("doc_id"), "doc_id"), ev,
+            window=16, stride=4,
+        ).collect()
+    }
+    assert leaked == {25}  # the planted leak, nothing else
+    got_bad = {r.doc_id for r in outrows if r.near_ok and not r.sub_ok}
+    assert got_bad == leaked
+    curated = {
+        r.doc_id for r in outrows
+        if r.near_ok and r.dec_ok and r.sub_ok and r.clf_ok
+    }
+    assert curated == kept - leaked
+
+    # stage-8 counter row equals the curated-through-5b slice
+    cnt = spark.read.parquet(p["cnt"])
+    s8 = cnt.filter("stage = 8").agg(F.sum("n_docs")).collect()[0][0]
+    assert s8 == len(kept - leaked)

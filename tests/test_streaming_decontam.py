@@ -161,3 +161,135 @@ def test_empty_eval_index_raises_at_build_and_cannot_wedge(spark, tmp_path):
     assert sorted(r.doc_id for r in surv.collect()) == [0, 1]
     r = spark.read.parquet(rep).collect()[0]
     assert (r.n_docs_in, r.n_docs_contaminated, r.n_docs_out) == (2, 0, 2)
+
+
+# --- exact-substring arm (r12): short verbatim snippet, ZERO 8-grams ---
+
+SNIP = "the stolen benchmark answer is forty two"  # 7 words, 41 chars
+SCLEAN1 = CLEAN1
+SCLEAN2 = CLEAN2
+SDIRTY = (
+    "a long training document where " + SNIP + " appears in the middle "
+    "of otherwise unrelated prose"
+)
+
+
+def _run_sub(spark, land, idx, out, rep, ckpt, window=16, stride=4):
+    from bearysta_spark.streaming.decontam import (
+        start_streaming_substring_decontam,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(land)
+    q = start_streaming_substring_decontam(
+        stream, idx, out, rep, ckpt, window=window, stride=stride
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_streaming_substring_decontam_batch_equal_and_guards(
+    spark, tmp_path
+):
+    """The exact-substring streaming arm: batch-equivalence with
+    substring_anchor_hits across truncated-checkpoint replay and a
+    zero-survivor batch; an eval suite REBUILT mid-stream is picked up
+    on the next micro-batch; a suite rebuilt at a DIFFERENT window
+    width refuses to serve (the silently-matches-nothing failure); an
+    interrupted index rebuild (pending marker, no layout) refuses."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.decontam import substring_anchor_hits
+    from bearysta_spark.streaming.decontam import (
+        load_eval_anchor_index,
+        write_eval_anchor_index,
+    )
+
+    land, idx, out, rep, ckpt = (
+        str(tmp_path / d) for d in ("land", "idx", "out", "rep", "ckpt")
+    )
+    ev = spark.createDataFrame([(900, SNIP, "eval")], SCHEMA).select(
+        F.col("doc_id").alias("eval_id"), "text", "source"
+    )
+    write_eval_anchor_index(ev, idx, window=16)
+
+    b0 = [(0, SCLEAN1, "s0"), (1, SDIRTY, "s0")]
+    b1 = [(10, SDIRTY + " again", "s1")]   # fully contaminated batch
+    b2 = [(20, SCLEAN2, "s2"), (21, SDIRTY, "s2")]
+    spark.createDataFrame(b0, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    _run_sub(spark, land, idx, out, rep, ckpt)
+    _truncate_last_commit(ckpt)  # die between execute and commit
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    _run_sub(spark, land, idx, out, rep, ckpt)  # replay 0, then zero-surv 1
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    _run_sub(spark, land, idx, out, rep, ckpt)
+
+    sch = SCHEMA + ", batch_id int"
+    surv = spark.read.schema(sch).parquet(out)
+    assert sorted(r.doc_id for r in surv.collect()) == [0, 20]
+
+    # batch-equivalence: survivors = complement of the anchor-hit docs
+    full = spark.createDataFrame(b0 + b1 + b2, SCHEMA)
+    hits = substring_anchor_hits(full, ev, window=16, stride=4)
+    want = sorted(
+        r.doc_id
+        for r in full.join(
+            hits.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).collect()
+    )
+    assert sorted(r.doc_id for r in surv.collect()) == want
+    repd = {
+        r.batch_id: (r.n_docs_in, r.n_docs_contaminated, r.n_docs_out)
+        for r in spark.read.parquet(rep).collect()
+    }
+    assert repd == {0: (2, 1, 1), 1: (1, 1, 0), 2: (2, 1, 1)}
+
+    # rebuild pickup: re-version the suite to ALSO leak CLEAN2's text —
+    # next micro-batch drops a doc the old suite admitted
+    ev2 = spark.createDataFrame(
+        [(900, SNIP, "e"), (901, SCLEAN2[10:45], "e")], SCHEMA
+    ).select(F.col("doc_id").alias("eval_id"), "text", "source")
+    write_eval_anchor_index(ev2, idx, window=16)
+    spark.createDataFrame([(30, SCLEAN2, "s3")], SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    _run_sub(spark, land, idx, out, rep, ckpt)
+    surv2 = spark.read.schema(sch).parquet(out)
+    assert sorted(r.doc_id for r in surv2.collect()) == [0, 20]  # 30 dropped
+
+    # window guard: suite rebuilt at a different width refuses to serve
+    write_eval_anchor_index(ev, idx, window=20)
+    spark.createDataFrame([(40, SCLEAN1, "s4")], SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(land)
+    with _pytest.raises(Exception, match="window|layout"):
+        _run_sub(spark, land, idx, out, rep, str(tmp_path / "ckpt2"))
+
+    # interrupted rebuild: pending marker without layout refuses
+    import os
+
+    from bearysta_spark.streaming.index import LAYOUT, mark_pending_write
+
+    idx2 = str(tmp_path / "idx2")
+    write_eval_anchor_index(ev, idx2, window=16)
+    os.unlink(os.path.join(idx2, LAYOUT))
+    mark_pending_write(spark, idx2, {"window": 16})
+    with _pytest.raises(ValueError, match="pending-write"):
+        load_eval_anchor_index(spark, idx2, 16)
+
+    # empty suite refuses at build time
+    with _pytest.raises(ValueError, match="EMPTY"):
+        write_eval_anchor_index(
+            spark.createDataFrame([(902, "tiny", "e")], SCHEMA).select(
+                F.col("doc_id").alias("eval_id"), "text", "source"
+            ),
+            str(tmp_path / "idx3"),
+            window=16,
+        )
