@@ -121,6 +121,18 @@ def pq_codebooks_fit(
     ksub = len(books[0])
     dsub = len(books[0][0])
 
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_codebooks_fit: empty input")
+    if len(first[0]) != m * dsub:
+        # a mismatched width silently yields part-stale, part-garbage
+        # books (short slices null-pad the fold, empty subs emit no
+        # update rows) — the kmeans_fit init-dim guard, applied here
+        raise ValueError(
+            f"pq_codebooks_fit: vector dim {len(first[0])} != "
+            f"m*dsub = {m}*{dsub} of codebooks0"
+        )
+
     from bearysta_spark.functions.similarity import dot
 
     for _ in range(max_iters):

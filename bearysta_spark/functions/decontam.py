@@ -200,6 +200,63 @@ def contaminated_docs(
     )
 
 
+def train_anchor_rows(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, __p, akey) rows: the `window`-char substring at every
+    position 1, 1+stride, ... of each text — the train side of the
+    exact-substring machinery, shared by the inline audit
+    (substring_anchor_hits), the streaming arm, and the composed
+    pipeline's stage 5b so the anchor grid cannot drift between them.
+    Texts shorter than the window carry no key (sequence(1, 0, s) is
+    an error, not empty — filtered, not clamped)."""
+    w, st = int(window), int(stride)
+    return (
+        df.filter(F.length(text_col) >= w)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - (w - 1), F.lit(st)
+                )
+            ).alias("__p"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            id_col, "__p",
+            F.substring("__t", F.col("__p"), F.lit(w)).alias("akey"),
+        )
+    )
+
+
+def contaminated_doc_ids(
+    df: DataFrame,
+    akeys: DataFrame,
+    window: int,
+    stride: int,
+    min_anchors: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids of documents whose stride-sampled anchors match >=
+    `min_anchors` keys of `akeys` (an (akey) frame, e.g. the loaded
+    eval anchor index) — the drop decision both streaming substring
+    arms share (start_streaming_substring_decontam and the composed
+    pipeline's stage 5b call THIS, so the semantics cannot drift)."""
+    return (
+        train_anchor_rows(df, window, stride, id_col, text_col)
+        .join(akeys.select("akey"), "akey", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__p").alias("__na"))
+        .filter(F.col("__na") >= int(min_anchors))
+        .select(id_col)
+    )
+
+
 def substring_anchor_hits(
     train: DataFrame,
     eval_df: DataFrame,
@@ -234,14 +291,20 @@ def substring_anchor_hits(
         may not align. The matched key is the shared text itself —
         exact by construction, no hash, no verify pass.
 
-    Returns (train_id, eval_id, n_anchors, min_shared_chars) rows:
+    Returns (train_id, eval_id, n_anchors, train_run_chars) rows:
     n_anchors = distinct matched train anchor positions for the pair;
-    min_shared_chars = window + (max_run − 1)·stride where max_run is
+    train_run_chars = window + (max_run − 1)·stride where max_run is
     the longest run of CONSECUTIVE matched train anchors (positions
-    exactly `stride` apart) — a certified lower bound on the longest
-    shared substring, NOT an estimate: r consecutive anchors each
-    match a window-char eval substring and adjacent windows overlap
-    by window − stride chars.
+    exactly `stride` apart) — the length of the TRAIN-side contiguous
+    region whose every stride-window occurs verbatim somewhere in the
+    eval text. It equals the longest shared substring whenever the
+    matching eval occurrences are themselves contiguous (the planted /
+    verbatim-copy case); an eval text that carries the overlapping
+    windows at SEPARATE positions can chain a train run without the
+    full contiguous string appearing in eval (r12 review finding), so
+    the per-pair guarantees are exactly: >= window chars shared
+    verbatim (the matched key itself), and a train-side region of
+    train_run_chars whose stride-windows are all leaked.
 
     100 TB shape: the eval window set broadcasts (gated the same way
     the gram arms gate); the train side is one scan emitting
@@ -279,21 +342,8 @@ def substring_anchor_hits(
             )
             .distinct()
         )
-    tr = (
-        train.filter(F.length(text_col) >= w)
-        .select(
-            F.col(train_id),
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.length(text_col) - (w - 1), F.lit(s)
-                )
-            ).alias("__p"),
-            F.col(text_col).alias("__t"),
-        )
-        .select(
-            train_id, "__p",
-            F.substring("__t", F.col("__p"), F.lit(w)).alias("__key"),
-        )
+    tr = train_anchor_rows(train, w, s, train_id, text_col).withColumnRenamed(
+        "akey", "__key"
     )
     evc = scoped_cache(ev)
     hits = tr.join(
@@ -331,6 +381,6 @@ def substring_anchor_hits(
             "n_anchors",
             (F.lit(w) + (F.col("max_run") - 1) * F.lit(s))
             .cast("long")
-            .alias("min_shared_chars"),
+            .alias("train_run_chars"),
         )
     )

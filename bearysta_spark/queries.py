@@ -11185,11 +11185,16 @@ def eval_containment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT eval_id, substr(snip, CAST(t.i AS INT), 16) AS key
       FROM ev, generate_series(1, 25) AS t(i)
     ),
+    tr0 AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(text) - 15, 0) + 1, 4)) AS p,
+             text
+      FROM documents WHERE doc_id % 17 != 0
+    ),
     tr AS (
-      SELECT doc_id, CAST(t.i AS BIGINT) AS p,
-             substr(text, CAST(t.i AS INT), 16) AS key
-      FROM documents, generate_series(1, 4096, 4) AS t(i)
-      WHERE doc_id % 17 != 0 AND t.i <= length(text) - 15
+      SELECT doc_id, CAST(p AS BIGINT) AS p,
+             substr(text, CAST(p AS INT), 16) AS key
+      FROM tr0
     ),
     hits AS (SELECT tr.doc_id, evw.eval_id, tr.p FROM tr JOIN evw USING (key)),
     runs AS (
@@ -11205,7 +11210,7 @@ def eval_containment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS BIGINT) AS train_id,
            CAST(eval_id AS BIGINT) AS eval_id,
            CAST(sum(run) AS BIGINT) AS n_anchors,
-           CAST(16 + (max(run) - 1) * 4 AS BIGINT) AS min_shared_chars
+           CAST(16 + (max(run) - 1) * 4 AS BIGINT) AS train_run_chars
     FROM agg GROUP BY doc_id, eval_id
     ORDER BY train_id, eval_id
     """,
@@ -11232,9 +11237,11 @@ def eval_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars, max certified run 40 chars (a full snippet inclusion).
 
     Output: one row per leaking (train_id, eval_id) pair — n_anchors
-    matched anchor positions and min_shared_chars = the certified
-    lower bound on the longest shared substring (window +
-    (max_consecutive_run − 1)·stride; the gaps-and-islands rollup).
+    matched anchor positions and train_run_chars = the train-side
+    contiguous extent whose every stride-window is leaked (window +
+    (max_consecutive_run − 1)·stride; equals the longest shared
+    substring when the eval occurrences are contiguous — see
+    substring_anchor_hits' docstring for the exact guarantee).
 
     100 TB shape: the eval window set DISTINCTs and broadcasts (gated);
     the train side is one scan emitting |bytes|/stride short keys that
@@ -11256,7 +11263,7 @@ def eval_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("train_id"),
         F.col("eval_id").cast("long").alias("eval_id"),
         "n_anchors",
-        "min_shared_chars",
+        "train_run_chars",
     ).orderBy("train_id", "eval_id")
 
 
@@ -11308,7 +11315,7 @@ def eval_substring_decontam_persisted(
         F.col("doc_id").cast("long").alias("train_id"),
         F.col("eval_id").cast("long").alias("eval_id"),
         "n_anchors",
-        "min_shared_chars",
+        "train_run_chars",
     ).orderBy("train_id", "eval_id")
 
 

@@ -689,38 +689,23 @@ def start_streaming_curation_pipeline(
                 load_eval_anchor_index,
             )
 
+            from bearysta_spark.functions.decontam import (
+                contaminated_doc_ids,
+            )
+
             akeys = load_eval_anchor_index(
                 spark, eval_anchor_index, substring_window
             ).select("akey")
-            w_, s_ = int(substring_window), int(substring_stride)
-            anchors = (
-                flagged.filter("near_ok and dec_ok")
-                .filter(F.length(text_col) >= w_)
-                .select(
-                    F.col(id_col),
-                    F.explode(
-                        F.sequence(
-                            F.lit(1),
-                            F.length(text_col) - (w_ - 1),
-                            F.lit(s_),
-                        )
-                    ).alias("__p"),
-                    F.col(text_col).alias("__t"),
-                )
-                .select(
-                    id_col,
-                    "__p",
-                    F.substring("__t", F.col("__p"), F.lit(w_)).alias(
-                        "akey"
-                    ),
-                )
-            )
-            leaked = (
-                anchors.join(akeys, "akey", "left_semi")
-                .groupBy(id_col)
-                .agg(F.count_distinct("__p").alias("__na"))
-                .filter(F.col("__na") >= substring_min_anchors)
-                .select(id_col)
+            # the SHARED drop decision (also the standalone streaming
+            # arm) — one anchor grid, one min-anchors rule
+            leaked = contaminated_doc_ids(
+                flagged.filter("near_ok and dec_ok"),
+                akeys,
+                substring_window,
+                substring_stride,
+                substring_min_anchors,
+                id_col,
+                text_col,
             )
             flagged = flagged.join(
                 leaked.withColumn("__sl", F.lit(True)), id_col, "left"
@@ -910,7 +895,13 @@ def start_streaming_curation_pipeline(
             model = spark.read.schema(_DSCHEMA).parquet(
                 f"{drift_model_root}/v{int(meta['version'])}"
             )
-            curated = survread.filter("near_ok and dec_ok and clf_ok")
+            # the FULL curated slice incl. sub_ok: with stage 5b on and
+            # the classifier off, clf_ok is constantly true and omitting
+            # sub_ok would bill substring-contaminated docs as curated
+            # (r12 review finding)
+            curated = survread.filter(
+                "near_ok and dec_ok and sub_ok and clf_ok"
+            )
             bill = drift_bill(
                 curated.withColumn("__g", F.lit("all")),
                 model,

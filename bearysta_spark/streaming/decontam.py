@@ -289,34 +289,18 @@ def start_streaming_substring_decontam(
     in one scan; the index side is eval-sized and AQE-broadcast, so
     batch payload never shuffles (survivors re-selected by id
     anti-join, the gram arm's discipline)."""
+    from bearysta_spark.functions.decontam import contaminated_doc_ids
+
     spark = stream_docs.sparkSession
-    w, s = int(window), int(stride)
+    w = int(window)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         idx = load_eval_anchor_index(spark, index_path, w).select("akey")
-        anchors = (
-            batch_df.filter(F.length(text_col) >= w)
-            .select(
-                F.col(id_col),
-                F.explode(
-                    F.sequence(
-                        F.lit(1), F.length(text_col) - (w - 1), F.lit(s)
-                    )
-                ).alias("__p"),
-                F.col(text_col).alias("__t"),
-            )
-            .select(
-                id_col,
-                "__p",
-                F.substring("__t", F.col("__p"), F.lit(w)).alias("akey"),
-            )
-        )
-        contaminated = (
-            anchors.join(idx, "akey", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count_distinct("__p").alias("__na"))
-            .filter(F.col("__na") >= min_anchors)
-            .select(id_col)
+        # the drop decision is the SHARED helper (also stage 5b of the
+        # composed pipeline and the train side of the batch audit) —
+        # one anchor grid, one min-anchors rule, no drift surface
+        contaminated = contaminated_doc_ids(
+            batch_df, idx, w, stride, min_anchors, id_col, text_col
         )
         surv = batch_df.join(contaminated, id_col, "left_anti")
         written = surv.withColumn("batch_id", F.lit(batch_id))

@@ -143,7 +143,14 @@ def main() -> None:
                     "n_tasks": np1,
                 }
                 print(json.dumps({"cell": key, **results[key]}), flush=True)
-    # equality audit: salted result == plain result (same rows) at base
+    # equality audit (r12 review finding: previously claimed, never
+    # performed): salted and plain must agree on the joined row count
+    # in every (scale, aqe) cell — salting is a physical transform
+    for label in ("base", f"{args.mult}x"):
+        for aqe in ("on", "off"):
+            a = results[f"{label}/aqe_skew={aqe}/plain"]["rows"]
+            b = results[f"{label}/aqe_skew={aqe}/salted"]["rows"]
+            assert a == b, f"salted != plain rows at {label}/{aqe}: {a} vs {b}"
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     print(json.dumps({"mult": args.mult, "salt": args.salt, "results": results}))
 

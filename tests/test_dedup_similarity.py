@@ -1252,3 +1252,18 @@ def test_interrupted_index_write_refused_legacy_still_admitted(
     mark_pending_write(spark, p4, {"x": 1})
     with _pytest.raises(ValueError, match="pending-write"):
         S.load_imipq_index(spark, p4, cb1, cb2, _PQ_CODEBOOKS)
+
+
+def test_pq_codebooks_fit_dim_guard(spark, embeddings):
+    """A vector width that doesn't match m*dsub must raise (silently
+    part-stale, part-garbage books otherwise — r12 review finding)."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.clustering import pq_codebooks_fit
+    from bearysta_spark.queries import _PQ_CODEBOOKS
+
+    halves = embeddings.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="vector dim 32"):
+        pq_codebooks_fit(halves, _PQ_CODEBOOKS, max_iters=1)

@@ -861,11 +861,22 @@ def test_composed_pipeline_with_substring_stage(spark, tmp_path):
     p = {k: str(tmp_path / k)
          for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
 
+    # drift model alongside stage 5b: the stage-7 bill must use the
+    # FULL curated slice incl. sub_ok (r12 review finding — with the
+    # classifier off, clf_ok is constantly true and the old filter
+    # billed substring-contaminated docs as curated)
+    from bearysta_spark.streaming.drift import write_codelen_model
+
+    model_root = str(tmp_path / "model")
+    write_codelen_model(
+        spark.createDataFrame(B0 + B1 + B2, SCHEMA), model_root
+    )
+
     def run():
         stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
         q = start_streaming_curation_pipeline(
             stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
-            eval_anchor_index=idxp,
+            eval_anchor_index=idxp, drift_model_root=model_root,
         )
         try:
             q.processAllAvailable()
@@ -912,3 +923,7 @@ def test_composed_pipeline_with_substring_stage(spark, tmp_path):
     cnt = spark.read.parquet(p["cnt"])
     s8 = cnt.filter("stage = 8").agg(F.sum("n_docs")).collect()[0][0]
     assert s8 == len(kept - leaked)
+    # stage-7 drift rows bill the SAME slice (sub_ok included): the
+    # leaked doc must not be billed as curated
+    s7 = cnt.filter("stage = 7").agg(F.sum("n_docs")).collect()[0][0]
+    assert s7 == len(kept - leaked)

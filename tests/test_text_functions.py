@@ -472,9 +472,11 @@ def test_substring_decontam_catches_what_ngram_arms_miss(spark):
     r = got[0]
     assert (r["doc_id"], r["eval_id"]) == (1, 100)
     # snippet is 41 chars: anchors exist over its whole span, so the
-    # certified bound must reach at least (41 - 16 + 1) rounded down
-    # to the anchor grid — and never exceed the true 41+ shared chars
-    assert r["min_shared_chars"] >= 36
+    # train-side run extent must reach at least (41 - 16 + 1) rounded
+    # down to the anchor grid — and never exceed the true 41+ shared
+    # chars (here the eval occurrence IS contiguous, so the extent is
+    # a true shared-substring lower bound)
+    assert r["train_run_chars"] >= 36
     assert r["n_anchors"] >= 6
 
 
