@@ -155,3 +155,123 @@ def proportional_sample(
     appends (a row's fate depends only on its id)."""
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(1_000_000))
     return df.filter(bucket < int(fraction * 1_000_000))
+
+
+# ---------------------------------------------------------------------------
+# Persisted mixture plan (the DoReMi train-once/serve-many artifact):
+# D rows of (dom, rate_ppm) published with the versioned atomic-marker
+# protocol of text.write_classifier_model, consumed by the streaming
+# curation pipeline's mixture-sampling stage (streaming/curation.py) —
+# re-read every micro-batch, so a retrained mixture is picked up
+# without restart.
+
+MIXTURE_META = "_current.json"
+MIXTURE_PLAN_SCHEMA = "dom string, rate_ppm long"
+MIXTURE_RESIDUE_SALT = ":drm"     # doremi_trained_sample's acceptance salt
+MIXTURE_RESIDUE_MOD = 1_000_000
+
+
+def mixture_residue_col(id_col: str = "doc_id"):
+    """The deterministic md5-residue the DoReMi sampler accepts
+    against: int(md5(id ':drm')[:15 hex]) % 1e6 — engine-portable
+    (queries.doremi_sample_oracle_sql replays it in DuckDB), stable
+    under reruns/repartitions. A doc is KEPT iff residue < rate_ppm."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(MIXTURE_RESIDUE_SALT),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIXTURE_RESIDUE_MOD
+    )
+
+
+def write_mixture_plan(spark, path: str, rates: list[tuple[str, int]]) -> dict:
+    """Persist per-domain acceptance rates (dom, rate_ppm) — e.g. the
+    (source, rate_ppm) columns of queries.doremi_trained_sample — as a
+    versioned, atomically-published artifact: rows land in a fresh
+    v<k> subdir, the marker flips only after the row count verifies,
+    the superseded dir is reclaimed one rebuild cycle later (the
+    write_classifier_model protocol verbatim). The marker carries the
+    residue GEOMETRY (salt + modulus): a serve probing with a
+    different salt samples a silently-different subset with no error,
+    the same failure class the classifier geometry guard exists for.
+    Rates outside [0, 1e6] raise (a 1e6 rate keeps everything; more is
+    a unit error)."""
+    from bearysta_spark.streaming.index import _read_json, _write_json
+
+    clean = [(str(d), int(r)) for d, r in rates]
+    for d, r in clean:
+        if not (0 <= r <= MIXTURE_RESIDUE_MOD):
+            raise ValueError(
+                f"mixture plan rate_ppm for domain {d!r} is {r} — must "
+                f"be in [0, {MIXTURE_RESIDUE_MOD}] (parts-per-million)"
+            )
+    if len({d for d, _ in clean}) != len(clean):
+        raise ValueError("mixture plan has duplicate domains")
+    cur = _read_json(path, MIXTURE_META, spark)
+    version = (int(cur["version"]) + 1) if cur else 0
+    vdir = f"{path}/v{version}"
+    spark.createDataFrame(clean, MIXTURE_PLAN_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(vdir)
+    n = spark.read.schema(MIXTURE_PLAN_SCHEMA).parquet(vdir).count()
+    if n != len(clean):
+        raise ValueError(
+            f"mixture plan write to {vdir} produced {n} rows, expected "
+            f"{len(clean)} — refusing to publish the marker"
+        )
+    meta = {
+        "version": version,
+        "n_domains": len(clean),
+        "residue_salt": MIXTURE_RESIDUE_SALT,
+        "residue_mod": MIXTURE_RESIDUE_MOD,
+    }
+    _write_json(path, MIXTURE_META, meta, spark)
+    if version >= 2:  # deferred reclamation: keep v(k-1), drop v(k-2)
+        from bearysta_spark.streaming.index import delete_dir
+
+        delete_dir(spark, f"{path}/v{version - 2}")
+    return meta
+
+
+def load_mixture_plan(spark, path: str) -> tuple[DataFrame, dict]:
+    """Read back a persisted mixture plan: returns (plan_df, meta)
+    where plan_df is the D-row (dom, rate_ppm) frame (broadcast-sized
+    by contract — one row per training domain). Raises on a missing
+    marker (serving never creates plan state) and on residue-geometry
+    mismatch (a salt/modulus this code didn't write means the rates
+    were computed against a DIFFERENT residue function, and probing
+    with ours silently samples the wrong subset)."""
+    from bearysta_spark.streaming.index import _read_json
+
+    meta = _read_json(path, MIXTURE_META, spark)
+    if meta is None:
+        raise ValueError(
+            f"no mixture plan marker under {path} — publish one with "
+            "write_mixture_plan first (serving never creates plan state)"
+        )
+    if (
+        meta.get("residue_salt") != MIXTURE_RESIDUE_SALT
+        or int(meta.get("residue_mod", -1)) != MIXTURE_RESIDUE_MOD
+    ):
+        raise ValueError(
+            f"mixture plan at {path} was built for residue geometry "
+            f"(salt={meta.get('residue_salt')!r}, "
+            f"mod={meta.get('residue_mod')}); this build probes with "
+            f"(salt={MIXTURE_RESIDUE_SALT!r}, mod={MIXTURE_RESIDUE_MOD})"
+            " — refusing to sample a silently-different subset"
+        )
+    plan = spark.read.schema(MIXTURE_PLAN_SCHEMA).parquet(
+        f"{path}/v{int(meta['version'])}"
+    )
+    return plan, meta

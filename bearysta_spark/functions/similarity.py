@@ -347,10 +347,11 @@ def _residual_l2_codes(R, C):
     """L2-argmin PQ encode of a residual batch (n, d) against codebooks
     (m, ksub, dsub): FAISS ProductQuantizer::compute_codes semantics —
     the quantized value is an actual RECONSTRUCTION (x̂ = cent + r̂),
-    unlike the raw path's direction-only IP-argmax. argmin via the
-    expanded form (−2·r·c + ||c||², the r² term is per-row constant);
-    first min = lowest cell id (np.argmin), matching the oracle's
-    ORDER BY score DESC, cell ASC on score = r·c − ||c||²/2."""
+    unlike the raw path's direction-only IP-argmax. argmin realised as
+    np.argmax of the EXPANDED score r·c − ||c||²/2 (the r² term is a
+    per-row constant, so max-score ⇔ min-L2); first max = lowest cell
+    id, matching the oracle's ORDER BY score DESC, cell ASC on the
+    same expanded score."""
     import numpy as np
 
     m, _ksub, dsub = C.shape
@@ -939,6 +940,45 @@ def make_planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 # -- Product quantization (ADC) ---------------------------------------------
+
+
+def clustered_embedding_col(
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    spread: float = 0.15,
+) -> Column:
+    """The CLUSTERED embeddings fixture (r12 VERDICT ask #1) as a pure
+    Catalyst expression: the driver's synthetic embeddings are
+    near-isotropic (k-means k=8 explains ~7% of variance — measured in
+    queries.imi_pq_residual_recall), so index-quality deltas land in
+    the 0.02–0.05 recall band and a good index is indistinguishable
+    from a mediocre one. This derives a mixture-of-Gaussians variant
+    DETERMINISTICALLY from the existing parquet — no side files, so a
+    DuckDB oracle replays it with the twin SQL expression
+    (queries._clustered_e_sql):
+
+        cvec[i] = double(vec[i])
+                  + spread * (((label+1)*73 + i*37) % 13 - 6) / 6.0
+
+    The center term is integer arithmetic until the final two float
+    ops, and the op order matches the SQL twin exactly, so the fixture
+    is bit-identical across engines (verified in
+    tests/test_dedup_similarity.py). `spread` sets the
+    between-cluster variance share: 0 reproduces the isotropic corpus;
+    0.15 ≈ 0.35 share (the numpy prototype's sweet spot — residual-PQ
+    and trained-coarse wins separate 2.4–23× vs isotropic; see
+    scripts/proto_clustered_fixture.py)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x, i: x.cast("double")
+        + F.lit(float(spread))
+        * (
+            ((F.col(label_col) + F.lit(1)) * F.lit(73) + i * F.lit(37))
+            % F.lit(13)
+            - F.lit(6)
+        )
+        / F.lit(6.0),
+    )
 
 
 def make_pq_codebooks(

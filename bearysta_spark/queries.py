@@ -3174,16 +3174,37 @@ _IMI_CM2_SQL = ",\n      ".join(
 )
 
 
-def _imi_rank_ctes() -> str:
+def _clustered_e_sql(spread: float = 0.15) -> str:
+    """The `e` CTE for the CLUSTERED embeddings fixture — the SQL twin
+    of similarity.clustered_embedding_col (bit-identical op order:
+    integer center term, then spread*t, then /6.0, then + double(x);
+    pinned in tests/test_dedup_similarity.py)."""
+    return f"""e AS (SELECT vec_id,
+      list_transform(range(1, 65), i ->
+        CAST(embedding[i] AS DOUBLE)
+        + CAST({float(spread)!r} AS DOUBLE)
+          * ((((label + 1) * 73 + (i - 1) * 37) % 13) - 6)
+          / CAST(6.0 AS DOUBLE)) AS v
+      FROM embeddings)"""
+
+
+def _imi_rank_ctes(e_sql: str | None = None) -> str:
     """cm1/cm2/e/s1/s2/comb/rk: per-vector flat-product-cell scores
     (cell = i·K2 + j, score = s1_i + s2_j) and the per-vector cell
     rank — the SQL replay of assign_imi_cells_arrow (rn = 1 is the
-    storage cell; rn <= P are the P probe cells)."""
+    storage cell; rn <= P are the P probe cells). `e_sql` swaps the
+    corpus CTE (the clustered-fixture hook); default is the raw
+    embeddings table."""
+    if e_sql is None:
+        e_sql = (
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings)"
+        )
     return f"""cm1(i, c) AS (VALUES
       {_IMI_CM1_SQL}),
     cm2(j, c) AS (VALUES
       {_IMI_CM2_SQL}),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {e_sql},
     s1 AS (
       SELECT e.vec_id, cm1.i, list_dot_product(e.v[1:32], cm1.c) AS sc1
       FROM e, cm1
@@ -7209,11 +7230,16 @@ def _pq_cb_fit_iter_sql(n: int) -> str:
     )"""
 
 
-def _residual_recall_oracle_sql() -> str:
+def _residual_recall_oracle_sql(
+    e_sql: str | None = None, coarse_exact: bool = False
+) -> str:
     """imi_pq_residual_recall's oracle: replay coarse-half training,
     the residual frame, residual-codebook training, THREE index
     encodings, and the probe/ADC/rank/recall pipeline per (arm,
-    probes) grid cell — entirely from the shared seed literals."""
+    probes) grid cell — entirely from the shared seed literals.
+    `e_sql` swaps the corpus CTE (clustered fixture); `coarse_exact`
+    adds the seeded-vs-trained exact-cosine coarse arms at probes=4
+    (the trained-IVF-win measurement of the clustered audit)."""
     nq = _RES_NQ
     shared = f"""cb(j, cell, c) AS (VALUES
       {_PQ_CB_SQL}),
@@ -7338,6 +7364,37 @@ def _residual_recall_oracle_sql() -> str:
         ("raw_trained_coarse", "trk", "tcells", "ucodes", "lut0", False),
         ("residual_trained", "trk", "tcells", "rcodes", "lutr", True),
     )
+    if coarse_exact:
+        # seeded-vs-trained coarse at probes=4, exact cosine within the
+        # probed product cells (the imi_ivf_recall candidate shape over
+        # rk/trk): the delta is the coarse quantizer's isolated win
+        for arm, rkc in (
+            ("coarse_seeded_exact", "rk"),
+            ("coarse_trained_exact", "trk"),
+        ):
+            per.append(f"""top_{arm} AS (
+      SELECT qid, nid FROM (
+        SELECT qr.vec_id AS qid, cr.vec_id AS nid,
+               row_number() OVER (PARTITION BY qr.vec_id
+                 ORDER BY list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v))) DESC,
+                 cr.vec_id ASC) AS rank
+        FROM {rkc} qr
+        JOIN {rkc} cr ON cr.cell = qr.cell AND cr.rn = 1
+                      AND cr.vec_id != qr.vec_id
+        JOIN e qe ON qe.vec_id = qr.vec_id
+        JOIN e ce ON ce.vec_id = cr.vec_id
+        WHERE qr.vec_id < {nq} AND qr.rn <= 4
+      ) WHERE rank <= 5
+    )""")
+            rows.append(f"""
+      SELECT '{arm}' AS arm, CAST(4 AS INT) AS probes, h.hits,
+             nn.n_expected,
+             CAST((1000000 * h.hits) // nn.n_expected AS BIGINT)
+               AS recall_ppm
+      FROM (SELECT CAST(count(*) AS BIGINT) AS hits
+            FROM top_{arm} JOIN truth USING (qid, nid)) h, nn""")
     for a, (arm, rkc, cellsc, codesc, lutc, residual) in enumerate(arms):
         for p in _RES_PROBES:
             if residual:
@@ -7376,7 +7433,7 @@ def _residual_recall_oracle_sql() -> str:
       FROM (SELECT CAST(count(*) AS BIGINT) AS hits
             FROM top_{a}_{p} JOIN truth USING (qid, nid)) h, nn""")
     return (
-        f"WITH {_imi_rank_ctes()},\n    {shared},\n    "
+        f"WITH {_imi_rank_ctes(e_sql)},\n    {shared},\n    "
         + ",\n    ".join(per)
         + "\n    SELECT * FROM ("
         + " UNION ALL ".join(rows)
@@ -7440,6 +7497,17 @@ def imi_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     index frames are the standard one-pass codes build; the sweep is
     the partition-prunable codes-only probe join. Production serves
     from write_imipq_index(encoding="residual") artifacts."""
+    return _residual_recall_df(spark, _t(spark, sf_dir, "embeddings"))
+
+
+def _residual_recall_df(
+    spark: SparkSession, e: DataFrame, coarse_exact: bool = False
+) -> DataFrame:
+    """Shared body of imi_pq_residual_recall and its clustered-fixture
+    variant: `e` is the (vec_id, embedding) corpus frame; coarse_exact
+    adds the seeded-vs-trained exact-cosine coarse arms at probes=4
+    (candidates from the probed product cells, ranked by exact cosine
+    — S.imi_topk, the imi_ivf_recall candidate shape)."""
     from bearysta_spark.cachescope import scoped_cache
     from bearysta_spark.functions.clustering import (
         kmeans_fit,
@@ -7447,7 +7515,6 @@ def imi_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bearysta_spark.functions.similarity import imi_pq_index_frame
 
-    e = _t(spark, sf_dir, "embeddings")
     c1 = kmeans_fit(
         e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")),
         max_iters=2, tol=0.0, init=_IMI_CODEBOOKS[0],
@@ -7517,7 +7584,80 @@ def imi_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = cell if out is None else out.unionAll(cell)
+    if coarse_exact:
+        for arm, b1, b2 in (
+            ("coarse_seeded_exact", _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1]),
+            ("coarse_trained_exact", c1, c2),
+        ):
+            topk = S.imi_topk(e, q, b1, b2, k=5, probes=4)
+            cellx = (
+                topk.join(
+                    truth.withColumn("__t", F.lit(1)), ["qid", "nid"], "left"
+                )
+                .agg(
+                    F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+                    .cast("long")
+                    .alias("hits")
+                )
+                .crossJoin(n_exp)
+                .select(
+                    F.lit(arm).alias("arm"),
+                    F.lit(4).cast("int").alias("probes"),
+                    "hits",
+                    "n_expected",
+                    F.expr(
+                        "CAST((1000000 * hits) div n_expected AS BIGINT)"
+                    ).alias("recall_ppm"),
+                )
+            )
+            out = out.unionAll(cellx)
     return out.orderBy("arm", "probes")
+
+
+_CLUSTERED_SPREAD = 0.15  # between-var share ~0.35 — the numpy
+                          # prototype's sweet spot (higher spreads
+                          # saturate PQ and the residual delta shrinks;
+                          # scripts/proto_clustered_fixture.py)
+
+
+@query(
+    "imi_pq_residual_recall_clustered",
+    scoped_caches=True,
+    oracle=_residual_recall_oracle_sql(
+        e_sql=_clustered_e_sql(_CLUSTERED_SPREAD), coarse_exact=True
+    ),
+)
+def imi_pq_residual_recall_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """imi_pq_residual_recall on the CLUSTERED embeddings fixture
+    (r12 VERDICT ask #1), plus the seeded-vs-trained exact-coarse arms
+    at probes=4: the driver corpus is near-isotropic (coarse k-means
+    explains ~7% of variance), so every r12 ANN audit measured recall
+    0.10-0.17 with arm deltas of 0.02-0.05 — too small to distinguish
+    a good index from a mediocre one. The fixture derives a
+    mixture-of-Gaussians variant bit-identically in both engines from
+    the existing parquet (similarity.clustered_embedding_col /
+    _clustered_e_sql: cvec = x + spread*center(label), center
+    integer-exact), so the oracle needs no side files.
+
+    Numpy-predicted at sf0.01, spread 0.15 (between-cluster variance
+    share ~0.35; scripts/proto_clustered_fixture.py):
+      residual-vs-raw gain  p4 +0.056 / p8 +0.088 / p16 +0.116
+                            (isotropic +0.020 / +0.032 / +0.048 — the
+                             >=2x separation the ask requires)
+      trained-vs-seeded coarse at p4: +0.648 (isotropic +0.028, 23x)
+    Measured numbers are recorded in BASELINE.md r13.
+
+    Same exactness/audit-economics/100TB contracts as
+    imi_pq_residual_recall (this is an audit-class bench key)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        S.clustered_embedding_col(
+            "label", "embedding", _CLUSTERED_SPREAD
+        ).alias("embedding"),
+    )
+    return _residual_recall_df(spark, e, coarse_exact=True)
 
 
 @query("knn_imi_pq_streamed")
@@ -12908,20 +13048,12 @@ def doremi_trained_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             rates, "dom string, n_docs long, smooth_ppm long, rate_ppm long"
         )
     )
-    residue = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.col("doc_id").cast("string"), F.lit(":drm"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
+    # the ONE residue definition shared with the streaming mixture
+    # stage (sampling.mixture_residue_col) — no drift surface between
+    # the batch sampler, the stream, and the oracle
+    from bearysta_spark.functions.sampling import mixture_residue_col
+
+    residue = mixture_residue_col("doc_id")
     kept = (
         d.select("doc_id", F.col("source").alias("dom"))
         .join(rf.select("dom", "rate_ppm"), "dom")

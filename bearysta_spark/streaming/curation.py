@@ -326,6 +326,7 @@ def start_streaming_curation_pipeline(
     classifier_word_ngrams: int = 1,
     classifier_model_root: str | None = None,
     drift_model_root: str | None = None,
+    mixture_plan_root: str | None = None,
 ):
     """The FULL streaming curation pipeline: gates → within/cross-batch
     exact dedup → MinHash+LSH near-dup removal with exact Jaccard
@@ -386,6 +387,30 @@ def start_streaming_curation_pipeline(
     mispricing (the r11 geometry-guard lesson). A missing model raises
     loudly — serving never creates model state. Rebuild pickup is
     chaos-tested in tests/test_streaming_curation_composed.py.
+
+    OPTIONAL mixture-sampling stage (r12 VERDICT ask #5):
+    `mixture_plan_root` points at a persisted per-domain acceptance
+    plan (functions/sampling.py:write_mixture_plan — e.g. the
+    (source, rate_ppm) columns of doremi_trained_sample), and each
+    batch's curated survivors are DOWNSAMPLED toward the trained
+    domain mixture by md5-residue acceptance (mixture_residue_col,
+    the exact sampler doremi_trained_sample serves — deterministic,
+    so replay keeps the identical subset). mix_ok is emitted ALWAYS
+    (true when unconfigured — schema stability); the SHIPPED corpus
+    is the near_ok AND dec_ok AND sub_ok AND clf_ok AND mix_ok slice
+    and the counters sink gains a stage-9 "mixture" row (append-only
+    stage ids; 9 sits logically after the classifier). The plan is
+    re-read from the versioned marker EVERY micro-batch, so a
+    republished mixture (weights retrained on fresh losses) is picked
+    up on the next batch without restart; the marker's residue
+    geometry is validated at load (a foreign salt samples a silently
+    different subset). A curated doc whose domain is NOT in the plan
+    gets mix_ok = false — the batch twin's inner-join semantics
+    (doremi_trained_sample only emits planned domains); republish the
+    plan to admit a new domain. The drift stage (below) keeps billing
+    the PRE-mixture curated slice: drift measures corpus freshness,
+    and the mixture thinning is domain-conditionally random, so
+    billing the shipped subset would only add sampling noise.
 
     OPTIONAL drift stage (r10 verdict ask #5): `drift_model_root`
     points at a persisted reference code-length model
@@ -783,11 +808,50 @@ def start_streaming_curation_pipeline(
                 "margin_milli", F.lit(None).cast("long")
             ).withColumn("clf_ok", F.lit(True))
 
+        # ---- optional stage 9: mixture downsampling of the curated
+        # slice toward the persisted DoReMi plan. The plan marker is
+        # re-read EVERY batch (republish picked up without restart);
+        # acceptance is the deterministic md5 residue shared with
+        # doremi_trained_sample, so a replayed batch keeps the
+        # identical subset. Unplanned domains get mix_ok = false (the
+        # batch twin's inner-join semantics).
+        if mixture_plan_root is not None:
+            from bearysta_spark.functions.sampling import (
+                load_mixture_plan,
+                mixture_residue_col,
+            )
+
+            mplan, _mmeta = load_mixture_plan(spark, mixture_plan_root)
+            curated9 = F.col("near_ok") & F.col("dec_ok") & F.col(
+                "sub_ok"
+            ) & F.col("clf_ok")
+            flagged = flagged.join(
+                F.broadcast(
+                    mplan.select(
+                        F.col("dom").alias("source"),
+                        F.col("rate_ppm").alias("__rate"),
+                    )
+                ),
+                "source",
+                "left",
+            ).withColumn(
+                "mix_ok",
+                F.when(
+                    curated9,
+                    F.coalesce(
+                        mixture_residue_col(id_col) < F.col("__rate"),
+                        F.lit(False),
+                    ),
+                ).otherwise(F.lit(False)),
+            ).drop("__rate")
+        else:
+            flagged = flagged.withColumn("mix_ok", F.lit(True))
+
         written = (
             flagged.select(
                 id_col, "source", "lang", "tc", "norm_key", "kb",
                 text_col, "near_ok", "dec_ok", "sub_ok", "margin_milli",
-                "clf_ok",
+                "clf_ok", "mix_ok",
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
@@ -869,6 +933,13 @@ def start_streaming_curation_pipeline(
                 stage(6, "classifier",
                       survread.filter(
                           "near_ok and dec_ok and sub_ok and clf_ok"))
+            )
+        if mixture_plan_root is not None:
+            counters = counters.unionByName(
+                stage(9, "mixture",
+                      survread.filter(
+                          "near_ok and dec_ok and sub_ok and clf_ok"
+                          " and mix_ok"))
             )
         if drift_model_root is not None:
             # bill the batch's curated survivors under the persisted

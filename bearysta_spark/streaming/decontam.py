@@ -195,6 +195,24 @@ def write_eval_anchor_index(
     )
 
     spark = eval_docs.sparkSession
+    # eval_id is persisted as long; a string-keyed eval suite would
+    # either throw an unactionable CAST_INVALID_INPUT mid-write (ANSI
+    # on) or silently persist eval_id NULL (ANSI off) — drops still
+    # work (akey-only) but pair attribution in persisted-probe audits
+    # breaks with no error. Probe with try_cast (NULL under both ANSI
+    # modes) and refuse any id the cast loses, with the fix named.
+    lost = eval_docs.filter(
+        F.col(id_col).isNotNull()
+        & F.expr(f"try_cast({id_col} AS LONG)").isNull()
+    ).limit(1)
+    bad = lost.select(F.col(id_col).cast("string")).collect()
+    if bad:
+        raise ValueError(
+            f"write_eval_anchor_index: id column '{id_col}' has value "
+            f"{bad[0][0]!r} that does not cast to long — eval_id would "
+            "be persisted NULL and anchor->eval attribution silently "
+            "lost; use an integer id or remap the suite first"
+        )
     layout = {"window": int(window)}
     mark_pending_write(spark, path, layout)
     (
@@ -234,8 +252,13 @@ def load_eval_anchor_index(
 ) -> DataFrame:
     """Read the persisted anchor index with the window guard: probing
     with a different cut width silently matches NOTHING (every doc
-    passes decontamination), so a mismatch raises; a missing layout
-    with a pending marker is an interrupted rebuild and raises too."""
+    passes decontamination), so a mismatch raises; a MISSING layout
+    raises unconditionally. Anchor indexes postdate the layout
+    discipline (r12), so unlike the LSH/PQ loaders there is no
+    legacy-artifact allowance: a deleted or never-written layout is
+    corruption, and admitting it would skip the one guard that keeps
+    a width-mismatched probe from silently admitting every
+    contaminated doc."""
     from bearysta_spark.streaming.index import (
         check_pending_write,
         read_layout,
@@ -243,9 +266,15 @@ def load_eval_anchor_index(
 
     cur = read_layout(path, spark)
     if cur is None:
-        check_pending_write(spark, path)
+        check_pending_write(spark, path)  # interrupted rebuild → raise
+        raise ValueError(
+            f"eval anchor index at {path} has no _layout.json: anchor "
+            "indexes always persist their window (no pre-layout legacy "
+            "format exists for this artifact type) — refusing to probe "
+            "an index whose cut width cannot be verified"
+        )
     want = {"window": int(window)}
-    if cur is not None and cur != want:
+    if cur != want:
         raise ValueError(
             f"eval anchor index layout mismatch at {path}: persisted "
             f"{cur}, caller expects {want} — a probe cut at a different "

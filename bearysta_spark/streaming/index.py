@@ -47,7 +47,7 @@ import time
 from typing import Sequence
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: marker file name — the leading underscore makes Spark's parquet
@@ -337,6 +337,7 @@ def compact_index(
     partition_cols: Sequence[str] = ("batch_id",),
     or_merge: Sequence[str] = (),
     reclaim_min_age_sec: float = 0.0,
+    elect: dict | None = None,
 ) -> dict | None:
     """Fold every index partition with batch_id < `upto_batch`
     (including the -1 seed tier and any previous compaction tier) into
@@ -346,6 +347,22 @@ def compact_index(
     re-layout of the same rows (`or_merge` names long columns to
     bit_or-merge on the remaining key columns instead, for Bloom
     sidecars, where the fold SHOULD collapse per-batch rows).
+
+    `elect` (r12 VERDICT ask #6) switches the fold to CANONICAL
+    RE-ELECTION: ``{"keys": [...], "quality": col, "id": col}`` keeps,
+    per distinct `keys` group, the single row with the highest
+    `quality` (ties to the lowest `id`) — the keep-best rule of
+    queries.dedup_canonical_by_quality, applied at compaction time so
+    a streaming dedup index stops pinning the FIRST-seen copy forever
+    (at 100 TB the first crawl of a page is often the worst copy).
+    Election is an argmax, hence an associative-commutative fold: a
+    tier already elected re-elects correctly against later batches on
+    the next compaction (max over tier∪new = global max), so the
+    cadence doesn't change the converged canon. Mutually exclusive
+    with or_merge. NOTE: unlike the pure re-layout, an elected fold
+    CHANGES the probe view on purpose — probes thereafter match
+    against cluster canonicals only (the bounded-index production
+    shape); callers own that semantic switch.
 
     Replay-safety contract: `upto_batch` must not exceed (last
     checkpoint-COMMITTED batch id + 1). Streaming replays only re-run
@@ -398,10 +415,35 @@ def compact_index(
     if view is None:
         return None
     fold = view.filter(F.col("batch_id") < upto_batch).drop("batch_id")
+    if or_merge and elect:
+        raise ValueError(
+            "compact_index: or_merge and elect are mutually exclusive "
+            "(bit-merge collapses per-key rows; election picks one)"
+        )
     if or_merge:
         keys = [c for c in fold.columns if c not in or_merge]
         fold = fold.groupBy(*keys).agg(
             *[F.bit_or(c).alias(c) for c in or_merge]
+        )
+    if elect:
+        missing = [
+            c
+            for c in [*elect["keys"], elect["quality"], elect["id"]]
+            if c not in fold.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"compact_index elect: columns {missing} not in index "
+                f"schema {fold.columns} — refusing a fold that would "
+                "elect on nothing"
+            )
+        w = Window.partitionBy(*elect["keys"]).orderBy(
+            F.desc(elect["quality"]), F.asc(elect["id"])
+        )
+        fold = (
+            fold.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
     (
         fold.withColumn("batch_id", F.lit(new_tier))

@@ -207,6 +207,7 @@ def start_streaming_self_neardup(
     id_col: str = "doc_id",
     buckets: int = 32,
     compact_every: int | None = None,
+    elect_quality: str | None = None,
 ):
     """Streaming dedup with a SELF-GROWING index: each micro-batch is
     matched against everything that arrived before it AND within
@@ -236,7 +237,22 @@ def start_streaming_self_neardup(
     empty. compact_every=N folds the key index every N batches from
     inside the loop (upto_batch = the current batch — earlier batches
     are checkpoint-committed, and a replay rewrites partitions >= it),
-    so a long-lived stream bounds its own file-listing cost."""
+    so a long-lived stream bounds its own file-listing cost.
+
+    `elect_quality` (r12 VERDICT ask #6) switches compaction from pure
+    re-layout to CANONICAL RE-ELECTION: the extractor's (id, key) rows
+    must then also carry that quality column, and each fold keeps ONE
+    row per key — the highest-quality holder, ties to the lowest id
+    (queries.dedup_canonical_by_quality's keep-best rule). Without it
+    the index pins every key's FIRST-seen holder forever, and at
+    100 TB the first crawl of a page is often the worst copy; with it
+    the converged canon equals the batch keep-best over everything
+    streamed (argmax is an associative-commutative fold, so the
+    compaction cadence doesn't change the result — chaos-tested in
+    tests/test_streaming_index.py). Probes after an elected fold match
+    new arrivals against cluster CANONICALS plus not-yet-folded recent
+    batches — the bounded-index production shape (the index stops
+    growing with corpus size and tracks the distinct-key count)."""
     from bearysta_spark.cachescope import release_scoped_caches
     from bearysta_spark.functions.multimodal import incremental_key_pairs
     from bearysta_spark.streaming.index import compact_index, ensure_layout
@@ -248,11 +264,13 @@ def start_streaming_self_neardup(
         # equi-join against the index silently misses with a different
         # bucket count, so the value is persisted and validated
         ensure_layout(spark, index_root, {"buckets": buckets})
+        qcols = [elect_quality] if elect_quality else []
         keys = (
             extractor(batch_df)
             .select(
                 F.col(id_col),
                 "key",
+                *qcols,
                 F.pmod(F.xxhash64(F.col("key")), F.lit(buckets))
                 .cast("int")
                 .alias("kb"),
@@ -305,6 +323,15 @@ def start_streaming_self_neardup(
             compact_index(
                 spark, index_root, batch_id,
                 partition_cols=("batch_id", "kb"),
+                elect=(
+                    {
+                        "keys": ["kb", "key"],
+                        "quality": elect_quality,
+                        "id": id_col,
+                    }
+                    if elect_quality
+                    else None
+                ),
             )
 
     return (

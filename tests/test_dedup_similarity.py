@@ -1267,3 +1267,46 @@ def test_pq_codebooks_fit_dim_guard(spark, embeddings):
     )
     with _pytest.raises(ValueError, match="vector dim 32"):
         pq_codebooks_fit(halves, _PQ_CODEBOOKS, max_iters=1)
+
+
+def test_clustered_embedding_col_bit_identical_to_sql_twin(
+    spark, embeddings, sf_dir
+):
+    """The clustered-fixture expression (similarity.
+    clustered_embedding_col) and its DuckDB twin (queries.
+    _clustered_e_sql) must produce BIT-identical doubles — the recall
+    oracle replays training on these vectors, so a single ulp would
+    compound through the Lloyd iterations (the kmeans_fit rationale)."""
+    import struct
+
+    import duckdb
+
+    from bearysta_spark.functions.similarity import clustered_embedding_col
+    from bearysta_spark.queries import _clustered_e_sql
+
+    sv = {
+        r.vec_id: r.v
+        for r in embeddings.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            clustered_embedding_col("label", "embedding", 0.15).alias("v"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    dv = dict(
+        con.sql(
+            f"WITH {_clustered_e_sql(0.15)} "
+            "SELECT vec_id, v FROM e WHERE vec_id < 20"
+        ).fetchall()
+    )
+    assert set(sv) == set(dv) and len(sv) == 20
+    for vid in sv:
+        for a, b in zip(sv[vid], dv[vid]):
+            assert struct.pack("<d", a) == struct.pack("<d", b), (
+                vid, a, b,
+            )

@@ -927,3 +927,112 @@ def test_composed_pipeline_with_substring_stage(spark, tmp_path):
     # leaked doc must not be billed as curated
     s7 = cnt.filter("stage = 7").agg(F.sum("n_docs")).collect()[0][0]
     assert s7 == len(kept - leaked)
+
+
+def test_composed_pipeline_with_mixture_stage(spark, tmp_path):
+    """Optional stage 9 (r12 VERDICT ask #5): curated survivors are
+    downsampled toward a PERSISTED DoReMi mixture plan by md5-residue
+    acceptance — the deterministic sampler doremi_trained_sample
+    serves, so the kept subset is exactly reproducible in pure Python
+    (asserted below, the engine-independent twin) and replay keeps the
+    identical subset. A republished plan is picked up on the next
+    micro-batch without restart (replayed batches re-sample under the
+    CURRENT plan — the classifier-model replay semantics); a curated
+    doc whose domain is missing from the plan gets mix_ok = false (the
+    batch twin's inner-join semantics); counters gain a stage-9 row."""
+    import hashlib
+
+    from bearysta_spark.functions.sampling import (
+        write_mixture_plan,
+    )
+    from bearysta_spark.streaming.curation import (
+        start_streaming_curation_pipeline,
+    )
+
+    def residue(doc_id: int) -> int:
+        return int(
+            hashlib.md5(f"{doc_id}:drm".encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+
+    plan_root = str(tmp_path / "plan")
+    # v0: s0 deliberately UNPLANNED; s1 keeps doc 12 (residue 607115)
+    write_mixture_plan(
+        spark, plan_root, [("s1", 650_000), ("s2", 500_000)]
+    )
+
+    def run(p):
+        stream = spark.readStream.schema(SCHEMA).parquet(p["land"])
+        q = start_streaming_curation_pipeline(
+            stream, p["idx"], p["lsh"], p["out"], p["cnt"], p["ckpt"],
+            mixture_plan_root=plan_root,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    p = {k: str(tmp_path / k)
+         for k in ("land", "idx", "lsh", "out", "cnt", "ckpt")}
+    _feed(spark, p["land"], B0)
+    run(p)
+    _feed(spark, p["land"], B1)
+    run(p)
+    _truncate_last_commit(p["ckpt"])  # die between execute and commit
+    # republish BEFORE the replay+batch-2 run: s2 rate drops to 25000
+    # (doc 23's residue is 30779 — v0's 500000 would have kept it, so a
+    # kept-under-v0 outcome would prove the pickup failed); s1 is
+    # unchanged so the replayed batch 1 keeps the identical subset
+    write_mixture_plan(
+        spark, plan_root,
+        [("s0", 700_000), ("s1", 650_000), ("s2", 25_000)],
+    )
+    _feed(spark, p["land"], B2)
+    run(p)  # replays batch 1 under the NEW plan, then batch 2
+
+    rows = spark.read.parquet(p["out"]).collect()
+    flags = {r.doc_id: r for r in rows}
+    curated = {r.doc_id for r in rows if r.near_ok}
+    assert curated == {0, 2, 12, 23}
+    # batch 0 ran under v0 (s0 unplanned): mix_ok false for 0 and 2
+    assert not flags[0].mix_ok and not flags[2].mix_ok
+    # s1 (both plans): residue twin in pure Python — 12 kept
+    assert flags[12].mix_ok == (residue(12) < 650_000) is True
+    # batch 2 ran under v1: doc 23 dropped (30779 >= 25000); under the
+    # superseded v0 rate it would have been kept
+    assert residue(23) < 500_000  # v0 WOULD have kept it
+    assert not flags[23].mix_ok   # v1 did not — republish picked up
+    # non-curated rows are outside the shipped slice regardless
+    assert all(
+        not r.mix_ok for r in rows if not r.near_ok
+    )
+
+    # stage-9 counter rows: one per batch, n_docs = shipped count
+    cnt = spark.read.parquet(p["cnt"])
+    mrows = {r.batch_id: r for r in cnt.filter("stage = 9").collect()}
+    assert set(mrows) == {0, 1, 2}
+    assert (mrows[0].n_docs, mrows[1].n_docs, mrows[2].n_docs) == (0, 1, 0)
+    assert mrows[1].name == "mixture"
+
+    # guards: out-of-range rate, duplicate domain, missing marker,
+    # foreign residue geometry
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parts-per-million"):
+        write_mixture_plan(spark, str(tmp_path / "p2"), [("a", 2_000_000)])
+    with _pytest.raises(ValueError, match="duplicate"):
+        write_mixture_plan(
+            spark, str(tmp_path / "p3"), [("a", 1), ("a", 2)]
+        )
+    from bearysta_spark.functions.sampling import (
+        MIXTURE_META,
+        load_mixture_plan,
+    )
+    from bearysta_spark.streaming.index import _read_json, _write_json
+
+    with _pytest.raises(ValueError, match="no mixture plan marker"):
+        load_mixture_plan(spark, str(tmp_path / "nope"))
+    meta = _read_json(plan_root, MIXTURE_META, spark)
+    meta["residue_salt"] = ":other"
+    _write_json(plan_root, MIXTURE_META, meta, spark)
+    with _pytest.raises(ValueError, match="residue geometry"):
+        load_mixture_plan(spark, plan_root)

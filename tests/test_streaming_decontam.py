@@ -284,6 +284,26 @@ def test_streaming_substring_decontam_batch_equal_and_guards(
     with _pytest.raises(ValueError, match="pending-write"):
         load_eval_anchor_index(spark, idx2, 16)
 
+    # missing layout with NO pending marker ALSO refuses — anchor
+    # indexes have no pre-layout legacy format, so a bare tree is
+    # corruption, not a legacy artifact (r12 ADVICE #1)
+    from bearysta_spark.streaming.index import _pending_parts
+
+    os.unlink(os.path.join(*_pending_parts(idx2)))
+    with _pytest.raises(ValueError, match="no _layout"):
+        load_eval_anchor_index(spark, idx2, 16)
+
+    # string-keyed eval suite refuses at build time instead of
+    # silently persisting eval_id NULL (r12 ADVICE #2)
+    with _pytest.raises(ValueError, match="cast to long"):
+        write_eval_anchor_index(
+            spark.createDataFrame(
+                [("doc-a", SNIP, "e")], "eval_id string, text string, source string"
+            ),
+            str(tmp_path / "idx4"),
+            window=16,
+        )
+
     # empty suite refuses at build time
     with _pytest.raises(ValueError, match="EMPTY"):
         write_eval_anchor_index(

@@ -541,3 +541,118 @@ def test_reclaim_min_age_gates_forced_reclamation(spark, tmp_path):
         r.norm_key
         for r in read_index_view(spark, root, before_batch=100).collect()
     ) == ["a", "b"]
+
+
+def test_self_neardup_compaction_reelects_canonical_by_quality(
+    spark, tmp_path
+):
+    """Canonical re-election at compaction (r12 VERDICT ask #6): with
+    elect_quality, each fold keeps ONE row per key — the
+    highest-quality holder (ties to lowest id), the keep-best rule of
+    queries.dedup_canonical_by_quality — instead of pinning the
+    first-seen copy forever. Three planted crawls of one page arrive
+    worst-first across batches; across a mid-stream fold, a
+    truncated-checkpoint replay, and a final converging fold, the
+    elected canon per key equals the batch argmax over everything
+    streamed, and probes after an elected fold match against the
+    CURRENT canon (the semantic switch the option documents)."""
+    import pytest as _pytest
+
+    from bearysta_spark.streaming.index import (
+        compact_index,
+        read_index_view,
+        read_marker,
+    )
+    from bearysta_spark.streaming.neardup import (
+        start_streaming_self_neardup,
+    )
+
+    land = str(tmp_path / "land")
+    index = str(tmp_path / "kidx")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "k1 k2 k3 k4 k5 k6"
+    rows0 = [(0, base), (1, "u1 u2 u3 u4 u5 u6 u7")]   # worst crawl + noise
+    rows1 = [(10, base + " k7 k8")]                     # better crawl
+    rows2 = [(20, base + " k7 k8 k9 k10")]              # best crawl
+
+    def extractor(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("key"),
+            F.size(F.split("text", " ")).cast("long").alias("qc"),
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(land)
+        q = start_streaming_self_neardup(
+            stream, index, out, ckpt, extractor=extractor,
+            min_shared=5, compact_every=1, elect_quality="qc",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    sch = "doc_id long, text string"
+    spark.createDataFrame(rows0, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()  # batch 0 (no fold: batch_id 0)
+    spark.createDataFrame(rows1, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()  # batch 1 + fold <1: canon k1..k6 -> doc 0 (only holder)
+    spark.createDataFrame(rows2, sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()  # batch 2 + fold <2: RE-elects k1..k6 -> doc 10 (qc 8>6)
+    _truncate_last_commit(ckpt)
+    run_once()  # replay batch 2: same pairs, partition rewrite, re-fold
+
+    # probes matched against the canon of their time: batch 1 saw doc 0
+    # (pre-fold view), batch 2 saw the elected doc 10 — doc 0's rows
+    # were already re-elected away, so no (0, 20) pair (the documented
+    # semantic switch)
+    got = sorted(
+        (r.corpus_id, r.new_id, r.shared_keys)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(0, 10, 6), (10, 20, 8)]
+
+    # converge: fold everything (batch 2's own rows included)
+    compact_index(
+        spark, index, 3, partition_cols=("batch_id", "kb"),
+        elect={"keys": ["kb", "key"], "quality": "qc", "id": "doc_id"},
+    )
+    assert read_marker(index)["upto"] == 3
+    view = read_index_view(spark, index, before_batch=None)
+    canon = {r.key: r.doc_id for r in view.collect()}
+    # batch keep-best twin: argmax(qc, min id) per key over ALL rows
+    all_rows = rows0 + rows1 + rows2
+    want = {}
+    for did, text in all_rows:
+        qc = len(text.split(" "))
+        for k in text.split(" "):
+            best = want.get(k)
+            if best is None or (qc, -did) > (best[0], -best[1]):
+                want[k] = (qc, did)
+    assert canon == {k: v[1] for k, v in want.items()}
+    # one row per key — the index is bounded by the distinct-key count
+    assert view.count() == len(want)
+
+    # guards: elect + or_merge refuse; missing columns refuse
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        compact_index(
+            spark, index, 3, partition_cols=("batch_id", "kb"),
+            or_merge=("qc",),
+            elect={"keys": ["key"], "quality": "qc", "id": "doc_id"},
+        )
+    with _pytest.raises(ValueError, match="not in index schema"):
+        compact_index(
+            spark, index, 3, partition_cols=("batch_id", "kb"),
+            elect={"keys": ["key"], "quality": "nope", "id": "doc_id"},
+        )
