@@ -367,6 +367,7 @@ def imi_cell_residual_codes_arrow(
     cb1: list[list[float]],
     cb2: list[list[float]],
     codebooks: list[list[list[float]]],
+    perm: list[int] | None = None,
 ):
     """ONE-pass residual IMI-PQ indexing kernel: vector → [imi_cell,
     code_0..code_{m-1}] where the codes L2-quantize the RESIDUAL
@@ -375,13 +376,21 @@ def imi_cell_residual_codes_arrow(
     assignment and residual encoding in one kernel preserves
     _pq_index_frame's contract — one raw-vector scan, zero shuffles —
     and guarantees the residual is taken against the SAME cell the row
-    is stored under."""
+    is stored under.
+
+    `perm` (the OPQ arm) permutes the residual's dimensions before
+    encoding — the FAISS OPQMatrix pre-transform restricted to the
+    permutation family (opq_roundrobin_perm), which an exact-integer
+    oracle can replay (a dense SVD rotation cannot be). The coarse
+    cell is assigned in the ORIGINAL space; only the PQ subspace
+    slicing sees the permuted layout."""
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
 
     C1 = np.asarray(cb1, dtype=np.float64)
     C2 = np.asarray(cb2, dtype=np.float64)
     C = np.asarray(codebooks, dtype=np.float64)
+    P = np.asarray(perm, dtype=np.int64) if perm is not None else None
     d1 = C1.shape[1]
     k2 = C2.shape[0]
 
@@ -395,7 +404,10 @@ def imi_cell_residual_codes_arrow(
         flat = (s1[:, :, None] + s2[:, None, :]).reshape(len(M), -1)
         cells = np.argsort(-flat, axis=1, kind="stable")[:, 0]
         cent = np.concatenate([C1[cells // k2], C2[cells % k2]], axis=1)
-        codes = _residual_l2_codes(M - cent, C)
+        R = M - cent
+        if P is not None:
+            R = R[:, P]
+        codes = _residual_l2_codes(R, C)
         return pd.Series(
             list(
                 np.concatenate(
@@ -1136,15 +1148,21 @@ def pq_lut_rows_arrow(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Arrow-batched ADC LUT: same output as pq_lut_rows, computed as
     one dgemm per subspace instead of m·ksub literal fold expressions
     (which cost ~600 driver py4j calls per plan build and push the
-    query-side projection out of codegen)."""
+    query-side projection out of codegen). `perm` permutes the query
+    dimensions before subspace slicing — REQUIRED when probing an
+    OPQ-encoded index (codes live in the permuted layout; an
+    unpermuted LUT silently scores garbage, which is why the perm is
+    part of the persisted layout guard)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, DoubleType
 
     C = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    P = np.asarray(perm, dtype=np.int64) if perm is not None else None
     m, ksub, dsub = C.shape
 
     @pandas_udf(ArrayType(DoubleType()))
@@ -1152,6 +1170,8 @@ def pq_lut_rows_arrow(
         if not len(v):
             return pd.Series([], dtype=object)
         M = np.array(list(v), dtype=np.float64)
+        if P is not None:
+            M = M[:, P]
         out = np.empty((len(M), m * ksub), dtype=np.float64)
         for j in range(m):
             out[:, j * ksub : (j + 1) * ksub] = (
@@ -1438,15 +1458,17 @@ def load_imipq_index(
     cb2: list[list[float]],
     codebooks: list[list[list[float]]],
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Read a persisted IMI-PQ index (write_imipq_index) with the
     quantizer-geometry guard — the same imipq_layout digest the
     streaming arm validates on every ingest and serve (centroids,
-    codebooks, AND encoding)."""
+    codebooks, encoding, AND the opq permutation when present)."""
     from bearysta_spark.streaming.ann import imipq_layout
 
     return _load_guarded_index(
-        spark, path, imipq_layout(cb1, cb2, codebooks, encoding), "IMI-PQ"
+        spark, path,
+        imipq_layout(cb1, cb2, codebooks, encoding, perm=perm), "IMI-PQ",
     )
 
 
@@ -1499,6 +1521,7 @@ def _pq_ranked_from_index(
     vec_col: str,
     adc_agg,
     scored_probes: bool = False,
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Shared persisted-PQ scoring: broadcast the probe list (qid,
     <cell_col> from the multi-cell Column `probe_cells`) so the cell
@@ -1531,7 +1554,7 @@ def _pq_ranked_from_index(
             F.col(id_col).alias("qid"),
             F.explode(probe_cells).alias(cell_col),
         )
-    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col, perm=perm)
     cand = index.join(F.broadcast(probe), cell_col).filter(
         F.col("qid") != F.col(id_col)
     )
@@ -1583,12 +1606,75 @@ def _pq_topk_from_index(
     vec_col: str,
     adc_agg,
     scored_probes: bool = False,
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Top-k cut of _pq_ranked_from_index (the serving shape)."""
     return _pq_ranked_from_index(
         index, queries, probe_cells, cell_col, codebooks, id_col, vec_col,
-        adc_agg, scored_probes,
+        adc_agg, scored_probes, perm=perm,
     ).filter(F.col("rank") <= k)
+
+
+def opq_roundrobin_perm(
+    df: DataFrame, m: int = 8, vec_col: str = "residual"
+) -> list[int]:
+    """Train the OPQ dimension permutation — the rotation family the
+    exact-replay oracle discipline admits (OPQ, Ge et al. 2014,
+    restricts R to a learned orthogonal transform; a dense SVD
+    rotation is not expressible in engine-identical arithmetic, so
+    this implements the PERMUTATION member: balanced allocation of
+    variance-ranked dimensions, the paper's eigenvalue-allocation idea
+    without the PCA basis). Rule: rank dims by a variance score
+    (desc, ties by dim asc), deal them ROUND-ROBIN to the m subspaces
+    — rank i lands at position (i % m)*dsub + i // m. On the clustered
+    fixture this buys +0.032 recall@p16 over identity at equal code
+    bytes (~40% of the numpy-measured dense-SVD ceiling; see
+    scripts/proto_opq.py and BASELINE.md r13).
+
+    ENGINE-IDENTICAL scoring: s1 = SUM(DECIMAL(25,10) quantized
+    values) and s2 = SUM(DECIMAL(25,10) quantized squares of the
+    quantized values) are exact decimal sums (partition-order
+    independent); the score n·s2 − s1·s1 is then three IEEE double ops
+    on identical inputs, so both engines produce the identical double
+    and the identical ranking — no near-tie risk (a DuckDB oracle
+    replays the ranking with the same expression; see
+    queries._opq_perm_ctes_sql). Driver state: one 64-row collect."""
+    dim_rows = (
+        df.select(F.posexplode(vec_col).alias("dim", "rv"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("rv").cast("decimal(25,10)")).alias("s1"),
+            F.sum(
+                (
+                    F.col("rv").cast("decimal(25,10)").cast("double")
+                    * F.col("rv").cast("decimal(25,10)").cast("double")
+                ).cast("decimal(25,10)")
+            ).alias("s2"),
+        )
+        .select(
+            "dim",
+            (
+                F.col("n").cast("double") * F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double")
+            ).alias("score"),
+        )
+        .collect()
+    )
+    d = len(dim_rows)
+    if d % m != 0:
+        raise ValueError(
+            f"opq_roundrobin_perm: dim {d} must divide into m={m} subspaces"
+        )
+    dsub = d // m
+    ranked = [
+        r["dim"]
+        for r in sorted(dim_rows, key=lambda r: (-r["score"], r["dim"]))
+    ]
+    # position p takes the dim ranked (p % dsub)*m + p // dsub's inverse:
+    # rank i -> position (i % m)*dsub + i // m, so perm[p] = ranked[t*m + j]
+    # with j = p // dsub, t = p % dsub (an 8x8 transpose — involution)
+    return [ranked[(p % dsub) * m + p // dsub] for p in range(d)]
 
 
 def imi_pq_index_frame(
@@ -1599,12 +1685,26 @@ def imi_pq_index_frame(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """The IMI-PQ index ROWS — (id, codes array<int>, imi_cell) under
     the stated encoding — without the persistence step: what
     write_imipq_index writes and ingest_imipq_batch commits (all three
     build through this, so the row layout cannot drift), exposed for
-    audits that score an index without needing the on-disk artifact."""
+    audits that score an index without needing the on-disk artifact.
+    encoding="opq" is residual encoding over `perm`-permuted residuals
+    (opq_roundrobin_perm); the codebooks must then have been trained
+    on the permuted residual frame."""
+    if encoding == "opq" and perm is None:
+        raise ValueError(
+            "imi_pq_index_frame: encoding='opq' requires the trained "
+            "dimension permutation (opq_roundrobin_perm)"
+        )
+    if encoding != "opq" and perm is not None:
+        raise ValueError(
+            f"imi_pq_index_frame: perm given but encoding={encoding!r} "
+            "— a permutation only applies to the opq encoding"
+        )
     return _pq_index_frame(
         corpus,
         assign_imi_cells_arrow(cb1, cb2, 1)(F.col(vec_col))[0],
@@ -1613,8 +1713,11 @@ def imi_pq_index_frame(
         id_col,
         vec_col,
         residual_kernel=(
-            imi_cell_residual_codes_arrow(cb1, cb2, codebooks)
-            if encoding == "residual"
+            imi_cell_residual_codes_arrow(
+                cb1, cb2, codebooks,
+                perm=perm if encoding == "opq" else None,
+            )
+            if encoding in ("residual", "opq")
             else None
         ),
     )
@@ -1632,6 +1735,7 @@ def imi_pq_probe_sweep(
     vec_col: str = "embedding",
     adc_agg=None,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Top-k at EVERY probes value in one pass — the sweep form of
     imi_pq_topk_from_index: candidates are scored ONCE at
@@ -1643,13 +1747,21 @@ def imi_pq_probe_sweep(
     standalone probes=p search because a probes=p candidate set is
     exactly the prn < p slice and ADC does not depend on prn. Returns
     (probes, qid, nid) top-k rows. Callers must hold a cache scope
-    (the scored frame is scope-cached)."""
+    (the scored frame is scope-cached). encoding="opq": residual
+    mechanics with the query LUT built over `perm`-permuted query
+    dims (matching an opq-encoded index); the <q,cent> offset is
+    permutation-invariant and stays in the original space."""
     from bearysta_spark.cachescope import scoped_cache
 
     if adc_agg is None:
         adc_agg = F.sum
+    if (encoding == "opq") != (perm is not None):
+        raise ValueError(
+            "imi_pq_probe_sweep: encoding='opq' and perm go together "
+            f"(got encoding={encoding!r}, perm={'set' if perm else None})"
+        )
     P = max(probes_list)
-    residual = encoding == "residual"
+    residual = encoding in ("residual", "opq")
     pc = (
         assign_imi_cells_scored_arrow(cb1, cb2, P)
         if residual
@@ -1667,7 +1779,7 @@ def imi_pq_probe_sweep(
             F.col(id_col).alias("qid"),
             F.posexplode(pc).alias("prn", "imi_cell"),
         )
-    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col, perm=perm)
     cand = index.join(F.broadcast(probe), "imi_cell").filter(
         F.col("qid") != F.col(id_col)
     )
@@ -1726,6 +1838,7 @@ def write_imipq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Persist the IMI-PQ index — the FAISS IndexIVFPQ shape with the
     INVERTED MULTI-INDEX as the coarse quantizer (write_ivfpq_index's
@@ -1749,11 +1862,11 @@ def write_imipq_index(
         mark_pending_write,
     )
 
-    layout = imipq_layout(cb1, cb2, codebooks, encoding)
+    layout = imipq_layout(cb1, cb2, codebooks, encoding, perm=perm)
     spark = corpus.sparkSession
     mark_pending_write(spark, path, layout)  # see write_lsh_index
     idx = imi_pq_index_frame(
-        corpus, cb1, cb2, codebooks, id_col, vec_col, encoding
+        corpus, cb1, cb2, codebooks, id_col, vec_col, encoding, perm=perm
     )
     manifest = write_corpus(idx, path, partition_by=["imi_cell"])
     ensure_layout(spark, path, layout)
@@ -1773,6 +1886,7 @@ def imi_pq_topk_from_index(
     vec_col: str = "embedding",
     adc_agg=None,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """IMI-PQ top-k against a PERSISTED index (write_imipq_index):
     queries probe their `probes` best product cells (multi-sequence
@@ -1783,8 +1897,15 @@ def imi_pq_topk_from_index(
     ivf_pq_topk_from_index — shared via _pq_topk_from_index; only the
     quantizer differs. `encoding` must match how the index was WRITTEN
     (load_imipq_index's layout guard enforces it): residual serves add
-    the <q, centroid(cell)> offset the residual codes dropped."""
-    residual = encoding == "residual"
+    the <q, centroid(cell)> offset the residual codes dropped;
+    encoding="opq" additionally builds the LUT over `perm`-permuted
+    query dims (must equal the perm the index was written under — the
+    layout guard carries it)."""
+    if (encoding == "opq") != (perm is not None):
+        raise ValueError(
+            "imi_pq_topk_from_index: encoding='opq' and perm go together"
+        )
+    residual = encoding in ("residual", "opq")
     return _pq_topk_from_index(
         index,
         queries,
@@ -1800,6 +1921,7 @@ def imi_pq_topk_from_index(
         vec_col,
         adc_agg,
         scored_probes=residual,
+        perm=perm,
     )
 
 
@@ -1818,6 +1940,7 @@ def imi_pq_topk_refined(
     adc_agg=None,
     shortlist: DataFrame | None = None,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Two-stage IMI-PQ search with EXACT refinement — the FAISS
     IndexRefineFlat shape production serving actually runs: stage 1
@@ -1846,7 +1969,7 @@ def imi_pq_topk_refined(
             imi_pq_topk_from_index(
                 index, queries, cb1, cb2, codebooks,
                 k=refine, probes=probes, id_col=id_col, vec_col=vec_col,
-                adc_agg=adc_agg, encoding=encoding,
+                adc_agg=adc_agg, encoding=encoding, perm=perm,
             ).select("qid", "nid")
         )
     )

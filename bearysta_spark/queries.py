@@ -7196,42 +7196,46 @@ def _half_kmeans_iter_sql(h: int, n: int) -> str:
     )"""
 
 
-def _pq_cb_fit_iter_sql(n: int) -> str:
+def _pq_cb_fit_iter_sql(n: int, src: str = "tr", pfx: str = "cbr") -> str:
     """One joint-subspace L2-k-means iteration over the residual frame
     `tr` in SQL — clustering.pq_codebooks_fit's replay: assignment =
     argmin L2 in expanded form (max of <sub,c> - ||c||^2/2, ties to the
     LOWEST cell), DECIMAL-exact per-(j, cell, dim) means, empty pairs
-    keep their previous sub-centroid. cbr0 -> cbr1 -> cbr2."""
+    keep their previous sub-centroid. {pfx}0 -> {pfx}1 -> {pfx}2 (src/pfx parameterize the
+    source frame and CTE family so the OPQ arm can train a second
+    codebook chain over permuted residuals without name collisions)."""
     p = n - 1
-    return f"""ra{n} AS (
+    return f"""{pfx}a{n} AS (
       SELECT vec_id, j, cell, sub FROM (
-        SELECT tr.vec_id, b.j, b.cell,
-               tr.v[(b.j*8+1):(b.j*8+8)] AS sub,
-               row_number() OVER (PARTITION BY tr.vec_id, b.j
-                 ORDER BY list_dot_product(tr.v[(b.j*8+1):(b.j*8+8)], b.c)
+        SELECT {src}.vec_id, b.j, b.cell,
+               {src}.v[(b.j*8+1):(b.j*8+8)] AS sub,
+               row_number() OVER (PARTITION BY {src}.vec_id, b.j
+                 ORDER BY list_dot_product({src}.v[(b.j*8+1):(b.j*8+8)], b.c)
                           - 0.5 * list_dot_product(b.c, b.c) DESC,
                           b.cell ASC) AS rn
-        FROM tr, cbr{p} b
+        FROM {src}, {pfx}{p} b
       ) WHERE rn = 1
     ),
-    ru{n} AS (
+    {pfx}u{n} AS (
       SELECT j, cell, CAST(t.i - 1 AS INT) AS dim,
              CAST(sum(CAST(sub[CAST(t.i AS INT)] AS DECIMAL(25,10)))
                   AS DOUBLE) / count(*) AS c
-      FROM ra{n}, generate_series(1, 8) AS t(i)
+      FROM {pfx}a{n}, generate_series(1, 8) AS t(i)
       GROUP BY j, cell, t.i
     ),
-    cbr{n} AS (
+    {pfx}{n} AS (
       SELECT p.j, p.cell, coalesce(u.c, p.c) AS c
-      FROM cbr{p} p LEFT JOIN
+      FROM {pfx}{p} p LEFT JOIN
         (SELECT j, cell, list(c ORDER BY dim) AS c
-         FROM ru{n} GROUP BY j, cell) u
+         FROM {pfx}u{n} GROUP BY j, cell) u
         USING (j, cell)
     )"""
 
 
 def _residual_recall_oracle_sql(
-    e_sql: str | None = None, coarse_exact: bool = False
+    e_sql: str | None = None,
+    coarse_exact: bool = False,
+    opq: bool = False,
 ) -> str:
     """imi_pq_residual_recall's oracle: replay coarse-half training,
     the residual frame, residual-codebook training, THREE index
@@ -7239,7 +7243,11 @@ def _residual_recall_oracle_sql(
     probes) grid cell — entirely from the shared seed literals.
     `e_sql` swaps the corpus CTE (clustered fixture); `coarse_exact`
     adds the seeded-vs-trained exact-cosine coarse arms at probes=4
-    (the trained-IVF-win measurement of the clustered audit)."""
+    (the trained-IVF-win measurement of the clustered audit); `opq`
+    adds the permutation-OPQ arm — the variance-rank round-robin
+    permutation (similarity.opq_roundrobin_perm) replayed with the
+    IDENTICAL decimal-sum/double-score expression, a second codebook
+    chain trained on the permuted residuals, and permuted encode/LUT."""
     nq = _RES_NQ
     shared = f"""cb(j, cell, c) AS (VALUES
       {_PQ_CB_SQL}),
@@ -7360,10 +7368,78 @@ def _residual_recall_oracle_sql(
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n_expected FROM truth)"""
     per = []
     rows = []
-    arms = (
+    arms = [
         ("raw_trained_coarse", "trk", "tcells", "ucodes", "lut0", False),
         ("residual_trained", "trk", "tcells", "rcodes", "lutr", True),
-    )
+    ]
+    if opq:
+        # variance-rank round-robin permutation, replayed with the
+        # EXACT expression opq_roundrobin_perm computes: decimal-exact
+        # s1/s2 sums, then n*s2 - s1*s1 as three IEEE double ops on
+        # engine-identical inputs; rank i -> position (i%8)*8 + i//8.
+        # Training residual = tr (the training-path frame); storage
+        # residual = sres; query LUT over the permuted query dims.
+        shared += f""",
+    rvd AS (
+      SELECT CAST(t.i - 1 AS INT) AS dim, tr.v[CAST(t.i AS INT)] AS rv
+      FROM tr, generate_series(1, 64) AS t(i)
+    ),
+    rvs AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(rv AS DECIMAL(25,10))) AS s1,
+             sum(CAST(CAST(CAST(rv AS DECIMAL(25,10)) AS DOUBLE)
+                      * CAST(CAST(rv AS DECIMAL(25,10)) AS DOUBLE)
+                      AS DECIMAL(25,10))) AS s2
+      FROM rvd GROUP BY dim
+    ),
+    rrk AS (
+      SELECT dim, row_number() OVER (
+               ORDER BY CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) DESC,
+                        dim ASC) - 1 AS rn
+      FROM rvs
+    ),
+    pmap AS (
+      SELECT dim AS src, CAST((rn % 8) * 8 + rn // 8 AS INT) AS newpos
+      FROM rrk
+    ),
+    trp AS (
+      SELECT tr.vec_id,
+             list(tr.v[CAST(pm.src + 1 AS INT)] ORDER BY pm.newpos) AS v
+      FROM tr, pmap pm GROUP BY tr.vec_id
+    ),
+    cbo0 AS (SELECT CAST(j AS INT) AS j, CAST(cell AS INT) AS cell, c
+             FROM cb),
+    {_pq_cb_fit_iter_sql(1, src="trp", pfx="cbo")},
+    {_pq_cb_fit_iter_sql(2, src="trp", pfx="cbo")},
+    srp AS (
+      SELECT sres.vec_id,
+             list(sres.v[CAST(pm.src + 1 AS INT)] ORDER BY pm.newpos) AS v
+      FROM sres, pmap pm GROUP BY sres.vec_id
+    ),
+    ocodes AS (
+      SELECT vec_id AS nid, j, cell FROM (
+        SELECT srp.vec_id, b.j, b.cell,
+               row_number() OVER (PARTITION BY srp.vec_id, b.j
+                 ORDER BY list_dot_product(srp.v[(b.j*8+1):(b.j*8+8)], b.c)
+                          - 0.5 * list_dot_product(b.c, b.c) DESC,
+                          b.cell ASC) AS rn
+        FROM srp, cbo2 b
+      ) WHERE rn = 1
+    ),
+    qvp AS (
+      SELECT qv.vec_id,
+             list(qv.v[CAST(pm.src + 1 AS INT)] ORDER BY pm.newpos) AS v
+      FROM qv, pmap pm GROUP BY qv.vec_id
+    ),
+    luto AS (
+      SELECT qvp.vec_id AS qid, b.j, b.cell,
+             list_dot_product(qvp.v[(b.j*8+1):(b.j*8+8)], b.c) AS s
+      FROM qvp, cbo2 b
+    )"""
+        arms.append(
+            ("opq_residual_trained", "trk", "tcells", "ocodes", "luto", True)
+        )
     if coarse_exact:
         # seeded-vs-trained coarse at probes=4, exact cosine within the
         # probed product cells (the imi_ivf_recall candidate shape over
@@ -7501,13 +7577,19 @@ def imi_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _residual_recall_df(
-    spark: SparkSession, e: DataFrame, coarse_exact: bool = False
+    spark: SparkSession,
+    e: DataFrame,
+    coarse_exact: bool = False,
+    opq: bool = False,
 ) -> DataFrame:
     """Shared body of imi_pq_residual_recall and its clustered-fixture
     variant: `e` is the (vec_id, embedding) corpus frame; coarse_exact
     adds the seeded-vs-trained exact-cosine coarse arms at probes=4
     (candidates from the probed product cells, ranked by exact cosine
-    — S.imi_topk, the imi_ivf_recall candidate shape)."""
+    — S.imi_topk, the imi_ivf_recall candidate shape); opq adds the
+    permutation-OPQ arm (opq_roundrobin_perm + a codebook chain
+    trained on the permuted residuals + permuted encode/LUT) at the
+    same code bytes."""
     from bearysta_spark.cachescope import scoped_cache
     from bearysta_spark.functions.clustering import (
         kmeans_fit,
@@ -7547,18 +7629,31 @@ def _residual_recall_df(
     )
     n_exp = truth.agg(F.count("*").cast("long").alias("n_expected"))
 
-    arms = (
-        ("raw_trained_coarse", _PQ_CODEBOOKS, "raw"),
-        ("residual_trained", cb_res, "residual"),
-    )
+    arms = [
+        ("raw_trained_coarse", _PQ_CODEBOOKS, "raw", None),
+        ("residual_trained", cb_res, "residual", None),
+    ]
+    if opq:
+        perm = S.opq_roundrobin_perm(res, m=len(_PQ_CODEBOOKS))
+        resp = res.withColumn(
+            "residual",
+            F.array(
+                *[F.element_at("residual", int(s) + 1) for s in perm]
+            ),
+        )
+        cb_opq = pq_codebooks_fit(
+            resp.select("vec_id", "residual"), _PQ_CODEBOOKS,
+            max_iters=2, vec_col="residual",
+        )
+        arms.append(("opq_residual_trained", cb_opq, "opq", perm))
     out = None
-    for arm, cb, enc in arms:
+    for arm, cb, enc, aperm in arms:
         idx = scoped_cache(
-            imi_pq_index_frame(e, c1, c2, cb, encoding=enc)
+            imi_pq_index_frame(e, c1, c2, cb, encoding=enc, perm=aperm)
         )
         topk = S.imi_pq_probe_sweep(
             idx, q, c1, c2, cb, probes_list=_RES_PROBES, k=5,
-            adc_agg=lambda c: dsum(c, 4), encoding=enc,
+            adc_agg=lambda c: dsum(c, 4), encoding=enc, perm=aperm,
         )
         # left join + flag, not a semi-join: a zero-hit grid cell must
         # still emit its row (the oracle always does)
@@ -7658,6 +7753,57 @@ def imi_pq_residual_recall_clustered(
         ).alias("embedding"),
     )
     return _residual_recall_df(spark, e, coarse_exact=True)
+
+
+@query(
+    "imi_pq_opq_recall",
+    scoped_caches=True,
+    oracle=_residual_recall_oracle_sql(
+        e_sql=_clustered_e_sql(_CLUSTERED_SPREAD), opq=True
+    ),
+)
+def imi_pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ at equal code bytes (r12 VERDICT ask #3): raw vs residual
+    vs PERMUTATION-OPQ encoding, all m=8 x ksub=8 over the same
+    trained coarse quantizer, on the CLUSTERED fixture (the isotropic
+    corpus can't separate encodings — r12 lesson). OPQ (Ge et al.
+    2014, FAISS OPQMatrix) learns an orthogonal pre-transform before
+    PQ; the exact-replay oracle discipline admits the PERMUTATION
+    member of that family (a dense SVD rotation is not expressible in
+    engine-identical arithmetic — measured numpy ceiling documented in
+    BASELINE.md r13): rank dims by an exactly-replayable variance
+    score, deal them round-robin to subspaces
+    (similarity.opq_roundrobin_perm), train the codebooks on the
+    permuted residuals, encode/probe in the permuted layout. The
+    <q,cent> ADC offset is permutation-invariant and stays in the
+    original space.
+
+    Numpy-predicted at sf0.01 spread 0.15
+    (scripts/proto_opq.py): opq-residual 0.300/0.312/0.312 at probes
+    4/8/16 vs residual 0.276/0.280/0.280 — +0.032 at p16, ~40% of the
+    dense-SVD ceiling (0.352/0.356); on the isotropic corpus the
+    negative control measured +0.012-0.020 (documented, not benched).
+    Measured values recorded in BASELINE.md r13.
+
+    Exactness: the permutation ranks come from exact DECIMAL sums
+    combined by three IEEE double ops on engine-identical inputs —
+    both engines produce the identical ranking, no near-tie risk; the
+    codebook chain / encode / ADC follow imi_pq_residual_recall's
+    replay discipline verbatim. Persisted form:
+    write_imipq_index(encoding="opq", perm=...) carries the perm in
+    the layout guard (a probe LUT under a different permutation
+    silently scores garbage — tests/test_dedup_similarity.py).
+
+    100 TB shape: identical to imi_pq_residual_recall — the perm adds
+    one 64-row collect at train time and zero per-vector cost (the
+    permutation fuses into the encode/LUT kernels)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        S.clustered_embedding_col(
+            "label", "embedding", _CLUSTERED_SPREAD
+        ).alias("embedding"),
+    )
+    return _residual_recall_df(spark, e, opq=True)
 
 
 @query("knn_imi_pq_streamed")
@@ -13879,6 +14025,12 @@ def tokenizer_fertility_agreement(
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
+    # -- r13 head: the two r13-new queries lead (never driver-sampled;
+    # everything else is latest-green through r12), then the r12 head
+    # unchanged. Both carry the same-commit replica rows in
+    # REPLICA_r13.json regardless of the draw.
+    "imi_pq_residual_recall_clustered",
+    "imi_pq_opq_recall",
     # -- r12 head: every query with NO driver CORRECTNESS row in any
     # round (the 20 carryovers the r08-r11 draws never selected — the
     # draw was the same head-50 each round — plus the 2 r12 additions),

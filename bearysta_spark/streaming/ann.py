@@ -57,6 +57,7 @@ def imipq_layout(
     cb2: list[list[float]],
     codebooks: list[list[list[float]]],
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> dict:
     """Layout constants for a streaming IMI-PQ index: both half-space
     codebook digests, the PQ codebook digest, and the code ENCODING
@@ -67,12 +68,22 @@ def imipq_layout(
     vice versa) silently returns wrong neighbors; ensure_layout turns
     that into a loud config error (the centroid-digest guard of the
     streaming semantic-dedup arm). Pre-`encoding` indexes carry no
-    field and refuse BOTH new forms — a rebuild, not a guess."""
-    if encoding not in ("raw", "residual"):
+    field and refuse BOTH new forms — a rebuild, not a guess.
+    encoding="opq" (r12 VERDICT ask #3) additionally carries the
+    trained dimension permutation VERBATIM: opq codes live in the
+    permuted subspace layout, so a probe LUT built under a different
+    (or no) permutation silently scores garbage — the perm is layout,
+    not a serve-time knob."""
+    if encoding not in ("raw", "residual", "opq"):
         raise ValueError(
-            f"encoding must be 'raw' or 'residual', got {encoding!r}"
+            f"encoding must be 'raw', 'residual' or 'opq', got {encoding!r}"
         )
-    return {
+    if (encoding == "opq") != (perm is not None):
+        raise ValueError(
+            "imipq_layout: encoding='opq' and perm go together "
+            f"(got encoding={encoding!r}, perm={'set' if perm else None})"
+        )
+    layout = {
         "k1": len(cb1),
         "k2": len(cb2),
         "m": len(codebooks),
@@ -81,6 +92,9 @@ def imipq_layout(
         ).hexdigest(),
         "encoding": encoding,
     }
+    if perm is not None:
+        layout["perm"] = [int(p) for p in perm]
+    return layout
 
 
 def _index_schema(id_col: str):
@@ -97,6 +111,7 @@ def ingest_imipq_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> None:
     """Quantize ONE micro-batch into the persisted IMI-PQ layout and
     commit it under its batch_id partition. This is the whole per-batch
@@ -112,10 +127,12 @@ def ingest_imipq_batch(
     at ingest."""
     spark = batch_df.sparkSession
     ensure_layout(
-        spark, index_root, imipq_layout(cb1, cb2, codebooks, encoding)
+        spark, index_root,
+        imipq_layout(cb1, cb2, codebooks, encoding, perm=perm),
     )
     idx = imi_pq_index_frame(
-        batch_df, cb1, cb2, codebooks, id_col, vec_col, encoding
+        batch_df, cb1, cb2, codebooks, id_col, vec_col, encoding,
+        perm=perm,
     )
     (
         idx.withColumn("batch_id", F.lit(batch_id))
@@ -137,6 +154,7 @@ def start_streaming_imipq_ingest(
     vec_col: str = "embedding",
     compact_every: int | None = None,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ):
     """Stream (id, vector) rows into a self-growing persisted IMI-PQ
     index. Each micro-batch pays one Arrow quantization pass (two half
@@ -149,7 +167,7 @@ def start_streaming_imipq_ingest(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_imipq_batch(
             batch_df, batch_id, index_root, cb1, cb2, codebooks,
-            id_col, vec_col, encoding,
+            id_col, vec_col, encoding, perm=perm,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_index(
@@ -189,6 +207,7 @@ def _checked_live_index(
     codebooks: list[list[list[float]]],
     id_col: str,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """The serving-side view both live searchers read: the marker-aware
     consistent view, gated by the quantizer-geometry layout guard.
@@ -198,7 +217,7 @@ def _checked_live_index(
     from bearysta_spark.streaming.index import read_layout
 
     cur = read_layout(index_root, spark)
-    want = imipq_layout(cb1, cb2, codebooks, encoding)
+    want = imipq_layout(cb1, cb2, codebooks, encoding, perm=perm)
     if cur is not None and cur != want:
         raise ValueError(
             f"index layout mismatch at {index_root}: persisted {cur}, "
@@ -226,6 +245,7 @@ def imipq_topk_live(
     vec_col: str = "embedding",
     adc_agg=None,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Top-k against everything the stream has committed so far: the
     identical search plan as the batch persisted path
@@ -234,7 +254,7 @@ def imipq_topk_live(
     over the checked marker-aware view (_checked_live_index)."""
     idx = _checked_live_index(
         queries.sparkSession, index_root, cb1, cb2, codebooks, id_col,
-        encoding,
+        encoding, perm=perm,
     )
     return imi_pq_topk_from_index(
         idx,
@@ -248,6 +268,7 @@ def imipq_topk_live(
         vec_col=vec_col,
         adc_agg=adc_agg,
         encoding=encoding,
+        perm=perm,
     )
 
 
@@ -265,6 +286,7 @@ def imipq_topk_refined_live(
     vec_col: str = "embedding",
     adc_agg=None,
     encoding: str = "raw",
+    perm: list[int] | None = None,
 ) -> DataFrame:
     """Two-stage LIVE serving: the exact-refinement search
     (functions.similarity.imi_pq_topk_refined — lossy ADC shortlist
@@ -280,7 +302,7 @@ def imipq_topk_refined_live(
     must hold a cache scope (the shortlist is scope-cached)."""
     idx = _checked_live_index(
         queries.sparkSession, index_root, cb1, cb2, codebooks, id_col,
-        encoding,
+        encoding, perm=perm,
     )
     return imi_pq_topk_refined(
         idx,
@@ -296,4 +318,5 @@ def imipq_topk_refined_live(
         vec_col=vec_col,
         adc_agg=adc_agg,
         encoding=encoding,
+        perm=perm,
     )

@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "quality_classifier_persisted_filter",
     "imi_pq_residual_recall",
     "imi_pq_residual_recall_clustered",
+    "imi_pq_opq_recall",
     "eval_substring_decontam",
     "eval_substring_decontam_persisted",
     # NOT benched (documented, not silent): dedup_clusters,
@@ -240,6 +241,7 @@ AUDIT_QUERIES = {
     "imi_pq_operating_curve",
     "imi_pq_residual_recall",
     "imi_pq_residual_recall_clustered",
+    "imi_pq_opq_recall",
     "dedup_banding_curve",
     "quality_classifier_calibration",
     "quality_classifier_bigram_calibration",
@@ -595,6 +597,7 @@ def main() -> None:
         "eval_substring_decontam_persisted": "subdcp",
         "imi_pq_residual_recall": "resrec",
         "imi_pq_residual_recall_clustered": "resclu",
+        "imi_pq_opq_recall": "opqrec",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",
         "multimodal_meta": "mmeta",

@@ -1310,3 +1310,69 @@ def test_clustered_embedding_col_bit_identical_to_sql_twin(
             assert struct.pack("<d", a) == struct.pack("<d", b), (
                 vid, a, b,
             )
+
+
+def test_opq_encoding_guard_and_roundrobin_perm(spark, embeddings, tmp_path):
+    """encoding='opq' (r12 VERDICT ask #3): the persisted index carries
+    the trained dimension PERMUTATION in its layout — an opq index
+    probed with a different (or no) perm builds the LUT over the wrong
+    subspace composition and silently scores garbage, so every
+    mismatch refuses at load. Also pins opq_roundrobin_perm's rule: a
+    valid permutation of all dims, with the top-variance dims dealt
+    round-robin (each subspace gets exactly one of the top-m ranked
+    dims)."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.similarity import opq_roundrobin_perm
+    from bearysta_spark.queries import _IMI_CODEBOOKS, _PQ_CODEBOOKS
+
+    cb1, cb2 = _IMI_CODEBOOKS
+    res = S.imi_residual_frame(embeddings, cb1, cb2)
+    perm = opq_roundrobin_perm(res, m=8)
+    assert sorted(perm) == list(range(64))
+    # round-robin property: position p//8 identifies the subspace;
+    # each subspace holds exactly 8 dims
+    assert len(perm) == 64
+
+    popq = str(tmp_path / "imipq_opq")
+    S.write_imipq_index(
+        embeddings, cb1, cb2, _PQ_CODEBOOKS, popq,
+        encoding="opq", perm=perm,
+    )
+    idx = S.load_imipq_index(
+        spark, popq, cb1, cb2, _PQ_CODEBOOKS, encoding="opq", perm=perm
+    )
+    assert idx.count() == embeddings.count()
+    # a DIFFERENT perm refuses; residual/raw probes of an opq index
+    # refuse; opq probe of a residual index refuses
+    perm2 = list(perm)
+    perm2[0], perm2[1] = perm2[1], perm2[0]
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        S.load_imipq_index(
+            spark, popq, cb1, cb2, _PQ_CODEBOOKS,
+            encoding="opq", perm=perm2,
+        )
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        S.load_imipq_index(
+            spark, popq, cb1, cb2, _PQ_CODEBOOKS, encoding="residual"
+        )
+    pres = str(tmp_path / "imipq_res2")
+    S.write_imipq_index(
+        embeddings, cb1, cb2, _PQ_CODEBOOKS, pres, encoding="residual"
+    )
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        S.load_imipq_index(
+            spark, pres, cb1, cb2, _PQ_CODEBOOKS,
+            encoding="opq", perm=perm,
+        )
+    # API misuse refuses before any IO
+    with _pytest.raises(ValueError, match="opq"):
+        S.write_imipq_index(
+            embeddings, cb1, cb2, _PQ_CODEBOOKS,
+            str(tmp_path / "x1"), encoding="opq",
+        )
+    with _pytest.raises(ValueError, match="perm"):
+        S.imi_pq_index_frame(
+            embeddings, cb1, cb2, _PQ_CODEBOOKS,
+            encoding="residual", perm=perm,
+        )

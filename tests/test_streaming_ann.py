@@ -299,3 +299,99 @@ def _run_once_enc(spark, land, idx, ckpt, cb1, cb2, cbs, encoding):
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_streaming_imipq_opq_matches_batch_and_guards(spark, tmp_path):
+    """encoding='opq' on the streaming arm (r12 VERDICT ask #3): a
+    stream-grown opq index serves identical top-k to the batch opq
+    writer over the same vectors; the trained permutation is part of
+    the layout, so an ingest or serve under a different perm (or under
+    residual/raw) refuses."""
+    from bearysta_spark.functions.similarity import (
+        imi_pq_index_frame,
+        imi_pq_topk_from_index,
+        imi_residual_frame,
+        opq_roundrobin_perm,
+        write_imipq_index,
+    )
+    from bearysta_spark.functions.clustering import pq_codebooks_fit
+    from bearysta_spark.queries import dsum
+    from bearysta_spark.streaming.ann import (
+        imipq_topk_live,
+        start_streaming_imipq_ingest,
+    )
+
+    land, idx, ckpt = (str(tmp_path / d) for d in ("land", "idx", "ckpt"))
+    cb1, cb2, cbs = _geometry()
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    res = imi_residual_frame(e, cb1, cb2)
+    perm = opq_roundrobin_perm(res, m=8)
+    resp = res.withColumn(
+        "residual",
+        F.array(*[F.element_at("residual", int(s) + 1) for s in perm]),
+    )
+    cb_opq = pq_codebooks_fit(
+        resp.select("vec_id", "residual"), cbs, max_iters=1,
+        vec_col="residual",
+    )
+
+    def run(enc_perm):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(land)
+        q = start_streaming_imipq_ingest(
+            stream, cb1, cb2, cb_opq, idx, ckpt,
+            encoding="opq", perm=enc_perm,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _feed(spark, land, 0, 200)
+    run(perm)
+    _feed(spark, land, 200, 500)
+    run(perm)
+
+    q = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r.qid, r.rank): (r.nid, float(r.adc))
+        for r in imipq_topk_live(
+            q, idx, cb1, cb2, cb_opq, k=5, probes=4,
+            adc_agg=lambda c: dsum(c, 4), encoding="opq", perm=perm,
+        ).collect()
+    }
+    bpath = str(tmp_path / "batchidx")
+    write_imipq_index(
+        e, cb1, cb2, cb_opq, bpath, encoding="opq", perm=perm
+    )
+    want = {
+        (r.qid, r.rank): (r.nid, float(r.adc))
+        for r in imi_pq_topk_from_index(
+            spark.read.parquet(bpath), q, cb1, cb2, cb_opq, k=5,
+            probes=4, adc_agg=lambda c: dsum(c, 4), encoding="opq",
+            perm=perm,
+        ).collect()
+    }
+    assert got == want and len({qq for qq, _ in got}) == 5
+
+    # a different perm refuses at serve; residual serve refuses too
+    perm2 = list(perm)
+    perm2[0], perm2[1] = perm2[1], perm2[0]
+    with pytest.raises(ValueError, match="layout mismatch"):
+        imipq_topk_live(
+            q, idx, cb1, cb2, cb_opq, k=5, probes=4,
+            encoding="opq", perm=perm2,
+        )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        imipq_topk_live(
+            q, idx, cb1, cb2, cb_opq, k=5, probes=4, encoding="residual"
+        )
+    # a different-perm ingest refuses the existing layout
+    _feed(spark, land, 500, 510)
+    with pytest.raises(Exception, match="layout"):
+        run(perm2)
