@@ -210,6 +210,13 @@ def write_mixture_plan(spark, path: str, rates: list[tuple[str, int]]) -> dict:
     from bearysta_spark.streaming.index import _read_json, _write_json
 
     clean = [(str(d), int(r)) for d, r in rates]
+    if not clean:
+        raise ValueError(
+            "mixture plan is EMPTY: an empty plan makes the serving "
+            "stage drop every curated document (no domain matches) — "
+            "the write_eval_anchor_index empty-artifact lesson; fix "
+            "the upstream rate derivation"
+        )
     for d, r in clean:
         if not (0 <= r <= MIXTURE_RESIDUE_MOD):
             raise ValueError(

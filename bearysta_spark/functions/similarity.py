@@ -1638,7 +1638,7 @@ def opq_roundrobin_perm(
     on identical inputs, so both engines produce the identical double
     and the identical ranking — no near-tie risk (a DuckDB oracle
     replays the ranking with the same expression; see
-    queries._opq_perm_ctes_sql). Driver state: one 64-row collect."""
+    the rvd/rvs/rrk/pmap CTEs of queries._residual_recall_oracle_sql(opq=True)). Driver state: one 64-row collect."""
     dim_rows = (
         df.select(F.posexplode(vec_col).alias("dim", "rv"))
         .groupBy("dim")

@@ -13221,6 +13221,83 @@ def doremi_trained_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doremi_plan_persisted_sample",
+    scoped_caches=True,
+    oracle=doremi_sample_oracle_sql(),
+)
+def doremi_plan_persisted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED-PLAN round trip for the DoReMi pair (r12 VERDICT
+    ask #5's batch half; the quality_classifier_persisted_filter
+    discipline — an artifact is only real once the serve path reads it
+    from FILES): train the exact-integer EG mixture, derive the
+    largest-subsample rates, publish them with
+    sampling.write_mixture_plan (versioned atomic marker + residue
+    geometry), then LOAD the plan back and sample the corpus through
+    the loaded frame — the identical artifact the streaming curation
+    pipeline's stage 9 re-reads every micro-batch, so this query is
+    the batch twin of the production republish loop. Output and
+    oracle are doremi_trained_sample's verbatim (the round trip must
+    be invisible in the result — that IS the assertion).
+
+    100 TB shape: the plan is D rows (KB) written once and broadcast
+    at serve; the corpus-side cost is unchanged (one narrow scan +
+    residue filter)."""
+    import os as _os
+
+    from bearysta_spark.functions.sampling import (
+        load_mixture_plan,
+        mixture_residue_col,
+        write_mixture_plan,
+    )
+
+    per = _doremi_loss_rows(spark, sf_dir)
+    plan = {r[0]: r[5] for r in _doremi_eg(per)}
+    d = _t(spark, sf_dir, "documents")
+    nd = {
+        r["dom"]: int(r["n_docs"])
+        for r in d.select(F.col("source").alias("dom"))
+        .groupBy("dom")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()
+    }
+    c = min((1_000_000 * nd[k]) // plan[k] for k in plan if k in nd)
+    rates = [
+        (k, (c * plan[k]) // nd[k]) for k in sorted(plan) if k in nd
+    ]
+    root = _os.path.join(_index_root(sf_dir), "doremi_plan")
+    write_mixture_plan(spark, root, rates)
+    loaded, _meta = load_mixture_plan(spark, root)
+
+    kept = (
+        d.select("doc_id", F.col("source").alias("dom"))
+        .join(F.broadcast(loaded), "dom")
+        .filter(mixture_residue_col("doc_id") < F.col("rate_ppm"))
+        .groupBy("dom")
+        .agg(F.count("*").cast("long").alias("kept"))
+    )
+    meta_rows = F.broadcast(
+        spark.createDataFrame(
+            [(k, nd[k], plan[k]) for k, _ in rates],
+            "dom string, n_docs long, smooth_ppm long",
+        )
+    )
+    return (
+        loaded.join(meta_rows, "dom")
+        .join(kept, "dom", "left")
+        .select(
+            F.col("dom").alias("source"),
+            "n_docs",
+            "smooth_ppm",
+            "rate_ppm",
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "cluster_balanced_sample",
     scoped_caches=True,
     oracle=f"""
@@ -14031,6 +14108,7 @@ _DRIVER_PRIORITY = [
     # REPLICA_r13.json regardless of the draw.
     "imi_pq_residual_recall_clustered",
     "imi_pq_opq_recall",
+    "doremi_plan_persisted_sample",
     # -- r12 head: every query with NO driver CORRECTNESS row in any
     # round (the 20 carryovers the r08-r11 draws never selected — the
     # draw was the same head-50 each round — plus the 2 r12 additions),

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "knn_imi_pq_refined",
     "doremi_domain_weights",
     "doremi_trained_sample",
+    "doremi_plan_persisted_sample",
     "corpus_drift_report",
     "corpus_churn_report",
     "quality_classifier_calibration",
@@ -598,6 +599,7 @@ def main() -> None:
         "imi_pq_residual_recall": "resrec",
         "imi_pq_residual_recall_clustered": "resclu",
         "imi_pq_opq_recall": "opqrec",
+        "doremi_plan_persisted_sample": "drmpp",
         "unigram_viterbi_stats": "spvit",
         "eval_containment_report": "contain",
         "multimodal_meta": "mmeta",

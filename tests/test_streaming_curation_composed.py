@@ -1036,3 +1036,15 @@ def test_composed_pipeline_with_mixture_stage(spark, tmp_path):
     _write_json(plan_root, MIXTURE_META, meta, spark)
     with _pytest.raises(ValueError, match="residue geometry"):
         load_mixture_plan(spark, plan_root)
+
+
+def test_write_mixture_plan_refuses_empty(spark, tmp_path):
+    """An empty plan would make stage 9 silently drop every curated doc
+    (no domain matches) — refuse at publish time, the
+    write_eval_anchor_index empty-artifact lesson."""
+    import pytest as _pytest
+
+    from bearysta_spark.functions.sampling import write_mixture_plan
+
+    with _pytest.raises(ValueError, match="EMPTY"):
+        write_mixture_plan(spark, str(tmp_path / "p"), [])
