@@ -540,3 +540,15 @@ def test_residual_recall_no_cartesian_outside_truth(spark):
     assert "CartesianProduct" not in p
     # ADC rollup map-side combines
     assert "partial" in p.lower()
+
+
+def test_clustered_and_opq_recall_no_cartesian_outside_truth(spark):
+    """The r13 clustered-fixture audits inherit the residual-recall
+    plan shape: cell-equi-join + broadcast LUT scoring, the clustered
+    vector derived as a pure Catalyst transform (no Python eval in the
+    corpus path outside the house Arrow kernels), and no cartesian
+    anywhere but the |Q|-bounded brute-force truth."""
+    for q in ("imi_pq_residual_recall_clustered", "imi_pq_opq_recall"):
+        p = plan_of(spark, q)
+        assert "CartesianProduct" not in p, q
+        assert "partial" in p.lower(), q
