@@ -1220,8 +1220,6 @@ def lsh_banding_curve(
     pays more in window+DF passes than it saves — measured slower
     than all-pairs at the registered scale.) Callers registering this
     must use scoped_caches=True."""
-    from functools import reduce
-
     bad = [b for b in bands_list if num_hashes % b]
     if bad:
         raise ValueError(
@@ -1266,43 +1264,93 @@ def lsh_banding_curve(
             f"threshold ({threshold}) — recall is undefined and the "
             "curve would be vacuous"
         )
-    rows = []
-    for b in bands_list:
-        cand = scoped_cache(
-            band_buckets(sigs, id_col, num_hashes, b)
-            .select(F.col(id_col).alias("id_a"), "band", "bucket")
-            .join(
-                band_buckets(sigs, id_col, num_hashes, b).select(
-                    F.col(id_col).alias("id_b"), "band", "bucket"
-                ),
-                ["band", "bucket"],
+    # r13 optimization (guide §2.4): ONE bucket table tagged by banding
+    # value feeds ONE self-join + ONE distinct + ONE truth-flagged
+    # aggregation for the whole grid — previously each banding paid its
+    # own bucket build × 2, pair join, distinct and two aggregates
+    # (≈6× the exchanges for the same candidate sets; the per-banding
+    # bucket key (bv, band, bucket) keeps the joins disjoint, so the
+    # candidate pairs per banding are identical). The grid row set is
+    # pinned by a driver-side bands frame so a zero-candidate banding
+    # still emits its row, as before.
+    bb_entries = []
+    for bv in bands_list:
+        rpb = num_hashes // bv
+        for b in range(bv):
+            bb_entries.append(
+                F.struct(
+                    F.lit(bv).alias("bv"),
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rpb, (b + 1) * rpb)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
             )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+    allb = sigs.select(
+        F.col(id_col), F.explode(F.array(*bb_entries)).alias("bb")
+    ).select(id_col, "bb.bv", "bb.band", "bb.bucket")
+    cand_all = (
+        allb.select(F.col(id_col).alias("id_a"), "bv", "band", "bucket")
+        .join(
+            allb.select(F.col(id_col).alias("id_b"), "bv", "band", "bucket"),
+            ["bv", "band", "bucket"],
         )
-        hits = cand.join(truth, ["id_a", "id_b"]).agg(
-            F.count("*").cast("long").alias("n_verified")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("bv", "id_a", "id_b")
+        .distinct()
+    )
+    percell = (
+        cand_all.join(
+            truth.withColumn("__t", F.lit(1)), ["id_a", "id_b"], "left"
         )
-        rows.append(
-            cand.agg(F.count("*").cast("long").alias("n_candidates"))
-            .crossJoin(F.broadcast(hits))
-            .select(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(num_hashes // b).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-                F.expr(
-                    "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
-                    "ELSE CAST((1000000 * n_verified) div n_candidates "
-                    "AS BIGINT) END"
-                ).alias("precision_ppm"),
-                F.expr(
-                    f"CAST((1000000 * n_verified) div {n_true} AS BIGINT)"
-                ).alias("recall_ppm"),
-            )
+        .groupBy("bv")
+        .agg(
+            F.count("*").cast("long").alias("__nc"),
+            F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            .cast("long")
+            .alias("__nv"),
         )
-    return reduce(DataFrame.unionByName, rows).orderBy("bands")
+    )
+    bands_df = sigs.sparkSession.createDataFrame(
+        [(int(b), int(num_hashes // b)) for b in bands_list],
+        "bands int, rows_per_band int",
+    )
+    return (
+        bands_df.join(
+            percell, bands_df["bands"] == percell["bv"], "left"
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("__nc"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("__nv"), F.lit(0))
+            .cast("long")
+            .alias("n_verified"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_verified",
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST((1000000 * n_verified) div n_candidates "
+                "AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                f"CAST((1000000 * n_verified) div {n_true} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("bands")
+    )
 
 
 def churn_classify(

@@ -1740,19 +1740,21 @@ def imi_pq_probe_sweep(
     """Top-k at EVERY probes value in one pass — the sweep form of
     imi_pq_topk_from_index: candidates are scored ONCE at
     max(probes_list) with each candidate carrying its cell's probe
-    RANK (prn), and each grid point is then a prn filter + re-rank
-    over the cached scored frame. Scoring cost is paid once per sweep
-    instead of once per probes value (the imi_pq_operating_curve
-    stage-1 discipline); the per-point result is identical to a
-    standalone probes=p search because a probes=p candidate set is
-    exactly the prn < p slice and ADC does not depend on prn. Returns
-    (probes, qid, nid) top-k rows. Callers must hold a cache scope
-    (the scored frame is scope-cached). encoding="opq": residual
-    mechanics with the query LUT built over `perm`-permuted query
-    dims (matching an opq-encoded index); the <q,cent> offset is
-    permutation-invariant and stays in the original space."""
-    from bearysta_spark.cachescope import scoped_cache
-
+    RANK (prn), and every grid point is then read off ONE window pass
+    (r13 optimization — previously each grid point re-ranked the
+    cached scored frame with its own row_number window + union, i.e.
+    |probes_list| window shuffles; now a single running conditional
+    count per probes value over the shared (adc DESC, nid ASC) total
+    order yields each candidate's rank WITHIN the prn<p slice, so the
+    whole grid is one window + one explode, no cache needed). The
+    per-point result is identical to a standalone probes=p search
+    because a probes=p candidate set is exactly the prn < p slice,
+    ADC does not depend on prn, and a running count of slice members
+    over the total order IS the slice row_number. Returns (probes,
+    qid, nid) top-k rows. encoding="opq": residual mechanics with the
+    query LUT built over `perm`-permuted query dims (matching an
+    opq-encoded index); the <q,cent> offset is permutation-invariant
+    and stays in the original space."""
     if adc_agg is None:
         adc_agg = F.sum
     if (encoding == "opq") != (perm is not None):
@@ -1813,20 +1815,41 @@ def imi_pq_probe_sweep(
         scored = base.groupBy("qid", "nid", "prn").agg(
             adc_agg(F.col("s")).alias("adc")
         )
-    scored = scoped_cache(scored)
-    w = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("nid"))
-    out = None
-    for p in probes_list:
-        cut = (
-            scored.filter(F.col("prn") < p)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                F.lit(p).cast("int").alias("probes"), "qid", "nid"
-            )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("adc"), F.asc("nid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.select(
+        "qid",
+        "nid",
+        "prn",
+        *[
+            F.sum(F.when(F.col("prn") < p, 1).otherwise(0))
+            .over(w)
+            .alias(f"__r{p}")
+            for p in sorted(set(probes_list))
+        ],
+    )
+    return (
+        ranked.select(
+            "qid",
+            "nid",
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            (F.col("prn") < p) & (F.col(f"__r{p}") <= k),
+                            F.lit(p),
+                        ).cast("int")
+                        for p in probes_list
+                    ]
+                )
+            ).alias("probes"),
         )
-        out = cut if out is None else out.unionAll(cut)
-    return out
+        .filter(F.col("probes").isNotNull())
+        .select("probes", "qid", "nid")
+    )
 
 
 def write_imipq_index(
@@ -2019,17 +2042,16 @@ def imi_pq_operating_curve(
     scanned_ppm, rerank_rows, hits, recall_ppm), one row per grid
     cell, integer ppm (1e6·x // denom) throughout.
 
-    Cost shape: ONE ranked-candidate frame per probes value (cached —
-    every refine depth is a rank filter over it, so the grid costs
-    |probes_list| stage-1 searches, not |grid|), and ONE exact-cosine
-    pass per probes value (the deepest shortlist's sims, cached — a
-    refine-r shortlist is a rank-prefix of the refine-max one under
-    the shared (adc, nid) ordering, so every shallower cell reranks by
-    filtering the same sims instead of re-fetching raw vectors); truth
-    is |Q|·N brute force (an audit, run on samples at 100 TB); raw
-    full-width rows are touched for ~max(refine)·|Q| rows per probes
-    value total. Callers registering this must use
-    scoped_caches=True.
+    Cost shape (r13: ONE stage-1 search for the whole grid): candidates
+    are scored once at max(probes) with their probe rank (prn), one
+    window pass of running conditional counts gives every candidate's
+    ADC rank at every probes value, the grid's integer stats come from
+    one aggregate, and the exact rerank is one shortlist explode + one
+    raw-vector fetch + one rerank window + one truth join for ALL
+    (probes, refine) cells; truth is |Q|·N brute force (an audit, run
+    on samples at 100 TB); raw full-width rows are touched for
+    ~max(refine)·|Q| rows per probes value total. Callers registering
+    this must use scoped_caches=True.
 
     ASSUMPTION (r11 ADVICE): `queries` is a SUBSET of `vectors` — the
     scanned_ppm denominator is |Q|·(N−1), matching the qid != nid
@@ -2039,8 +2061,6 @@ def imi_pq_operating_curve(
     query batch should read n_candidates (exact either way) rather
     than the ppm column. The registered query satisfies the
     assumption (queries = vec_id < 5 of the corpus)."""
-    from functools import reduce
-
     from bearysta_spark.cachescope import scoped_cache
 
     truth = scoped_cache(
@@ -2061,71 +2081,187 @@ def imi_pq_operating_curve(
             "recall/scanned ppm columns would be NULL"
         )
     rmax = max(refine_list)
+    plist = sorted(set(probes_list))
+    rlist = sorted(set(refine_list))
     qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    cells = []
-    for p in probes_list:
-        ranked = scoped_cache(
-            _pq_ranked_from_index(
-                index,
-                queries,
-                assign_imi_cells_arrow(cb1, cb2, p)(F.col(vec_col)),
-                "imi_cell",
-                codebooks,
-                id_col,
-                vec_col,
-                adc_agg,
-            )
+
+    # r13 optimization (guide §2.4, the imi_pq_probe_sweep discipline
+    # taken to its conclusion): stage 1 is scored ONCE at max(probes)
+    # with each candidate carrying its cell's probe rank (prn) — the
+    # probes=p candidate set is exactly the prn<p slice and ADC does
+    # not depend on prn, so ONE window pass of running conditional
+    # counts yields each candidate's ADC rank at EVERY probes value
+    # (previously one full index join + rank window + cache PER probes
+    # value). The grid's integer stats then fall out of one aggregate,
+    # the rerank shortlist out of one explode, and every (probes,
+    # refine) recall out of ONE exact-cosine pass + ONE rerank window
+    # + ONE truth join (previously one of each per grid cell).
+    P = max(plist)
+    probe = queries.select(
+        F.col(id_col).alias("qid"),
+        F.posexplode(
+            assign_imi_cells_arrow(cb1, cb2, P)(F.col(vec_col))
+        ).alias("prn", "imi_cell"),
+    )
+    lut = pq_lut_rows_arrow(queries, codebooks, id_col, vec_col)
+    cand = index.join(F.broadcast(probe), "imi_cell").filter(
+        F.col("qid") != F.col(id_col)
+    )
+    scored = (
+        cand.select(
+            "qid",
+            F.col(id_col).alias("nid"),
+            "prn",
+            F.posexplode("codes").alias("j", "cell"),
         )
-        deep = ranked.filter(F.col("rank") <= rmax).select(
-            "qid", "nid", "rank"
+        .join(F.broadcast(lut), ["qid", "j", "cell"])
+        .groupBy("qid", "nid", "prn")
+        .agg(adc_agg(F.col("s")).alias("adc"))
+    )
+    w = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("adc"), F.asc("nid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scoped_cache(
+        scored.select(
+            "qid",
+            "nid",
+            "prn",
+            *[
+                F.sum(F.when(F.col("prn") < p, 1).otherwise(0))
+                .over(w)
+                .alias(f"__r{p}")
+                for p in plist
+            ],
         )
-        nv = vectors.select(
-            F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
-        ).join(deep.select("nid").distinct(), "nid", "left_semi")
-        sims = scoped_cache(
-            deep.join(F.broadcast(qv), "qid")
-            .join(nv, "nid")
-            .select(
-                "qid", "nid", "rank",
-                cosine(F.col("qvec"), F.col("nvec")).alias("sim"),
-            )
+    )
+
+    # integer stats for every grid cell in one aggregate (a candidate
+    # at probes p is prn<p; its ADC rank there is __r{p})
+    aggs = []
+    for p in plist:
+        aggs.append(
+            F.sum(F.when(F.col("prn") < p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__cand{p}")
         )
-        for r in refine_list:
-            w = Window.partitionBy("qid").orderBy(
-                F.desc("sim"), F.asc("nid")
-            )
-            ref = (
-                sims.filter(F.col("rank") <= r)
-                .withColumn("__rr", F.row_number().over(w))
-                .filter(F.col("__rr") <= k)
-            )
-            hits = ref.select("qid", "nid").join(truth, ["qid", "nid"]).agg(
-                F.count("*").cast("long").alias("hits")
-            )
-            stats = ranked.agg(
-                F.count("*").cast("long").alias("n_candidates"),
-                F.coalesce(
-                    F.sum(F.when(F.col("rank") <= r, 1).otherwise(0)),
-                    F.lit(0),
-                ).cast("long").alias("rerank_rows"),
-            )
-            cells.append(
-                stats.crossJoin(F.broadcast(hits)).select(
-                    F.lit(p).cast("int").alias("probes"),
-                    F.lit(r).cast("int").alias("refine"),
-                    "n_candidates",
-                    F.expr(
-                        f"CAST((1000000 * n_candidates) div {denom} "
-                        "AS BIGINT)"
-                    ).alias("scanned_ppm"),
-                    "rerank_rows",
-                    "hits",
-                    F.expr(
-                        f"CAST((1000000 * hits) div {n_expected} AS BIGINT)"
-                    ).alias("recall_ppm"),
+        for r in rlist:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("prn") < p) & (F.col(f"__r{p}") <= r), 1
+                    ).otherwise(0)
                 )
+                .cast("long")
+                .alias(f"__rr{p}_{r}")
             )
-    return reduce(DataFrame.unionByName, cells).orderBy("probes", "refine")
+    stack_cells = ", ".join(
+        f"{p}, {r}, __cand{p}, __rr{p}_{r}" for p in plist for r in rlist
+    )
+    grid = ranked.agg(*aggs).selectExpr(
+        f"stack({len(plist) * len(rlist)}, {stack_cells}) AS "
+        "(probes, refine, n_candidates, rerank_rows)"
+    )
+
+    # exact rerank: ONE shortlist (per-probes ADC rank ≤ max refine),
+    # one raw-vector fetch, one rerank window ranking every refine
+    # depth, one truth join — identical per-cell rows to the per-cell
+    # row_number/filter chain because arank ≤ r slices share the
+    # (sim DESC, nid ASC) total order
+    short = (
+        ranked.select(
+            "qid",
+            "nid",
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            (F.col("prn") < p)
+                            & (F.col(f"__r{p}") <= rmax),
+                            F.struct(
+                                F.lit(p).cast("int").alias("probes"),
+                                F.col(f"__r{p}").alias("arank"),
+                            ),
+                        )
+                        for p in plist
+                    ]
+                )
+            ).alias("__pr"),
+        )
+        .filter(F.col("__pr").isNotNull())
+        .select("qid", "nid", "__pr.probes", "__pr.arank")
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).join(short.select("nid").distinct(), "nid", "left_semi")
+    sims = (
+        short.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .select(
+            "probes", "qid", "nid", "arank",
+            cosine(F.col("qvec"), F.col("nvec")).alias("sim"),
+        )
+    )
+    w2 = (
+        Window.partitionBy("probes", "qid")
+        .orderBy(F.desc("sim"), F.asc("nid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    refd = sims.select(
+        "probes",
+        "qid",
+        "nid",
+        "arank",
+        *[
+            F.sum(F.when(F.col("arank") <= r, 1).otherwise(0))
+            .over(w2)
+            .alias(f"__s{r}")
+            for r in rlist
+        ],
+    )
+    topk_long = (
+        refd.select(
+            "probes",
+            "qid",
+            "nid",
+            F.explode(
+                F.array(
+                    *[
+                        F.when(
+                            (F.col("arank") <= r) & (F.col(f"__s{r}") <= k),
+                            F.lit(r),
+                        ).cast("int")
+                        for r in rlist
+                    ]
+                )
+            ).alias("refine"),
+        )
+        .filter(F.col("refine").isNotNull())
+    )
+    hits = (
+        topk_long.join(truth, ["qid", "nid"])
+        .groupBy("probes", "refine")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        grid.join(hits, ["probes", "refine"], "left")
+        .select(
+            "probes",
+            "refine",
+            "n_candidates",
+            F.expr(
+                f"CAST((1000000 * n_candidates) div {denom} AS BIGINT)"
+            ).alias("scanned_ppm"),
+            "rerank_rows",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                f"CAST((1000000 * coalesce(hits, 0)) div {n_expected} "
+                "AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("probes", "refine")
+    )
 
 
 def ivf_pq_topk_from_index(

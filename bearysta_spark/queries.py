@@ -7592,24 +7592,47 @@ def _residual_recall_df(
     same code bytes."""
     from bearysta_spark.cachescope import scoped_cache
     from bearysta_spark.functions.clustering import (
-        kmeans_fit,
-        pq_codebooks_fit,
+        kmeans_fit_multi,
+        pq_codebooks_fit_joint,
     )
     from bearysta_spark.functions.similarity import imi_pq_index_frame
 
-    c1 = kmeans_fit(
-        e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding")),
-        max_iters=2, tol=0.0, init=_IMI_CODEBOOKS[0],
+    # r13 optimization (guide §2.4/§5): the corpus frame feeds every
+    # training iteration, the residual build, the truth, and all index
+    # frames (~10 passes) — scope-cache it so the clustered-fixture
+    # column (and the parquet scan) is computed once. Both half-space
+    # coarse quantizers train in ONE fused pass per iteration
+    # (kmeans_fit_multi) instead of one scan+shuffle+collect per half.
+    e = scoped_cache(e)
+    half = len(_IMI_CODEBOOKS[0][0])
+    c1, c2 = kmeans_fit_multi(
+        e,
+        [
+            (1, half, _IMI_CODEBOOKS[0]),
+            (half + 1, half, _IMI_CODEBOOKS[1]),
+        ],
+        max_iters=2,
+        tol=0.0,
     )
-    c2 = kmeans_fit(
-        e.select("vec_id", F.slice("embedding", 33, 32).alias("embedding")),
-        max_iters=2, tol=0.0, init=_IMI_CODEBOOKS[1],
+    res = scoped_cache(
+        S.imi_residual_frame(e, c1, c2).select("vec_id", "residual")
     )
-    res = S.imi_residual_frame(e, c1, c2)
-    cb_res = pq_codebooks_fit(
-        res.select("vec_id", "residual"), _PQ_CODEBOOKS,
-        max_iters=2, vec_col="residual",
-    )
+    if opq:
+        # the permutation depends only on the residual frame, so it can
+        # train first and both codebook chains (identity + permuted
+        # layout) then fit JOINTLY — one scan+shuffle+collect per
+        # iteration for the pair instead of per chain
+        perm = S.opq_roundrobin_perm(res, m=len(_PQ_CODEBOOKS))
+        cb_res, cb_opq = pq_codebooks_fit_joint(
+            res,
+            [(_PQ_CODEBOOKS, None), (_PQ_CODEBOOKS, perm)],
+            max_iters=2,
+            vec_col="residual",
+        )
+    else:
+        (cb_res,) = pq_codebooks_fit_joint(
+            res, [(_PQ_CODEBOOKS, None)], max_iters=2, vec_col="residual"
+        )
 
     q = e.filter(F.col("vec_id") < _RES_NQ)
     qv = q.select(
@@ -7634,79 +7657,62 @@ def _residual_recall_df(
         ("residual_trained", cb_res, "residual", None),
     ]
     if opq:
-        perm = S.opq_roundrobin_perm(res, m=len(_PQ_CODEBOOKS))
-        resp = res.withColumn(
-            "residual",
-            F.array(
-                *[F.element_at("residual", int(s) + 1) for s in perm]
-            ),
-        )
-        cb_opq = pq_codebooks_fit(
-            resp.select("vec_id", "residual"), _PQ_CODEBOOKS,
-            max_iters=2, vec_col="residual",
-        )
         arms.append(("opq_residual_trained", cb_opq, "opq", perm))
-    out = None
+    # r13 optimization (guide §2.4): tag every arm's top-k rows and
+    # union them BEFORE the truth join, so the whole grid pays ONE
+    # truth join + ONE hash aggregation + ONE n_expected cross join
+    # instead of one of each per arm (the per-arm index frames are
+    # also no longer cached — each feeds exactly one candidate join).
+    # Left join + flag, not a semi-join: a zero-hit grid cell must
+    # still emit its row (the oracle always does).
+    parts = []
     for arm, cb, enc, aperm in arms:
-        idx = scoped_cache(
-            imi_pq_index_frame(e, c1, c2, cb, encoding=enc, perm=aperm)
-        )
+        idx = imi_pq_index_frame(e, c1, c2, cb, encoding=enc, perm=aperm)
         topk = S.imi_pq_probe_sweep(
             idx, q, c1, c2, cb, probes_list=_RES_PROBES, k=5,
             adc_agg=lambda c: dsum(c, 4), encoding=enc, perm=aperm,
         )
-        # left join + flag, not a semi-join: a zero-hit grid cell must
-        # still emit its row (the oracle always does)
-        cell = (
-            topk.join(
-                truth.withColumn("__t", F.lit(1)), ["qid", "nid"], "left"
-            )
-            .groupBy("probes")
-            .agg(
-                F.sum(F.coalesce(F.col("__t"), F.lit(0)))
-                .cast("long")
-                .alias("hits")
-            )
-            .crossJoin(n_exp)
-            .select(
-                F.lit(arm).alias("arm"),
-                "probes",
-                "hits",
-                "n_expected",
-                F.expr(
-                    "CAST((1000000 * hits) div n_expected AS BIGINT)"
-                ).alias("recall_ppm"),
-            )
+        parts.append(
+            topk.select(F.lit(arm).alias("arm"), "probes", "qid", "nid")
         )
-        out = cell if out is None else out.unionAll(cell)
     if coarse_exact:
         for arm, b1, b2 in (
             ("coarse_seeded_exact", _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1]),
             ("coarse_trained_exact", c1, c2),
         ):
-            topk = S.imi_topk(e, q, b1, b2, k=5, probes=4)
-            cellx = (
-                topk.join(
-                    truth.withColumn("__t", F.lit(1)), ["qid", "nid"], "left"
-                )
-                .agg(
-                    F.sum(F.coalesce(F.col("__t"), F.lit(0)))
-                    .cast("long")
-                    .alias("hits")
-                )
-                .crossJoin(n_exp)
-                .select(
+            parts.append(
+                S.imi_topk(e, q, b1, b2, k=5, probes=4).select(
                     F.lit(arm).alias("arm"),
                     F.lit(4).cast("int").alias("probes"),
-                    "hits",
-                    "n_expected",
-                    F.expr(
-                        "CAST((1000000 * hits) div n_expected AS BIGINT)"
-                    ).alias("recall_ppm"),
+                    "qid",
+                    "nid",
                 )
             )
-            out = out.unionAll(cellx)
-    return out.orderBy("arm", "probes")
+    from functools import reduce
+
+    allk = reduce(DataFrame.unionAll, parts)
+    return (
+        allk.join(
+            truth.withColumn("__t", F.lit(1)), ["qid", "nid"], "left"
+        )
+        .groupBy("arm", "probes")
+        .agg(
+            F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+            .cast("long")
+            .alias("hits")
+        )
+        .crossJoin(n_exp)
+        .select(
+            "arm",
+            "probes",
+            "hits",
+            "n_expected",
+            F.expr(
+                "CAST((1000000 * hits) div n_expected AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("arm", "probes")
+    )
 
 
 _CLUSTERED_SPREAD = 0.15  # between-var share ~0.35 — the numpy
@@ -10016,31 +10022,102 @@ def sparse_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
     sd = F.conv(F.substring(F.md5(F.col("word")), 16, 1), 16, 10).cast("int")
     sign = F.when(sd % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-    rows = None
-    for dim in _SPARSE_RECALL_DIMS:
-        vec = scoped_cache(
-            cnt.select(
-                "doc_id",
-                F.pmod(h, F.lit(dim)).cast("int").alias("dim"),
-                (F.col("c") * sign).alias("__s"),
-            )
-            .groupBy("doc_id", "dim")
-            .agg(F.sum("__s").cast("long").alias("weight"))
-            .filter(F.col("weight") != 0)
+    # r13 optimization (guide §2.4): all three dims ride ONE fused
+    # pipeline — the hashed vectors for every dim come out of a single
+    # pass over the cached token-count table (the dim size `dsz` is
+    # just one more key), and the dot/norm/rank/hits chain runs once
+    # keyed by (dsz, qid[, nid]) instead of once per dim (identical
+    # per-dim rows: the dsz keyspaces are disjoint). The grid rows are
+    # pinned by a driver-side dims frame so a zero-hit dim still
+    # emits its row, as before.
+    vec = scoped_cache(
+        cnt.select(
+            "doc_id",
+            (F.col("c") * sign).alias("__s"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dim).alias("dsz"),
+                            F.pmod(h, F.lit(dim)).cast("int").alias("dim"),
+                        )
+                        for dim in _SPARSE_RECALL_DIMS
+                    ]
+                )
+            ).alias("e"),
         )
-        hk = T.hashed_knn(
-            d, query_ids=qids, k=k, dim=dim, vec=vec
-        ).select("qid", "nid")
-        row = hk.join(truth, ["qid", "nid"]).agg(
-            F.lit(dim).cast("int").alias("dim"),
-            F.lit(n_truth).cast("long").alias("n_truth"),
-            F.count("*").cast("long").alias("hits"),
-            F.round(F.count("*").cast("double") / F.lit(n_truth), 6).alias(
-                "recall"
+        .select("doc_id", "e.dsz", "e.dim", "__s")
+        .groupBy("doc_id", "dsz", "dim")
+        .agg(F.sum("__s").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+    qv = vec.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("qid"), "dsz", "dim",
+        F.col("weight").alias("__wq"),
+    )
+    dv = vec.select(
+        F.col("doc_id").alias("nid"), "dsz", "dim",
+        F.col("weight").alias("__wd"),
+    )
+    dots = (
+        F.broadcast(qv)
+        .join(dv, ["dsz", "dim"])
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("dsz", "qid", "nid")
+        .agg(F.sum(F.col("__wq") * F.col("__wd")).cast("long").alias("__dot"))
+    )
+    vn2 = vec.groupBy("doc_id", "dsz").agg(
+        F.sum(F.col("weight") * F.col("weight")).cast("long").alias("__n2")
+    )
+    hsim = (
+        dots.join(
+            vn2.withColumnsRenamed({"doc_id": "qid", "__n2": "__nq"}),
+            ["qid", "dsz"],
+        )
+        .join(
+            vn2.withColumnsRenamed({"doc_id": "nid", "__n2": "__nd"}),
+            ["nid", "dsz"],
+        )
+        .withColumn(
+            "sim",
+            F.col("__dot").cast("double")
+            / F.sqrt(
+                F.col("__nq").cast("double") * F.col("__nd").cast("double")
             ),
         )
-        rows = row if rows is None else rows.unionAll(row)
-    return rows.orderBy("dim")
+    )
+    wd = Window.partitionBy("dsz", "qid").orderBy(
+        F.desc("sim"), F.asc("nid")
+    )
+    hk = (
+        hsim.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") <= k)
+        .select("dsz", "qid", "nid")
+    )
+    hits = (
+        hk.join(truth, ["qid", "nid"])
+        .groupBy("dsz")
+        .agg(F.count("*").cast("long").alias("__hits"))
+    )
+    dims_df = spark.createDataFrame(
+        [(int(dim),) for dim in _SPARSE_RECALL_DIMS], "dim int"
+    )
+    return (
+        dims_df.join(hits, dims_df["dim"] == hits["dsz"], "left")
+        .select(
+            "dim",
+            F.lit(n_truth).cast("long").alias("n_truth"),
+            F.coalesce(F.col("__hits"), F.lit(0))
+            .cast("long")
+            .alias("hits"),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.lit(n_truth),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("dim")
+    )
 
 
 @query(
