@@ -655,11 +655,16 @@ def minhash_dedup_verified(
     # the exact row count of the candidate×shingle expansion (sum of
     # a-side shingle counts over candidates). Both run over cached
     # frames; this is the price of not hard-broadcasting a
-    # corpus-proportional frame.
-    n_cand = cand.count()
-    exp_rows = (
-        cand.join(sz_a, "id_a").agg(F.sum("sz_a")).collect()[0][0] or 0
-    )
+    # corpus-proportional frame. r13 optimization (guide §1.2: fewer
+    # driver barriers): ONE job measures both — every candidate id
+    # comes from a bucket of `sh`-derived signatures, so the sizes
+    # inner join is row-preserving and count(*) over it IS the
+    # candidate count.
+    gate = cand.join(sz_a, "id_a").agg(
+        F.count("*").alias("nc"), F.sum("sz_a").alias("er")
+    ).collect()[0]
+    n_cand = gate["nc"]
+    exp_rows = gate["er"] or 0
 
     a = sh.withColumnsRenamed({id_col: "id_a", "shingle": "sh_a"})
     b = sh.withColumnsRenamed({id_col: "b_id", "shingle": "sh_b"})
@@ -1415,7 +1420,11 @@ def churn_classify(
     exact = (
         increment.select(id_col, content_hash(text_col).alias("h"))
         .join(
-            corpus.select(content_hash(text_col).alias("h")).distinct(),
+            # no .distinct(): a left-semi probe set needs no dedup —
+            # the join's build side is a hash set either way, and the
+            # distinct cost a corpus-wide exchange + two hash
+            # aggregates for nothing (r13, guide §2.4)
+            corpus.select(content_hash(text_col).alias("h")),
             "h",
             "left_semi",
         )

@@ -6921,6 +6921,13 @@ def imi_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, e, q, _IMI_CODEBOOKS[0], _IMI_CODEBOOKS[1], _PQ_CODEBOOKS,
         k=5, shortlist=short,
     ).select("qid", "nid")
+    # r13 note: the _residual_recall_df union-before-truth-join
+    # discipline was TRIED here and measured 1.10x SLOWER in a 3-pass
+    # interleaved A/B (8.53 -> 9.42 s min, jobs only 34 -> 33): with
+    # three arms and a cached 1-row-per-arm aggregate, the extra
+    # union exchange + methods pin join costs more than the two
+    # per-arm joins it removes. Kept in the per-arm form (the grid
+    # fusion pays off from ~dozens of cells, not 3).
     n = truth.count()
 
     def row(method: str, frame: DataFrame) -> DataFrame:
@@ -12164,14 +12171,26 @@ def _ppl_bucket_report(scored: DataFrame, ngrams_col: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("score"),
     )
-    keyed = perdoc.select(
-        "doc_id",
-        "n",
-        "score",
-        F.length(F.conv(F.col("score") + 1, 10, 2)).cast("int").alias("lbin"),
-    ).withColumn(
-        "qbin",
-        F.expr("shiftright(score, greatest(lbin - 8, 0))").cast("long"),
+    # r13 optimization (guide §5: cache what is reused): `keyed` feeds
+    # BOTH the histogram branch (→ the broadcast bucket table) and the
+    # final doc-grain join — uncached, the whole upstream LM scoring
+    # chain (held-side explode + 4-5 count-table joins + the per-doc
+    # aggregate) executed twice per report. The cached frame is
+    # doc-grain (4 narrow columns), orders of magnitude smaller than
+    # the scored n-gram stream it summarizes. Callers are registered
+    # scoped_caches=True, so the pin is released at query end.
+    keyed = scoped_cache(
+        perdoc.select(
+            "doc_id",
+            "n",
+            "score",
+            F.length(F.conv(F.col("score") + 1, 10, 2))
+            .cast("int")
+            .alias("lbin"),
+        ).withColumn(
+            "qbin",
+            F.expr("shiftright(score, greatest(lbin - 8, 0))").cast("long"),
+        )
     )
     hist = keyed.groupBy("lbin", "qbin").agg(
         F.count("*").cast("long").alias("cnt")

@@ -514,6 +514,41 @@ def test_minhash_verified_broadcast_gate(spark, documents):
     assert sorted(map(tuple, fast.collect())) == gated_rows
 
 
+def test_minhash_verified_gate_measurement_fused(spark, documents, monkeypatch):
+    # r13 optimization: the two broadcast-gate measurements (candidate
+    # pair count; candidate x shingle expansion rows) ride ONE fused
+    # job — this pins that the fused pair equals the two values the
+    # separate jobs used to measure, i.e. the sizes join really is
+    # row-preserving over the candidate set
+    seen = {}
+    real = D._gated_broadcast
+
+    def spy(df, n, limit, what):
+        seen[what] = n
+        return real(df, n, limit, what)
+
+    monkeypatch.setattr(D, "_gated_broadcast", spy)
+    kw = dict(num_hashes=12, bands=3)
+    D.minhash_dedup_verified(documents, threshold=0.5, **kw)
+    spark.catalog.clearCache()
+    cand = D.minhash_lsh_pairs(documents, **kw)
+    sizes = D.shingle_df(documents).groupBy("doc_id").agg(
+        F.count("*").alias("sz")
+    )
+    exp = (
+        cand.join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}),
+            "id_a",
+        )
+        .agg(F.sum("sz_a"))
+        .collect()[0][0]
+        or 0
+    )
+    assert seen["minhash_dedup_verified candidates"] == cand.count()
+    assert seen["minhash_dedup_verified candidate-shingle expansion"] == exp
+    spark.catalog.clearCache()
+
+
 def test_prefix_jaccard_broadcast_gate(spark):
     rows = [
         (i, f"alpha beta gamma delta epsilon zeta token{i % 3} eta theta")
