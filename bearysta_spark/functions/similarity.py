@@ -2063,6 +2063,9 @@ def imi_pq_operating_curve(
     assumption (queries = vec_id < 5 of the corpus)."""
     from bearysta_spark.cachescope import scoped_cache
 
+    if adc_agg is None:  # documented default (r13 ADVICE: the inline
+        adc_agg = F.sum  # rewrite lost _pq_ranked_from_index's fallback)
+
     truth = scoped_cache(
         brute_force_topk(vectors, queries, k=k, id_col=id_col,
                          vec_col=vec_col).select("qid", "nid")
@@ -2139,19 +2142,27 @@ def imi_pq_operating_curve(
 
     # integer stats for every grid cell in one aggregate (a candidate
     # at probes p is prn<p; its ADC rank there is __r{p})
+    # coalesce (r13 ADVICE): on an EMPTY candidate frame the global agg
+    # emits one all-NULL row; the pre-r13 per-cell count(*) path emitted
+    # 0s — keep that contract for degenerate inputs
     aggs = []
     for p in plist:
         aggs.append(
-            F.sum(F.when(F.col("prn") < p, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("prn") < p, 1).otherwise(0)), F.lit(0)
+            )
             .cast("long")
             .alias(f"__cand{p}")
         )
         for r in rlist:
             aggs.append(
-                F.sum(
-                    F.when(
-                        (F.col("prn") < p) & (F.col(f"__r{p}") <= r), 1
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("prn") < p) & (F.col(f"__r{p}") <= r), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias(f"__rr{p}_{r}")

@@ -702,8 +702,13 @@ def write_classifier_model(
     version = (int(cur["version"]) + 1) if cur else 0
     vdir = f"{path}/v{version}"
     rows = [(d, int(w)) for d, w in enumerate(weights_milli)]
-    spark.createDataFrame(rows, CLASSIFIER_MODEL_SCHEMA).coalesce(
-        1
+    # one parallelize slice, NOT createDataFrame(...).coalesce(1): the
+    # default path splits the local rows into defaultParallelism pickled
+    # slices and the coalesced single task then replays every slice
+    # through a Python-worker round trip SERIALLY — measured 6-10 s for
+    # 256 rows vs ~0.4 s for one slice (r14, guide §5 driver work)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), CLASSIFIER_MODEL_SCHEMA
     ).write.mode("overwrite").parquet(vdir)
     n = spark.read.schema(CLASSIFIER_MODEL_SCHEMA).parquet(vdir).count()
     if n != dim:

@@ -244,8 +244,16 @@ def _token_counts(
     text_col: str,
     id_col: str,
     broadcast_row_limit: int,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
-    occ = word_occurrences(df, text_col, id_col)
+    # occ: a caller-supplied (id, word) occurrence frame — callers that
+    # bill SEVERAL tokenizers against one corpus (the fertility
+    # agreement report) scope-cache one tokenization and share it, so
+    # the corpus is tokenized once instead of once per tokenizer (r14,
+    # guide §2.4). Must be word_occurrences(df, text_col, id_col)
+    # semantically; None keeps the self-contained single-query shape.
+    if occ is None:
+        occ = word_occurrences(df, text_col, id_col)
     # gate the broadcast on the DISTINCT-word count measured JVM-side —
     # same number as counts.count() but it never runs the Python kernel
     # and needs no cache, so the kernel executes exactly once, lazily,
@@ -268,6 +276,7 @@ def wordpiece_token_counts(
     id_col: str = "doc_id",
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
     vocab: tuple[str, ...] | str | None = None,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document greedy longest-match subword counts:
     (id, n_words, n_subword_tokens). SQL-oracle-replayable — see
@@ -285,7 +294,7 @@ def wordpiece_token_counts(
         counter = make_wordpiece_len(vocab)
     return _token_counts(
         df, counter, "wordpiece_token_counts vocabulary",
-        text_col, id_col, broadcast_row_limit,
+        text_col, id_col, broadcast_row_limit, occ=occ,
     )
 
 
@@ -295,6 +304,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     broadcast_row_limit: int = BROADCAST_ROW_LIMIT,
     merges: tuple[tuple[str, str], ...] | str | None = None,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document rank-ordered BPE subword counts:
     (id, n_words, n_subword_tokens). SQL-oracle-replayable — see
@@ -315,7 +325,7 @@ def bpe_token_counts(
         counter = make_bpe_len(merges)
     return _token_counts(
         df, counter, "bpe_token_counts vocabulary",
-        text_col, id_col, broadcast_row_limit,
+        text_col, id_col, broadcast_row_limit, occ=occ,
     )
 
 

@@ -55,6 +55,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", default=None)
     ap.add_argument("--explain", default=None, help="dump plans with this tag")
+    ap.add_argument("--plans-dir", default="plans/r13", help="where --explain dumps go")
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--json", default=None, help="write results JSON here")
     args = ap.parse_args()
@@ -124,7 +125,7 @@ def main() -> None:
             flush=True,
         )
         if args.explain:
-            os.makedirs("plans/r13", exist_ok=True)
+            os.makedirs(args.plans_dir, exist_ok=True)
             try:
                 plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -139,7 +140,7 @@ def main() -> None:
                 with contextlib.redirect_stdout(buf):
                     QUERIES[name](spark, sf_dir).explain("formatted")
                 plan = buf.getvalue()
-            with open(f"plans/r13/{name}_{args.explain}.txt", "w") as fh:
+            with open(f"{args.plans_dir}/{name}_{args.explain}.txt", "w") as fh:
                 fh.write(plan)
             spark.catalog.clearCache()
     total = sum(v["sec"] for v in out.values())

@@ -397,6 +397,30 @@ def test_classifier_model_roundtrip_and_versioning(spark, tmp_path):
     assert got2 == w0
 
 
+def test_model_artifact_written_as_single_file(spark, tmp_path):
+    """The r14 write-path change (one parallelize slice instead of
+    createDataFrame(...).coalesce(1), which replayed every pickled
+    local slice through serial Python-worker round trips): the
+    published artifact must still be ONE parquet data file per version
+    dir — single-file model artifacts are the read-side contract
+    (bounded open cost at serve time) that coalesce(1) existed for."""
+    import glob
+    import os
+
+    from bearysta_spark.functions.sampling import write_mixture_plan
+    from bearysta_spark.functions.text import write_classifier_model
+
+    cpath = str(tmp_path / "clf_model")
+    write_classifier_model(spark, cpath, list(range(16)), word_ngrams=1)
+    cfiles = glob.glob(os.path.join(cpath, "v0", "part-*.parquet"))
+    assert len(cfiles) == 1, cfiles
+
+    mpath = str(tmp_path / "mix_plan")
+    write_mixture_plan(spark, mpath, [("a", 10), ("b", 1_000_000)])
+    mfiles = glob.glob(os.path.join(mpath, "v0", "part-*.parquet"))
+    assert len(mfiles) == 1, mfiles
+
+
 def test_classifier_model_geometry_guard(spark, tmp_path):
     """Mismatched serve geometry fails silently at the margin level
     (no join breaks, the prices are just wrong) — so the load boundary
