@@ -642,15 +642,36 @@ def classifier_train(
         mis = per.filter(F.col("__y") * F.col("__m") <= 0).select(
             id_col, "__y"
         )
-        n_mis = mis.count()
-        grad = {
-            row["dim"]: int(row["g"])
-            for row in sparse.drop("__y")
+        # r14 round fusion (guide §1.2 fewer barriers): n_mis used to be
+        # its own count() job, so the doc-grain margin aggregate ran
+        # twice per round (once under the count, once as the grad
+        # join's mis side). One job now returns the dim-grain gradient
+        # rows PLUS a dim=-1 sentinel row carrying count(*) over the
+        # doc-grain mis frame — no distinct expansion, both aggregates
+        # stay map-side combinable (the r13-rejected rollup variant
+        # needed count_distinct; this one counts an already-doc-grain
+        # frame), and the mis subtree's exchange is shared between the
+        # two branches by ReuseExchange. Hashed dims are 0..dim-1, so
+        # the sentinel key cannot collide.
+        grad_rows = (
+            sparse.drop("__y")
             .join(mis, id_col)
             .groupBy("dim")
             .agg(F.sum(F.col("weight") * F.col("__y")).alias("g"))
+            .unionByName(
+                mis.groupBy().agg(F.count("*").alias("g")).select(
+                    F.lit(-1).cast("int").alias("dim"), "g"
+                )
+            )
             .collect()
-        }
+        )
+        n_mis = 0
+        grad: dict[int, int] = {}
+        for row in grad_rows:
+            if row["dim"] == -1:
+                n_mis = int(row["g"])
+            else:
+                grad[row["dim"]] = int(row["g"])
         w = [w[d] + (grad.get(d, 0) >> (r - 1)) for d in range(dim)]
         history.append((r, n_mis, list(w)))
     cleanup(sparse)

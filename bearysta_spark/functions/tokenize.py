@@ -1127,14 +1127,21 @@ def unigram_train(
         ).alias("piece"),
     )
     scnt = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
-    top = (
+    # r14 (guide §1.2 fewer barriers): the top-seed_size collect and the
+    # all-single-chars collect used to be two driver jobs, each re-
+    # aggregating the substring explode; one union job shares the agg
+    # exchange between the two branches (ReuseExchange), and the dict
+    # assignment dedupes pieces appearing in both (identical counts, so
+    # the mapping is unchanged — order never mattered: _millinats is
+    # elementwise and the inventory is sorted before use)
+    seed_rows = (
         scnt.orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(int(seed_size))
+        .unionByName(scnt.filter(F.length("piece") == 1))
         .collect()
     )
-    chars = scnt.filter(F.length("piece") == 1).collect()
     counts: dict[str, int] = {}
-    for r in list(top) + list(chars):
+    for r in seed_rows:
         counts[r["piece"]] = int(r["cnt"])
     total = sum(counts.values())
     inv: dict[str, int] = dict(

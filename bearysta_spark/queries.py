@@ -10950,12 +10950,23 @@ def pretrain_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = split.filter(F.col("split") == "eval").select("doc_id")
     tr = split.filter(F.col("split") == "train").select("doc_id")
-    g8 = gram_rows(
-        d.join(s3.select("doc_id"), "doc_id"), 8, "text", ("doc_id",)
+    # r14 (guide §1.2 step 1 — don't compute what you throw away): the
+    # old single `g8` frame over ALL survivors was referenced twice
+    # (train side + eval side), and Catalyst cannot push a doc_id join
+    # below the gram explode, so the full 8-gram explode ran TWICE and
+    # each side threw the other split's grams away. Split FIRST, gram
+    # each side once: total gram work is one survivor pass (eval 2% +
+    # train 98%), and the eval side's distinct shuffles only eval
+    # grams. Same rows by construction: ev and tr partition s3, and
+    # gram_rows is per-doc, so gram(s3)⋉tr == gram(d⋉tr).
+    evg = (
+        gram_rows(d.join(ev, "doc_id"), 8, "text", ("doc_id",))
+        .select("gram")
+        .distinct()
     )
     cont = (
-        g8.join(tr, "doc_id")
-        .join(g8.join(ev, "doc_id").select("gram").distinct(), "gram")
+        gram_rows(d.join(tr, "doc_id"), 8, "text", ("doc_id",))
+        .join(evg, "gram")
         .select("doc_id")
         .distinct()
     )
