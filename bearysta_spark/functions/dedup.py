@@ -933,19 +933,28 @@ def prefix_jaccard_join(
     # verify side would broadcast — the honest payload measure for the
     # broadcast gate (doc count alone under-counts array-weighted rows)
     n_sh = sh.count()
-    sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n"))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("doc_freq"))
-    w = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+    # r14 (guide §2.4 share one exchange): the per-doc size used to be a
+    # separate groupBy aggregate joined in TWICE (into `ordered` and
+    # into the prefix frame) — one extra shuffle of the shingle table
+    # plus two joins. The count now rides the SAME id-partitioned
+    # window pass the row_number already pays (unordered count over
+    # the partition; df_tbl's inner join is row-preserving, every
+    # shingle is in the DF table by construction), and the prefix
+    # frame carries n along instead of re-joining it.
+    wid = Window.partitionBy(id_col)
+    w = wid.orderBy("doc_freq", "shingle")
     ordered = (
         sh.join(F.broadcast(df_tbl), "shingle")
-        .join(sizes, id_col)
+        .withColumn("n", F.count("*").over(wid).cast("long"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
     )
     prefix_len = (
         F.col("n") - F.ceil(F.lit(p) * F.col("n") / F.lit(q)).cast("long") + 1
     )
-    prefix = ordered.filter(F.col("rn") <= prefix_len).select(id_col, "shingle")
-    pn = prefix.join(sizes, id_col)
+    pn = ordered.filter(F.col("rn") <= prefix_len).select(
+        id_col, "shingle", "n"
+    )
     # length filter: J ≤ min/max, so q·min < p·max ⟹ J < p/q — prune
     # impossible pairs before the distinct
     cand = (

@@ -3,6 +3,8 @@ clusters with min-doc_id canonical labels."""
 
 from __future__ import annotations
 
+import pytest
+
 from bearysta_spark.functions.components import cluster_sizes, connected_components
 
 
@@ -90,6 +92,11 @@ def test_star_empty(spark):
     assert connected_components_star(df).count() == 0
 
 
+# r14: 40 random graphs x 2 iterative CC runs ~= 23 s of the quiet
+# suite; property coverage, deselected by default with the other
+# slow tests (run with -m slow). The deterministic CC tests above
+# stay in the default gate.
+@pytest.mark.slow
 def test_star_matches_min_label_random_graphs(spark):
     # deterministic pseudo-random multigraphs: both algorithms must
     # produce identical (node -> component-min) labelings

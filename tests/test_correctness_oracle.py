@@ -60,7 +60,27 @@ ORACLE = entrymod.oracle_sql()
 ALL = entrymod.queries()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+# r14 (the pytest gate, VERDICT r13 item 1): the three IMI-PQ audit
+# replays are the suite's slowest oracle cases (43/20/17 s at sf0.001 —
+# the unrolled training-replay SQL, not the assertion) and are ALSO
+# the queries the round driver verifies itself every round (r13/r14
+# head rotation) and the full-replica artifact covers; they run with
+# -m slow, the other ~200 oracle cases stay in the default gate.
+_SLOW_ORACLE = {
+    "imi_pq_opq_recall",
+    "imi_pq_residual_recall_clustered",
+    "imi_pq_residual_recall",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE
+        else n
+        for n in sorted(ORACLE)
+    ],
+)
 def test_query_matches_oracle(name, spark, duck):
     sdf = ALL[name](spark, SF_DIR)
     scols = sdf.columns
